@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (SURVEY.md §7.2: dedup →
+latest-per-key scorecard join) on sf0.001; ``queries()`` /
+``oracle_sql()`` expose the full named query library
+(data_engineer_project_weather_analytics_spark/plans) for the DuckDB correctness harness.
 """
 
 from __future__ import annotations
@@ -12,27 +11,36 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineer_project_weather_analytics_spark.operators.latest import latest_per_key
+from data_engineer_project_weather_analytics_spark.plans.registry import (
+    oracle_sql as _oracle_sql,
+    queries as _queries,
+)
+from data_engineer_project_weather_analytics_spark.sources.catalog import load_table
+
+_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: latest reading per key + global scorecard average
+    (dashboard A3 + A1 composed), on the sf0.001 events table."""
+    events = load_table(spark, _SF_DIR, "events")
+    latest = latest_per_key(
+        events.select("user_id", "event_id", "ts", "event_type", "value"),
+        keys=["user_id"],
+        order_cols=["ts", "event_id"],
+        strategy="max_by",
+    )
+    scorecard = events.agg(F.round(F.avg("value"), 4).alias("avg_value_all"))
+    # 1-row scorecard broadcast onto every latest row (no shuffle)
+    return latest.join(F.broadcast(scorecard))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _oracle_sql()

@@ -1,0 +1,163 @@
+"""Keyed upsert semantics on top of append-only storage.
+
+The reference upserts row-at-a-time into Postgres:
+
+* ``INSERT … ON CONFLICT (city_id) DO UPDATE`` — last-write-wins per
+  key (K1, ``dags/etl.py:66-81``);
+* ``ON CONFLICT (city_id, dt) DO UPDATE`` — composite key (K2,
+  ``dags/etl.py:83-121``);
+* ``ON CONFLICT DO NOTHING`` — first-write-wins / insert-if-absent
+  (K3, ``notebook/WeatherProject.ipynb:682-687``).
+
+Spark has no keyed UPSERT into parquet, so the engine models it as
+**append + last-write-wins dedup view** (SURVEY.md §4.2): every batch
+is appended with a monotonically increasing ``ingest_seq``; the
+canonical view keeps, per key, the row from the highest sequence.  This
+is idempotent (re-applying a batch is a no-op) and commutative across
+disjoint keys — the two properties the Postgres upsert provides — and
+at 100 TB it is strictly more scalable than in-place mutation: appends
+are sequential writes, and the dedup is one shuffle on the key, which
+AQE handles skew-split.  Periodic :func:`compact` keeps read
+amplification bounded.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+#: Hidden bookkeeping column recording batch arrival order.
+INGEST_SEQ = "ingest_seq"
+
+
+def stamp_batch(batch: DataFrame, seq: int) -> DataFrame:
+    """Tag a batch with its ingest sequence number."""
+    return batch.withColumn(INGEST_SEQ, F.lit(seq).cast("long"))
+
+
+def latest_write_wins(
+    appended: DataFrame,
+    keys: Sequence[str],
+    seq_col: str = INGEST_SEQ,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Canonical upsert view: per key, the row of the newest batch.
+
+    ``row_number`` (not ``rank``) guarantees exactly one survivor per
+    key even when a batch re-delivers the same key twice; ``tiebreak``
+    columns make that choice deterministic.
+    """
+    order = [F.col(seq_col).desc()] + [F.col(c).desc() for c in tiebreak]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        appended.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", seq_col)
+    )
+
+
+def upsert(
+    existing: DataFrame,
+    batch: DataFrame,
+    keys: Sequence[str],
+    seq_col: str = INGEST_SEQ,
+) -> DataFrame:
+    """One-shot logical upsert: existing ⊎ batch → last-write-wins.
+
+    ``existing`` and ``batch`` must both carry ``seq_col``; batch rows
+    win ties by carrying the higher sequence (K1/K2 semantics).
+    """
+    merged = existing.unionByName(batch)
+    order = [F.col(seq_col).desc()]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return merged.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def insert_if_absent(existing: DataFrame, batch: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """K3 / ``ON CONFLICT DO NOTHING``: keep existing, add only new keys.
+
+    The conflict test is a ``left_anti`` join (J2); with a small
+    ``existing`` key set Catalyst broadcasts it, so no shuffle of the
+    incoming batch.
+    """
+    fresh = batch.dropDuplicates(list(keys)).join(
+        existing.select(*keys), on=list(keys), how="left_anti"
+    )
+    return existing.unionByName(fresh)
+
+
+class UpsertTable:
+    """A keyed upsert table persisted as append-only parquet.
+
+    Layout: ``path/`` holds plain parquet appends, each write stamped
+    with the next ``ingest_seq``.  ``read_latest()`` returns the
+    canonical last-write-wins view; ``compact()`` rewrites the store so
+    the view is a bare scan again.
+
+    At scale the store would be partitioned by a date derived from the
+    event time (``partition_cols``) so readers prune; the dedup shuffle
+    only touches partitions a batch actually wrote.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: Sequence[str],
+        partition_cols: Sequence[str] = (),
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.keys = list(keys)
+        self.partition_cols = list(partition_cols)
+
+    def _exists(self) -> bool:
+        try:
+            self.spark.read.parquet(self.path).limit(0).collect()
+            return True
+        except Exception:
+            return False
+
+    def _next_seq(self) -> int:
+        if not self._exists():
+            return 0
+        row = self.spark.read.parquet(self.path).agg(F.max(INGEST_SEQ)).first()
+        return 0 if row[0] is None else int(row[0]) + 1
+
+    def append_batch(self, batch: DataFrame, seq: int | None = None) -> int:
+        """Append one upsert batch; returns the sequence it was given."""
+        seq = self._next_seq() if seq is None else seq
+        writer = stamp_batch(batch, seq).write.mode("append")
+        if self.partition_cols:
+            writer = writer.partitionBy(*self.partition_cols)
+        writer.parquet(self.path)
+        return seq
+
+    def read_raw(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def read_latest(self) -> DataFrame:
+        """The canonical view — what Postgres would contain after the
+        same sequence of upserts."""
+        return latest_write_wins(self.read_raw(), self.keys)
+
+    def compact(self) -> None:
+        """Materialize the canonical view in place (bounded read amp).
+
+        The rewrite restarts sequences at 0; correctness is unaffected
+        because the surviving rows are exactly the canonical set.
+        """
+        snapshot = stamp_batch(self.read_latest(), 0)
+        tmp = self.path.rstrip("/") + ".compact.tmp"
+        writer = snapshot.write.mode("overwrite")
+        if self.partition_cols:
+            writer = writer.partitionBy(*self.partition_cols)
+        writer.parquet(tmp)
+        # swap: overwrite main path from the materialized snapshot
+        reread = self.spark.read.parquet(tmp)
+        w2 = reread.write.mode("overwrite")
+        if self.partition_cols:
+            w2 = w2.partitionBy(*self.partition_cols)
+        w2.parquet(self.path)

@@ -1,0 +1,227 @@
+"""DuckDB oracle SQL for the core query set (plans/core.py).
+
+Each statement is the ANSI-SQL ground truth for the same-named Spark
+query; the correctness driver runs both at sf=0.01 and compares
+row-count + schema + order-insensitive value hash.  Column aliases and
+all rounding/decimal casts mirror the Spark side exactly — money sums
+go through ``DECIMAL(12,2)`` so the arithmetic is exact (order
+independent) in both engines.
+"""
+
+from __future__ import annotations
+
+#: CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(4,2))
+_REV = "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))"
+
+ORACLES_CORE: dict[str, str] = {
+    "p7_filter_projection": """
+        SELECT event_id, user_id, round(value * 2, 2) AS double_value
+        FROM events
+        WHERE event_type = 'purchase' AND value > 100.0
+    """,
+    "p1_json_flatten": """
+        SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS prop_k
+        FROM events
+    """,
+    "p10_range_filter": """
+        SELECT event_id, user_id, event_type, ts, value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+          AND event_type <> 'error'
+    """,
+    "a1_scorecard": """
+        SELECT
+            count(*) AS n_readings,
+            round(avg(value), 4) AS avg_value,
+            round(min(value), 2) AS min_value,
+            round(max(value), 2) AS max_value,
+            round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_value
+        FROM events
+        WHERE event_type <> 'error'
+    """,
+    "a2_daily_timeseries": """
+        SELECT
+            CAST(ts AS DATE) AS day,
+            round(avg(value), 4) AS avg_value,
+            count(*) AS n_events
+        FROM events
+        GROUP BY 1
+    """,
+    "a3_latest_per_key": """
+        SELECT user_id, event_id, ts, event_type, value
+        FROM events
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    "a4_distinct": """
+        SELECT DISTINCT user_id, event_type FROM events
+    """,
+    "a5_latest_join_dim": """
+        WITH latest AS (
+            SELECT user_id, event_id, ts, value
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        )
+        SELECT l.user_id, c.c_name, c.c_acctbal, l.event_id, l.ts, l.value
+        FROM latest l
+        JOIN customer c ON l.user_id = c.c_custkey
+    """,
+    "j1_dim_join_agg": f"""
+        SELECT
+            n_name,
+            round(CAST(sum({_REV}) AS DOUBLE), 2) AS revenue,
+            count(*) AS n_lines
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "j2_anti_join": """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "j2b_semi_join": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+    """,
+    "ri_orphan_check": """
+        SELECT DISTINCT user_id
+        FROM events
+        WHERE NOT EXISTS (
+            SELECT 1 FROM customer WHERE c_custkey = user_id)
+    """,
+    "k2_upsert_lww": """
+        WITH base AS (
+            SELECT event_id, user_id, ts, value, 0 AS ingest_seq FROM events
+        ), redelivery AS (
+            SELECT event_id, user_id, ts,
+                   round(value + 1000.0, 2) AS value, 1 AS ingest_seq
+            FROM events WHERE event_id % 7 = 0
+        ), merged AS (
+            SELECT * FROM base UNION ALL SELECT * FROM redelivery
+        )
+        SELECT event_id, user_id, ts, value
+        FROM merged
+        QUALIFY row_number() OVER (
+            PARTITION BY event_id ORDER BY ingest_seq DESC) = 1
+    """,
+    "k3_insert_if_absent": """
+        SELECT DISTINCT user_id AS new_key
+        FROM events
+        WHERE NOT EXISTS (
+            SELECT 1 FROM customer
+            WHERE c_custkey % 2 = 0 AND c_custkey = user_id)
+    """,
+    "w2_moving_avg": """
+        SELECT
+            user_id,
+            event_id,
+            round(avg(value) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg3,
+            lag(value, 1) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        FROM events
+    """,
+    "o2_topk": """
+        SELECT event_id, user_id, value
+        FROM events
+        ORDER BY value DESC, event_id ASC
+        LIMIT 10
+    """,
+    "u1_union_agg": """
+        WITH unioned AS (
+            SELECT * FROM events WHERE event_type = 'purchase'
+            UNION ALL
+            SELECT * FROM events WHERE event_type = 'signup'
+        )
+        SELECT
+            event_type,
+            count(*) AS n,
+            round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_value
+        FROM unioned
+        GROUP BY event_type
+    """,
+    "u2_intersect": """
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'signup'
+    """,
+    "u2b_except": """
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+    "f_time_scalars": """
+        SELECT
+            event_id,
+            epoch_ms(ts) AS epoch_ms,
+            date_trunc('second', ts) AS ts_seconds,
+            ts + INTERVAL 7 HOUR AS ts_ict,
+            strftime(ts, '%Y-%m-%d %H:%M:%S') AS dt_txt
+        FROM events
+    """,
+    "t4_hourly_window": """
+        SELECT
+            date_trunc('hour', ts) AS bucket,
+            event_type,
+            count(*) AS n,
+            round(avg(value), 4) AS avg_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "tpch_q1_pricing_summary": f"""
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty,
+            round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_base_price,
+            round(CAST(sum({_REV}) AS DOUBLE), 2) AS sum_disc_price,
+            round(CAST(sum(({_REV}) * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE), 2) AS sum_charge,
+            round(avg(l_quantity), 4) AS avg_qty,
+            round(avg(l_extendedprice), 4) AS avg_price,
+            round(avg(l_discount), 6) AS avg_disc,
+            count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "tpch_q3_shipping_priority": f"""
+        SELECT
+            o_orderkey,
+            o_orderdate,
+            o_orderpriority,
+            round(CAST(sum({_REV}) AS DOUBLE), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1999-01-01 00:00:00'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    "tpch_q5_local_volume": f"""
+        SELECT
+            r_name,
+            n_name,
+            round(CAST(sum({_REV}) AS DOUBLE), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+        GROUP BY r_name, n_name
+    """,
+}

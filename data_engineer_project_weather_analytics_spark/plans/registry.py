@@ -1,0 +1,58 @@
+"""Query registry: name → (Spark callable, oracle SQL).
+
+Single source of truth consumed by ``__spark_entry__.py`` (driver
+contract), the pytest parity harness, and ``bench.py``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_engineer_project_weather_analytics_spark.plans import core
+from data_engineer_project_weather_analytics_spark.plans.oracles_core import ORACLES_CORE
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # None → non-SQL-expressible; driver does rows-only check
+
+
+def _collect() -> dict[str, QuerySpec]:
+    specs: dict[str, QuerySpec] = {}
+
+    def add(module, oracles: dict[str, str]) -> None:
+        for name in dir(module):
+            fn = getattr(module, name)
+            if callable(fn) and not name.startswith("_") and name in oracles:
+                specs[name] = QuerySpec(name, fn, oracles[name])
+        # functions intentionally registered without an oracle
+        for name, fn in getattr(module, "NO_ORACLE", {}).items():
+            specs[name] = QuerySpec(name, fn, None)
+
+    add(core, ORACLES_CORE)
+
+    try:  # extension operators land incrementally
+        from data_engineer_project_weather_analytics_spark.plans import extensions
+        from data_engineer_project_weather_analytics_spark.plans.oracles_extensions import ORACLES_EXT
+
+        add(extensions, ORACLES_EXT)
+    except ImportError:
+        pass
+
+    return specs
+
+
+REGISTRY: dict[str, QuerySpec] = _collect()
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.sql for name, spec in REGISTRY.items() if spec.sql is not None}

@@ -1,0 +1,38 @@
+"""Parity harness: every oracle-backed query in the registry must match
+its DuckDB oracle on the local testdata (emulates the driver's
+CORRECTNESS gate ahead of time)."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_engineer_project_weather_analytics_spark.plans.registry import REGISTRY
+
+from .conftest import SF_DIR, assert_parity
+
+_ORACLE_BACKED = sorted(name for name, spec in REGISTRY.items() if spec.sql)
+_ROWS_ONLY = sorted(name for name, spec in REGISTRY.items() if spec.sql is None)
+
+
+@pytest.mark.parametrize("name", _ORACLE_BACKED)
+def test_query_matches_oracle(spark, ddb, name):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, SF_DIR)
+    assert_parity(df, ddb, spec.sql, name=name)
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY)
+def test_rows_only_query_runs(spark, name):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
