@@ -1,0 +1,147 @@
+"""Deduplication operators: exact, MinHash-LSH, n-gram Jaccard.
+
+The scale path for corpus dedup (SURVEY.md X1/X2):
+
+* exact — hash-groupBy on a content hash: one shuffle, no pairwise
+  work, the 100 TB default.
+* near-dup — shingle → MinHash signatures → LSH banding → candidate
+  pairs via an equi-join on (band, signature).  Pairwise cost collapses
+  from O(n²) to the candidates sharing a bucket; everything is
+  DataFrame ops, so AQE handles bucket skew (a hot bucket = a hot join
+  key) with skew-join splitting.
+* exact Jaccard on shingle sets — the verifier for candidate pairs
+  (and, at small n, a ground-truth oracle for the LSH path).
+
+MinHash here is md5-based (`min(md5(shingle || '#' || band))`): md5 is
+a fine uniform hash for min-wise sketching, and being available in
+every SQL engine makes the whole pipeline replayable by the DuckDB
+oracle — the point where ``ml.feature.MinHashLSH`` (JVM-private hash
+families) can't be cross-checked.  Semantics are identical: P(minhash
+collision) = Jaccard similarity, banding boosts recall.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Content-hash groups: canonical (min) id + copy count per
+    distinct text.  ``n_copies > 1`` rows are the duplicate sets."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row (lowest id) per distinct text — the X1 operator."""
+    w_min = exact_dedup_groups(df, id_col, text_col).select(
+        F.col("canonical_id").alias(id_col)
+    )
+    return df.join(w_min, on=id_col, how="left_semi")
+
+
+def shingles(text_col: str, n: int = 3) -> F.Column:
+    """Word n-gram shingles as an array column (empty if < n tokens).
+
+    Pure higher-order-function expression — no explode yet, so the
+    projection stays narrow until the caller decides to unnest."""
+    return F.expr(
+        f"""
+        CASE WHEN size(split({text_col}, ' ')) >= {n}
+             THEN transform(
+                    sequence(0, size(split({text_col}, ' ')) - {n}),
+                    i -> array_join(slice(split({text_col}, ' '), i + 1, {n}), ' '))
+             ELSE CAST(array() AS ARRAY<STRING>)
+        END
+        """
+    )
+
+
+def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct (id, shingle) pairs — the set representation used by
+    both MinHash and exact Jaccard."""
+    return (
+        df.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    ds: DataFrame, id_col: str, n_bands: int = 8
+) -> DataFrame:
+    """Per-(doc, band) min-wise signature over the shingle set.
+
+    One row per doc per band; the min is a partial aggregate, so the
+    shuffle carries only n_bands rows per doc regardless of doc size."""
+    spark = ds.sparkSession
+    bands = spark.range(n_bands).select(F.col("id").cast("int").alias("band"))
+    return (
+        ds.crossJoin(F.broadcast(bands))
+        .groupBy(id_col, "band")
+        .agg(
+            F.min(
+                F.md5(F.concat(F.col("shingle"), F.lit("#"), F.col("band").cast("string")))
+            ).alias("minhash")
+        )
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
+    """Docs agreeing on ≥1 band signature → near-dup candidates.
+
+    Equi-join on (band, minhash) — the LSH bucket join.  Output is the
+    distinct (id_a < id_b) pair set."""
+    a = signatures.select(
+        F.col(id_col).alias("id_a"), "band", "minhash"
+    )
+    b = signatures.select(
+        F.col(id_col).alias("id_b"), "band", "minhash"
+    )
+    return (
+        a.join(b, on=["band", "minhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    ds: DataFrame, id_col: str, threshold: float = 0.2
+) -> DataFrame:
+    """Exact n-gram Jaccard over shingle sets, pairs ≥ threshold.
+
+    Self-join on the shingle (only docs *sharing* a shingle pair up —
+    already sub-quadratic), then |∩| vs set sizes.  At corpus scale
+    you run this only on LSH candidates; standalone it is the
+    ground-truth oracle."""
+    sizes = ds.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = ds.select(F.col(id_col).alias("id_a"), "shingle")
+    b = ds.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,117 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md X4).
+
+All operators are pure Catalyst expressions (split / filter / md5 /
+higher-order functions) — no Python UDFs — so they run inside
+whole-stage codegen and scale linearly with partitions.  Tokenization
+is single-space splitting to match the corpus format; swap the pattern
+for ``\\s+`` on real text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny default stopword list present in the synthetic corpus vocabulary.
+STOPWORDS: tuple[str, ...] = ("the", "a")
+
+
+def tokens(text_col: str | Column) -> Column:
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(col, " ")
+
+
+def token_count(text_col: str | Column) -> Column:
+    return F.size(tokens(text_col))
+
+
+def avg_token_length(text_col: str | Column) -> Column:
+    """Mean characters per token = non-space chars / token count."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    chars = F.length(F.regexp_replace(col, " ", ""))
+    return chars.cast("double") / token_count(col)
+
+
+def stopword_ratio(text_col: str | Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    toks = tokens(text_col)
+    hits = F.size(F.filter(toks, lambda w: w.isin(*stopwords)))
+    return hits.cast("double") / F.size(toks)
+
+
+def quality_flag(
+    text_col: str | Column,
+    min_tokens: int = 20,
+    max_tokens: int = 1000,
+    max_stopword_ratio: float = 0.5,
+) -> Column:
+    """Heuristic document-quality gate (length band + stopword cap) —
+    the standard pre-training corpus filter shape."""
+    n = token_count(text_col)
+    return (
+        (n >= min_tokens)
+        & (n <= max_tokens)
+        & (stopword_ratio(text_col) <= max_stopword_ratio)
+    )
+
+
+def language_id(text_col: str | Column) -> Column:
+    """N-gram-free heuristic language ID.
+
+    Real language ID is a char-n-gram profile model; on this synthetic
+    corpus (uniform English-ish vocabulary) we use a deterministic
+    heuristic with the same *shape* — token-level evidence then a
+    vowel-ratio fallback — kept fully SQL-expressible so the DuckDB
+    oracle can replay it."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokens(col)
+    has_en_stop = F.size(F.filter(toks, lambda w: w.isin("the", "a"))) > 0
+    vowels = F.length(F.regexp_replace(F.lower(col), "[^aeiou]", ""))
+    letters = F.length(F.regexp_replace(F.lower(col), "[^a-z]", ""))
+    vowel_ratio = vowels.cast("double") / F.nullif(letters.cast("double"), F.lit(0.0))
+    return (
+        F.when(has_en_stop, F.lit("en"))
+        .when(vowel_ratio > 0.45, F.lit("vowel-heavy"))
+        .otherwise(F.lit("other"))
+    )
+
+
+def fingerprint(text_col: str | Column) -> Column:
+    """Whole-document fingerprint: md5 of the case-folded text.
+
+    (Rolling/Rabin fingerprints shard better for *partial* matching;
+    for whole-doc identity a single strong hash is the right tool and
+    is exactly reproducible everywhere.)"""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.md5(F.lower(col))
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash over tokens.
+
+    Classic SimHash: each hash bit of each token votes ±1; the sign of
+    the total is the fingerprint bit.  We derive bit *i* of a token's
+    hash from hex digit *i* of its md5 (high bit of the nibble), which
+    is engine-portable (md5 + substr exist everywhere) while keeping
+    real SimHash semantics.  One explode + one groupBy — scales as a
+    single shuffle on the doc id."""
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__w"))
+    h = F.md5(F.col("__w"))
+    votes = [
+        F.sum(
+            F.when(F.substring(h, i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+            .otherwise(-1)
+        ).alias(f"__v{i}")
+        for i in range(16)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    bits = [F.when(F.col(f"__v{i}") > 0, F.lit("1")).otherwise(F.lit("0")) for i in range(16)]
+    return agg.select(F.col(id_col), F.concat(*bits).alias("simhash16"))
+
+
+def hamming_distance(a: str | Column, b: str | Column) -> Column:
+    """Hamming distance between two equal-length bit strings (for
+    SimHash near-dup thresholds)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    pairs = F.zip_with(F.split(ca, ""), F.split(cb, ""), lambda x, y: (x != y).cast("int"))
+    return F.aggregate(pairs, F.lit(0), lambda s, v: s + v)

@@ -1,0 +1,172 @@
+"""Extension query set (SURVEY.md §2.10 / X-family): the LLM-pipeline
+operators over ``documents`` and ``embeddings``.
+
+Oracle-backed wherever the semantics are SQL-expressible (md5-based
+MinHash, exact Jaccard, brute-force cosine, text stats); the genuinely
+non-SQL paths (LSH-ANN with seeded hyperplanes, SimHash vote
+aggregation shape, mapInPandas multimodal features) register as
+rows-only checks via ``NO_ORACLE``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineer_project_weather_analytics_spark.operators import dedup, multimodal, similarity, text
+from data_engineer_project_weather_analytics_spark.sources.catalog import load_table
+
+
+# --------------------------------------------------------------------------
+# X1 — exact dedup
+# --------------------------------------------------------------------------
+
+def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: hash-groupBy on md5(text) — the 100 TB
+    default dedup (one shuffle, no pairwise work)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(docs, "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# X2 — MinHash + LSH near-dup
+# --------------------------------------------------------------------------
+
+def x2_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, band) MinHash signature over 3-word shingles."""
+    docs = load_table(spark, sf_dir, "documents")
+    ds = dedup.doc_shingles(docs, "doc_id", "text", n=3)
+    return dedup.minhash_signatures(ds, "doc_id", n_bands=8)
+
+
+def x2b_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: doc pairs agreeing on ≥1 band signature."""
+    sigs = x2_minhash_signatures(spark, sf_dir)
+    return dedup.lsh_candidate_pairs(sigs, "doc_id")
+
+
+def x2c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs ≥ 0.1 — ground truth the LSH
+    candidates are verified against."""
+    docs = load_table(spark, sf_dir, "documents")
+    ds = dedup.doc_shingles(docs, "doc_id", "text", n=3)
+    return dedup.jaccard_pairs(ds, "doc_id", threshold=0.1)
+
+
+def x2d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document (md5-nibble bit votes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.simhash16(docs, "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# X3 — embedding similarity
+# --------------------------------------------------------------------------
+
+def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id < 10."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk(emb, "vec_id", "embedding", queries, k=5)
+
+
+def x3b_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs at cosine ≥ 0.8 (brute force, capped
+    to a 500-vector slice so the oracle cross join stays bounded)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return similarity.embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.8)
+
+
+def x3c_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding components (IVF coarse-quantizer)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.label_centroids(emb, "label", "embedding")
+
+
+def _x3d_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH buckets (seeded
+    planes — deterministic, but not SQL-expressible → rows-only)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.lsh_ann_topk(emb, "vec_id", "embedding", queries, k=5)
+
+
+# --------------------------------------------------------------------------
+# X4 — text analysis
+# --------------------------------------------------------------------------
+
+def x4_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        F.round(text.avg_token_length("text"), 4).alias("avg_token_len"),
+    )
+
+
+def x4b_language_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+def x4c_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        F.round(text.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        text.quality_flag("text").alias("is_quality"),
+    )
+
+
+def x4d_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.language_id("text").alias("predicted_lang"))
+
+
+def x4e_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = text.fingerprint("text")
+    return docs.select(
+        "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("fp_prefix")
+    )
+
+
+# --------------------------------------------------------------------------
+# X5 — multimodal (mapInPandas plumbing; decode stubbed)
+# --------------------------------------------------------------------------
+
+def _x5_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload → Arrow-batched feature extraction (fake decoder:
+    deterministic byte histogram).  mapInPandas → rows-only check."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    return multimodal.extract_features(media, fake=True)
+
+
+def x5b_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-visible half of the multimodal path: binary payload
+    sizes + content hash (column pruning keeps payload out of
+    metadata-only scans)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    return media.select(
+        "media_id",
+        "media_type",
+        "size_bytes",
+        # md5 over the decoded payload (DuckDB's md5 takes VARCHAR only;
+        # the bytes themselves round-trip losslessly for UTF-8 payloads)
+        F.md5(F.decode(F.col("payload"), "UTF-8")).alias("payload_md5"),
+    )
+
+
+#: rows-only registrations (non-SQL-expressible paths)
+NO_ORACLE = {
+    "x3d_ann_lsh": _x3d_ann_lsh,
+    "x5_multimodal_features": _x5_multimodal_features,
+}
