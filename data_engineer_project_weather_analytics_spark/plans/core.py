@@ -348,6 +348,39 @@ def t4_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def j3_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: as-of backward join — each event matched to the latest
+    *prior day's* per-user summary (forecast-vs-actual shape).  Uses
+    the union-scan trick (operators/asof.py): one sort, no range-join
+    blowup."""
+    from data_engineer_project_weather_analytics_spark.operators.asof import asof_join_backward
+
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(
+            "user_id",
+            F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day_ts"),
+        )
+        .agg(F.round(F.avg("value"), 4).alias("day_avg"))
+        # "prior day" semantics: the summary becomes visible at the
+        # *end* of its day, so events match yesterday's summary
+        .select(
+            "user_id",
+            (F.col("day_ts") + F.expr("INTERVAL 1 DAY")).alias("day_ts"),
+            "day_avg",
+        )
+    )
+    left = events.select("user_id", "event_id", "ts", "value")
+    return asof_join_backward(
+        left,
+        daily,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="day_ts",
+        value_cols=["day_avg"],
+    ).select("user_id", "event_id", "ts", "value", "day_avg")
+
+
 # --------------------------------------------------------------------------
 # TPC-H-style volume queries (bench headliners)
 # --------------------------------------------------------------------------

@@ -119,6 +119,19 @@ ORACLES_CORE: dict[str, str] = {
             SELECT 1 FROM customer
             WHERE c_custkey % 2 = 0 AND c_custkey = user_id)
     """,
+    "j3_asof_join": """
+        WITH daily AS (
+            SELECT user_id,
+                   date_trunc('day', ts) + INTERVAL 1 DAY AS day_ts,
+                   round(avg(value), 4) AS day_avg
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT e.user_id, e.event_id, e.ts, e.value, d.day_avg
+        FROM events e
+        ASOF LEFT JOIN daily d
+          ON e.user_id = d.user_id AND e.ts >= d.day_ts
+    """,
     "w2_moving_avg": """
         SELECT
             user_id,

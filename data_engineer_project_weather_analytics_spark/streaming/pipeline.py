@@ -1,0 +1,86 @@
+"""Structured-Streaming ingestion (SURVEY.md §2.8, T1-T5).
+
+The reference is an hourly cron batch (``.github/workflows/weather.yml:4-6``)
+whose correctness under re-delivery comes from the keyed upsert
+(``README.md:75`` "Upsert strategy ensures no duplicates").  The Spark
+re-expression:
+
+* **trigger** — ``availableNow`` micro-batches for the scheduled-batch
+  mode (T1); swap for ``processingTime='1 hour'`` in a live deployment.
+* **exactly-once effect** — each micro-batch funnels through
+  ``foreachBatch`` into an :class:`~data_engineer_project_weather_analytics_spark.operators.upsert.UpsertTable`
+  append; the last-write-wins view absorbs replays (T2), so sink
+  idempotence does not depend on the sink's own transactionality.
+* **event-time windows + watermark** — tumbling aggregation with
+  bounded state (T4/T5).
+
+Rate limiting (T3, the reference's ``time.sleep(0.4)``) belongs to the
+REST fetcher (sources/rest.py), not the stream engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from data_engineer_project_weather_analytics_spark.operators.upsert import UpsertTable
+
+
+def file_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.format(fmt).load(source_dir)
+
+
+def stream_upsert(
+    stream: DataFrame,
+    table: UpsertTable,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Micro-batch upsert: every batch appends with the next
+    ``ingest_seq``; the canonical view stays correct under replays
+    because re-appending a batch only adds rows the LWW view ignores."""
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        table.append_batch(batch)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_aggregate(
+    stream: DataFrame,
+    ts_col: str,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "3 hours",
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling event-time aggregation with a watermark bounding state
+    (late rows beyond the delay are dropped — T5)."""
+    return (
+        stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(value_col).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("bucket"), "n", "avg_value")
+    )

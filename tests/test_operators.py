@@ -1,0 +1,139 @@
+"""Operator-level unit tests: latest strategies agree, as-of join edge
+cases, dedup/text/similarity internals, multimodal plumbing."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from data_engineer_project_weather_analytics_spark.operators import multimodal, similarity, text
+from data_engineer_project_weather_analytics_spark.operators.asof import asof_join_backward
+from data_engineer_project_weather_analytics_spark.operators.dedup import dedup_exact, shingles
+from data_engineer_project_weather_analytics_spark.operators.latest import latest_per_key
+from data_engineer_project_weather_analytics_spark.sources.catalog import load_table
+
+from .conftest import SF_DIR
+
+
+def test_latest_strategies_agree(spark):
+    events = load_table(spark, SF_DIR, "events").select("user_id", "event_id", "ts", "value")
+    a = latest_per_key(events, ["user_id"], ["ts", "event_id"], strategy="window")
+    b = latest_per_key(events, ["user_id"], ["ts", "event_id"], strategy="max_by")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def _ts(h, m=0):
+    return datetime.datetime(2025, 12, 1, h, m)
+
+
+def test_asof_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            Row(k=1, ts=_ts(1), ev="before-any"),
+            Row(k=1, ts=_ts(5), ev="exact-tie"),
+            Row(k=1, ts=_ts(7), ev="between"),
+            Row(k=2, ts=_ts(9), ev="other-key"),
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, rts=_ts(5), v=50.0),
+            Row(k=1, rts=_ts(6), v=60.0),
+            Row(k=2, rts=_ts(2), v=20.0),
+        ]
+    )
+    out = asof_join_backward(left, right, on=["k"], left_ts="ts", right_ts="rts", value_cols=["v"])
+    got = {r.ev: r.v for r in out.collect()}
+    assert got == {
+        "before-any": None,  # no right row at or before
+        "exact-tie": 50.0,  # right_ts == left_ts matches (≤)
+        "between": 60.0,  # greatest right_ts ≤ left_ts
+        "other-key": 20.0,  # keys don't cross
+    }
+
+
+def test_shingles_short_text_empty(spark):
+    df = spark.createDataFrame([Row(text="one two"), Row(text="a b c d")])
+    out = df.select(shingles("text", 3).alias("s")).collect()
+    assert out[0].s == []
+    assert out[1].s == ["a b c", "b c d"]
+
+
+def test_dedup_exact_keeps_lowest_id(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=3, text="same"), Row(doc_id=1, text="same"), Row(doc_id=2, text="diff")]
+    )
+    kept = sorted(r.doc_id for r in dedup_exact(df, "doc_id", "text").collect())
+    assert kept == [1, 2]
+
+
+def test_simhash_similar_docs_close(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spark query engine fast join " * 10),
+            Row(doc_id=2, text="spark query engine fast join " * 10 + "extra token"),
+            Row(doc_id=3, text="completely different words entirely " * 10),
+        ]
+    )
+    sh = text.simhash16(df, "doc_id", "text")
+    pairs = (
+        sh.alias("a")
+        .crossJoin(sh.alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("ia"),
+            F.col("b.doc_id").alias("ib"),
+            text.hamming_distance(F.col("a.simhash16"), F.col("b.simhash16")).alias("d"),
+        )
+    )
+    d = {(r.ia, r.ib): r.d for r in pairs.collect()}
+    assert d[(1, 2)] < d[(1, 3)]  # near-dup closer than unrelated
+    assert d[(1, 2)] <= 3
+
+
+def test_cosine_topk_self_excluded_and_ranked(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = similarity.cosine_topk(emb, "vec_id", "embedding", emb.filter(F.col("vec_id") < 3), k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        assert r.neighbor_id != r.query_id
+        by_q.setdefault(r.query_id, []).append((r.rank, r.sim))
+    for sims in by_q.values():
+        ranked = [s for _, s in sorted(sims)]
+        assert ranked == sorted(ranked, reverse=True)  # descending by rank
+
+
+def test_ann_lsh_subset_of_bucket_and_plausible(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(emb, "vec_id", "embedding", queries, k=3)
+    approx = similarity.lsh_ann_topk(emb, "vec_id", "embedding", queries, k=3)
+    # ANN returns ≤ k per query, ranks well-formed, and the top-1 sims
+    # are bounded by the exact top-1
+    ex1 = {r.query_id: r.sim for r in exact.collect() if r.rank == 1}
+    for r in approx.collect():
+        assert 1 <= r.rank <= 3
+        if r.rank == 1:
+            assert r.sim <= ex1[r.query_id] + 1e-9
+
+
+def test_multimodal_feature_extraction(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(10)
+    media = multimodal.documents_as_media(docs)
+    feats = multimodal.extract_features(media, fake=True).collect()
+    assert len(feats) == 10
+    for r in feats:
+        assert len(r.feature) == 16
+        assert abs(sum(r.feature) - 1.0) < 1e-6  # histogram normalized
+        assert r.size_bytes > 0
+
+
+def test_multimodal_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"bytes", "image", fake=False)

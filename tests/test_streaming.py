@@ -1,0 +1,88 @@
+"""Structured-Streaming tests: availableNow micro-batch upsert through
+foreachBatch (T1/T2) and watermarked tumbling windows (T4/T5)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from data_engineer_project_weather_analytics_spark.operators.upsert import UpsertTable
+from data_engineer_project_weather_analytics_spark.streaming.pipeline import (
+    file_stream,
+    stream_upsert,
+    windowed_aggregate,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("city_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("temp", DoubleType()),
+    ]
+)
+
+
+def _write_batch(spark, path, data):
+    spark.createDataFrame(
+        [Row(city_id=c, ts=datetime.datetime(2025, 12, 1, h, m), temp=t) for c, h, m, t in data],
+        schema=SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def _run_stream(spark, src, table, ckpt):
+    q = stream_upsert(
+        file_stream(spark, src, SCHEMA), table, checkpoint_dir=ckpt, available_now=True
+    )
+    q.awaitTermination(120)
+
+
+def test_stream_upsert_available_now(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    table = UpsertTable(spark, str(tmp_path / "table"), keys=["city_id", "ts"])
+
+    _write_batch(spark, src, [(1, 0, 0, 20.0), (2, 0, 0, 21.0)])
+    _run_stream(spark, src, table, ckpt)
+    assert {(r.city_id, r.temp) for r in table.read_latest().collect()} == {
+        (1, 20.0),
+        (2, 21.0),
+    }
+
+    # second micro-batch re-delivers city 1 at the same ts → LWW update
+    _write_batch(spark, src, [(1, 0, 0, 25.0), (3, 1, 0, 19.0)])
+    _run_stream(spark, src, table, ckpt)
+    got = {(r.city_id, r.temp) for r in table.read_latest().collect()}
+    assert got == {(1, 25.0), (2, 21.0), (3, 19.0)}
+
+
+def test_windowed_aggregate_with_watermark(spark, tmp_path):
+    src = str(tmp_path / "wsrc")
+    _write_batch(
+        spark,
+        src,
+        [(1, 0, 10, 10.0), (1, 0, 50, 20.0), (2, 1, 5, 30.0), (1, 2, 0, 40.0)],
+    )
+    stream = file_stream(spark, src, SCHEMA)
+    agg = windowed_aggregate(stream, "ts", "1 hour", "3 hours", value_col="temp")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {str(r.bucket): (r.n, r.avg_value) for r in spark.sql("SELECT * FROM win_agg").collect()}
+    assert rows == {
+        "2025-12-01 00:00:00": (2, 15.0),
+        "2025-12-01 01:00:00": (1, 30.0),
+        "2025-12-01 02:00:00": (1, 40.0),
+    }

@@ -1,0 +1,85 @@
+"""Upsert property tests (SURVEY.md §5.2 item 2): idempotence,
+last-write-wins ordering, commutativity of disjoint keys, compaction
+invariance — the guarantees the reference gets from Postgres
+``ON CONFLICT`` (dags/etl.py:66-121)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Row
+
+from data_engineer_project_weather_analytics_spark.operators.upsert import (
+    UpsertTable,
+    insert_if_absent,
+    latest_write_wins,
+    stamp_batch,
+)
+
+
+def _rows(spark, data):
+    return spark.createDataFrame([Row(city_id=c, dt=d, temp=t) for c, d, t in data])
+
+
+def _latest_dict(df):
+    return {(r.city_id, r.dt): r.temp for r in df.collect()}
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return UpsertTable(spark, str(tmp_path / "t"), keys=["city_id", "dt"])
+
+
+def test_last_write_wins(spark, table):
+    table.append_batch(_rows(spark, [(1, 10, 20.0), (2, 10, 21.0)]))
+    table.append_batch(_rows(spark, [(1, 10, 25.0)]))  # re-delivery, new value
+    assert _latest_dict(table.read_latest()) == {(1, 10): 25.0, (2, 10): 21.0}
+
+
+def test_idempotence_reapply_same_batch(spark, table):
+    batch = _rows(spark, [(1, 10, 20.0), (2, 10, 21.0)])
+    table.append_batch(batch)
+    before = _latest_dict(table.read_latest())
+    table.append_batch(batch)  # replay — same data, later seq
+    assert _latest_dict(table.read_latest()) == before
+
+
+def test_disjoint_keys_commute(spark, tmp_path):
+    a = _rows(spark, [(1, 10, 20.0)])
+    b = _rows(spark, [(2, 10, 21.0)])
+    t1 = UpsertTable(spark, str(tmp_path / "ab"), keys=["city_id", "dt"])
+    t1.append_batch(a)
+    t1.append_batch(b)
+    t2 = UpsertTable(spark, str(tmp_path / "ba"), keys=["city_id", "dt"])
+    t2.append_batch(b)
+    t2.append_batch(a)
+    assert _latest_dict(t1.read_latest()) == _latest_dict(t2.read_latest())
+
+
+def test_within_batch_duplicates_single_survivor(spark):
+    # one batch re-delivering the same key twice → exactly one survivor
+    df = stamp_batch(_rows(spark, [(1, 10, 20.0), (1, 10, 22.0)]), 0)
+    out = latest_write_wins(df, keys=["city_id", "dt"], tiebreak=["temp"])
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0].temp == 22.0  # deterministic via tiebreak
+
+
+def test_compaction_preserves_view(spark, table):
+    table.append_batch(_rows(spark, [(1, 10, 20.0), (2, 10, 21.0)]))
+    table.append_batch(_rows(spark, [(1, 10, 25.0), (3, 11, 19.0)]))
+    before = _latest_dict(table.read_latest())
+    table.compact()
+    assert _latest_dict(table.read_latest()) == before
+    # compaction actually shrank the raw store to the canonical set
+    assert table.read_raw().count() == len(before)
+    # and upserts keep working afterwards
+    table.append_batch(_rows(spark, [(1, 10, 30.0)]))
+    assert _latest_dict(table.read_latest())[(1, 10)] == 30.0
+
+
+def test_insert_if_absent_first_write_wins(spark):
+    existing = _rows(spark, [(1, 10, 20.0)])
+    batch = _rows(spark, [(1, 10, 99.0), (2, 10, 21.0)])
+    out = insert_if_absent(existing, batch, keys=["city_id", "dt"])
+    assert _latest_dict(out) == {(1, 10): 20.0, (2, 10): 21.0}
