@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "total_wall_clock", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + collect-to-driver of
+the result rows; results are small aggregates/topk except the per-row
+queries, which use count to avoid driver transfer dominating).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_engineer_project_weather_analytics_spark.plans.registry import REGISTRY
+from data_engineer_project_weather_analytics_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline set: the reference workload (dashboard + upsert) plus the
+#: volume joins and the extension ops that matter at corpus scale.
+#: mode: "collect" (small result) vs "checksum" (wide per-row result —
+#: xxhash64-reduce so every output column is computed but only one row
+#: crosses to the driver; plain count() would let Catalyst prune the
+#: expensive columns away).
+HEADLINE: dict[str, str] = {
+    "a1_scorecard": "collect",
+    "a2_daily_timeseries": "collect",
+    "a3_latest_per_key": "collect",
+    "a5_latest_join_dim": "collect",
+    "k2_upsert_lww": "checksum",
+    "j1_dim_join_agg": "collect",
+    "j3_asof_join": "checksum",
+    "w2_moving_avg": "checksum",
+    "t4_hourly_window": "collect",
+    "tpch_q1_pricing_summary": "collect",
+    "tpch_q3_shipping_priority": "collect",
+    "tpch_q5_local_volume": "collect",
+    "x1_exact_dedup": "checksum",
+    "x2b_lsh_candidate_pairs": "checksum",
+    "x3_cosine_topk": "collect",
+    "x4c_quality_score": "checksum",
+}
+
+
+def main() -> None:
+    spark = get_spark(app_name="data_engineer_project_weather_analytics_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + file listing once so per-query numbers measure the
+    # queries, not session bring-up
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name, mode in HEADLINE.items():
+        spec = REGISTRY[name]
+        t0 = time.perf_counter()
+        df = spec.fn(spark, SF_DIR)
+        if mode == "collect":
+            df.collect()
+        else:
+            from pyspark.sql import functions as F
+
+            df.select(F.bit_xor(F.xxhash64(*df.columns)).alias("checksum")).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -77,19 +77,22 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-(doc, band) min-wise signature over the shingle set.
 
-    One row per doc per band; the min is a partial aggregate, so the
-    shuffle carries only n_bands rows per doc regardless of doc size."""
-    spark = ds.sparkSession
-    bands = spark.range(n_bands).select(F.col("id").cast("int").alias("band"))
-    return (
-        ds.crossJoin(F.broadcast(bands))
-        .groupBy(id_col, "band")
-        .agg(
-            F.min(
-                F.md5(F.concat(F.col("shingle"), F.lit("#"), F.col("band").cast("string")))
-            ).alias("minhash")
-        )
-    )
+    All band minima are computed in ONE hash aggregate (n_bands ``min``
+    expressions over the same scan) and then unpivoted with ``stack`` —
+    no n_bands× row replication before the shuffle, and the shuffle
+    carries n_bands partial minima per doc per map task regardless of
+    doc size.  (A crossJoin-with-bands formulation is n_bands× more
+    shuffle input — measurably slower at corpus scale.)"""
+    mins = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{b}")))).alias(f"__mh{b}")
+        for b in range(n_bands)
+    ]
+    agg = ds.groupBy(id_col).agg(*mins)
+    stack_args = ", ".join(f"{b}, __mh{b}" for b in range(n_bands))
+    return agg.select(
+        F.col(id_col),
+        F.expr(f"stack({n_bands}, {stack_args}) AS (band, minhash)"),
+    ).select(id_col, F.col("band").cast("int").alias("band"), "minhash")
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
@@ -137,10 +140,12 @@ def jaccard_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(
+            # unrounded: inputs are exact ints, so the double division is
+            # bit-identical in any engine; round() is NOT (Spark rounds
+            # the shortest decimal string, DuckDB the binary value)
+            (
                 F.col("n_inter").cast("double")
-                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
-                6,
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter"))
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)

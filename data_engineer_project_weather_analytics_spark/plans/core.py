@@ -42,6 +42,23 @@ def _money_sum(expr: F.Column, alias: str) -> F.Column:
     return F.round(F.sum(expr).cast("double"), 2).alias(alias)
 
 
+def _exact_avg(col: str, digits: int, alias: str) -> F.Column:
+    """Order- and engine-independent average: exact decimal sum ÷ count,
+    divided in double, UNROUNDED.
+
+    Plain ``round(avg(x), d)`` is unreproducible across engines twice
+    over: partial-sum order drifts the double, and even on identical
+    doubles Spark rounds the shortest decimal string (38.37875 →
+    .3788) while DuckDB rounds the binary value (38.3787499… → .3787)
+    — both observed at sf0.001.  Exact decimal sums make the division
+    inputs bit-identical, after which *no* rounding is the only
+    representation both engines agree on.  ``digits`` is kept for API
+    stability but intentionally unused.
+    Oracle mirror: ``CAST(sum(CAST(x AS DECIMAL(12,2))) AS DOUBLE)
+    / count(x)``."""
+    return (F.sum(_dec2(col)).cast("double") / F.count(col)).alias(alias)
+
+
 def _revenue() -> F.Column:
     """Exact-decimal ``l_extendedprice * (1 - l_discount)``.
 
@@ -107,7 +124,7 @@ def a1_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return events.filter(F.col("event_type") != "error").agg(
         F.count(F.lit(1)).alias("n_readings"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        _exact_avg("value", 4, "avg_value"),
         F.round(F.min("value"), 2).alias("min_value"),
         F.round(F.max("value"), 2).alias("max_value"),
         _money_sum(_dec2("value"), "sum_value"),
@@ -121,7 +138,7 @@ def a2_daily_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         events.groupBy(F.to_date("ts").alias("day"))
         .agg(
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            _exact_avg("value", 4, "avg_value"),
             F.count(F.lit(1)).alias("n_events"),
         )
     )
@@ -264,10 +281,13 @@ def w2_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("temperature trend"); partitioned by key, so no global sort."""
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-2, 0)
+    # exact decimal window sum / count — see _exact_avg for why no round
+    mavg3 = F.sum(_dec2("value")).over(frame).cast("double") / F.count("value").over(frame)
     return events.select(
         "user_id",
         "event_id",
-        F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 4).alias("mavg3"),
+        mavg3.alias("mavg3"),
         F.lag("value", 1).over(w).alias("prev_value"),
     )
 
@@ -338,7 +358,7 @@ def t4_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(F.count(F.lit(1)).alias("n"), _exact_avg("value", 4, "avg_value"))
         .select(
             F.col("w.start").cast("timestamp_ntz").alias("bucket"),
             "event_type",
@@ -346,6 +366,54 @@ def t4_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_value",
         )
     )
+
+
+def a6_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (not in the reference; free Catalyst
+    built-in — SURVEY.md §2.5 'not present' list)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _money_sum(_dec2("l_quantity"), "sum_qty"),
+        )
+    )
+
+
+def a7_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over two group dimensions."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.cube("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"), _exact_avg("value", 4, "avg_value"))
+    )
+
+
+def a8_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts (partial-agg friendly: Spark plans
+    expand + two-phase aggregate)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.countDistinct("user_id", "event_type").alias("n_user_type_pairs"),
+    )
+
+
+def _a8b_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — sketch differs across
+    engines, so rows-only (the 100 TB path where exact is too dear)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.approx_count_distinct("event_id", rsd=0.02).alias("approx_events"),
+    )
+
+
+NO_ORACLE = {
+    "a8b_approx_count_distinct": _a8b_approx_count_distinct,
+}
 
 
 def j3_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -361,7 +429,7 @@ def j3_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day_ts"),
         )
-        .agg(F.round(F.avg("value"), 4).alias("day_avg"))
+        .agg(_exact_avg("value", 4, "day_avg"))
         # "prior day" semantics: the summary becomes visible at the
         # *end* of its day, so events match yesterday's summary
         .select(
@@ -400,9 +468,9 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             _money_sum(_dec2("l_extendedprice"), "sum_base_price"),
             _money_sum(disc_price, "sum_disc_price"),
             _money_sum(charge, "sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            _exact_avg("l_quantity", 4, "avg_qty"),
+            _exact_avg("l_extendedprice", 4, "avg_price"),
+            _exact_avg("l_discount", 6, "avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )

@@ -100,7 +100,7 @@ def x4_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         text.token_count("text").alias("n_tokens"),
-        F.round(text.avg_token_length("text"), 4).alias("avg_token_len"),
+        text.avg_token_length("text").alias("avg_token_len"),
     )
 
 
@@ -108,7 +108,7 @@ def x4b_language_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        (F.sum("n_chars").cast("double") / F.count("n_chars")).alias("avg_chars"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
@@ -119,7 +119,7 @@ def x4c_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         text.token_count("text").alias("n_tokens"),
-        F.round(text.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        text.stopword_ratio("text").alias("stopword_ratio"),
         text.quality_flag("text").alias("is_quality"),
     )
 

@@ -33,7 +33,7 @@ ORACLES_CORE: dict[str, str] = {
     "a1_scorecard": """
         SELECT
             count(*) AS n_readings,
-            round(avg(value), 4) AS avg_value,
+            CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(value) AS avg_value,
             round(min(value), 2) AS min_value,
             round(max(value), 2) AS max_value,
             round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_value
@@ -43,7 +43,7 @@ ORACLES_CORE: dict[str, str] = {
     "a2_daily_timeseries": """
         SELECT
             CAST(ts AS DATE) AS day,
-            round(avg(value), 4) AS avg_value,
+            CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(value) AS avg_value,
             count(*) AS n_events
         FROM events
         GROUP BY 1
@@ -119,11 +119,31 @@ ORACLES_CORE: dict[str, str] = {
             SELECT 1 FROM customer
             WHERE c_custkey % 2 = 0 AND c_custkey = user_id)
     """,
+    "a6_rollup": """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "a7_cube": """
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(value) AS avg_value
+        FROM events
+        GROUP BY CUBE (event_type, CAST(ts AS DATE))
+    """,
+    "a8_count_distinct": """
+        SELECT count(DISTINCT user_id) AS n_users,
+               count(DISTINCT event_type) AS n_types,
+               count(DISTINCT (user_id, event_type)) AS n_user_type_pairs
+        FROM events
+    """,
     "j3_asof_join": """
         WITH daily AS (
             SELECT user_id,
                    date_trunc('day', ts) + INTERVAL 1 DAY AS day_ts,
-                   round(avg(value), 4) AS day_avg
+                   CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(value) AS day_avg
             FROM events
             GROUP BY 1, 2
         )
@@ -136,9 +156,12 @@ ORACLES_CORE: dict[str, str] = {
         SELECT
             user_id,
             event_id,
-            round(avg(value) OVER (
+            CAST(sum(CAST(value AS DECIMAL(12,2))) OVER (
                 PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg3,
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+              / count(value) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mavg3,
             lag(value, 1) OVER (
                 PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
         FROM events
@@ -186,7 +209,7 @@ ORACLES_CORE: dict[str, str] = {
             date_trunc('hour', ts) AS bucket,
             event_type,
             count(*) AS n,
-            round(avg(value), 4) AS avg_value
+            CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(value) AS avg_value
         FROM events
         GROUP BY 1, 2
     """,
@@ -198,9 +221,9 @@ ORACLES_CORE: dict[str, str] = {
             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_base_price,
             round(CAST(sum({_REV}) AS DOUBLE), 2) AS sum_disc_price,
             round(CAST(sum(({_REV}) * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE), 2) AS sum_charge,
-            round(avg(l_quantity), 4) AS avg_qty,
-            round(avg(l_extendedprice), 4) AS avg_price,
-            round(avg(l_discount), 6) AS avg_disc,
+            CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+            CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(l_discount) AS avg_disc,
             count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'

@@ -54,13 +54,13 @@ ORACLES_EXT: dict[str, str] = {
             GROUP BY a.doc_id, b.doc_id
         )
         SELECT id_a, id_b,
-               round(CAST(n_inter AS DOUBLE) /
-                     (sa.set_size + sb.set_size - n_inter), 6) AS jaccard
+               CAST(n_inter AS DOUBLE) /
+                   (sa.set_size + sb.set_size - n_inter) AS jaccard
         FROM inter
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
-        WHERE round(CAST(n_inter AS DOUBLE) /
-                    (sa.set_size + sb.set_size - n_inter), 6) >= 0.1
+        WHERE CAST(n_inter AS DOUBLE) /
+                  (sa.set_size + sb.set_size - n_inter) >= 0.1
     """,
     "x2d_simhash": """
         WITH tok AS (
@@ -128,14 +128,14 @@ ORACLES_EXT: dict[str, str] = {
     "x4_token_stats": """
         SELECT doc_id,
                CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
-               round(CAST(length(replace(text, ' ', '')) AS DOUBLE) /
-                     len(string_split(text, ' ')), 4) AS avg_token_len
+               CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+                     len(string_split(text, ' ')) AS avg_token_len
         FROM documents
     """,
     "x4b_language_dist": """
         SELECT lang,
                count(*) AS n_docs,
-               round(avg(n_chars), 4) AS avg_chars,
+               CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS avg_chars,
                min(n_chars) AS min_chars,
                max(n_chars) AS max_chars
         FROM documents
@@ -149,8 +149,8 @@ ORACLES_EXT: dict[str, str] = {
         )
         SELECT doc_id,
                CAST(len(toks) AS INTEGER) AS n_tokens,
-               round(CAST(len(list_filter(toks, w -> w IN ('the', 'a'))) AS DOUBLE)
-                     / len(toks), 6) AS stopword_ratio,
+               CAST(len(list_filter(toks, w -> w IN ('the', 'a'))) AS DOUBLE)
+                     / len(toks) AS stopword_ratio,
                (len(toks) >= 20 AND len(toks) <= 1000 AND
                 CAST(len(list_filter(toks, w -> w IN ('the', 'a'))) AS DOUBLE)
                     / len(toks) <= 0.5) AS is_quality
