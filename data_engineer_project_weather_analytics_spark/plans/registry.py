@@ -36,13 +36,12 @@ def _collect() -> dict[str, QuerySpec]:
 
     add(core, ORACLES_CORE)
 
-    try:  # extension operators land incrementally
-        from data_engineer_project_weather_analytics_spark.plans import extensions
-        from data_engineer_project_weather_analytics_spark.plans.oracles_extensions import ORACLES_EXT
+    from data_engineer_project_weather_analytics_spark.plans import extensions, scalars, weather
+    from data_engineer_project_weather_analytics_spark.plans.oracles_extensions import ORACLES_EXT
 
-        add(extensions, ORACLES_EXT)
-    except ImportError:
-        pass
+    add(extensions, ORACLES_EXT)
+    add(weather, weather.ORACLES_WEATHER)
+    add(scalars, scalars.ORACLES_SCALARS)
 
     return specs
 
