@@ -65,10 +65,16 @@ def shingles(text_col: str, n: int = 3) -> F.Column:
 
 def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct (id, shingle) pairs — the set representation used by
-    both MinHash and exact Jaccard."""
-    return (
-        df.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle"))
-        .distinct()
+    both MinHash and exact Jaccard.
+
+    Per-doc dedup happens *before* the explode with ``array_distinct``
+    (a narrow map-side op), so no ``.distinct()`` shuffle of the
+    exploded rows is needed — at corpus scale that saves a full
+    shuffle of ~|docs|×|shingles| rows.  Output is identical because
+    shingle sets never cross documents."""
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
     )
 
 

@@ -127,12 +127,19 @@ class UpsertTable:
         return 0 if row[0] is None else int(row[0]) + 1
 
     def append_batch(self, batch: DataFrame, seq: int | None = None) -> int:
-        """Append one upsert batch; returns the sequence it was given."""
+        """Append one upsert batch; returns the sequence it was given.
+
+        Rows written are observed in-flight (K5 audit — see
+        operators/observe.py) and exposed as ``self.last_metrics``."""
+        from data_engineer_project_weather_analytics_spark.operators.observe import with_write_metrics
+
         seq = self._next_seq() if seq is None else seq
-        writer = stamp_batch(batch, seq).write.mode("append")
+        stamped, obs = with_write_metrics(stamp_batch(batch, seq))
+        writer = stamped.write.mode("append")
         if self.partition_cols:
             writer = writer.partitionBy(*self.partition_cols)
         writer.parquet(self.path)
+        self.last_metrics = obs.get
         return seq
 
     def read_raw(self) -> DataFrame:

@@ -54,7 +54,9 @@ def f_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(vec, 1).alias("first_component"),
         F.array_max(vec).alias("max_component"),
         F.array_min(vec).alias("min_component"),
-        F.slice(vec, 1, 3).alias("head3"),
+        # scalar, not an array slice: raw array columns hash differently
+        # across engines' client representations (numpy vs list)
+        F.element_at(vec, F.size("embedding")).alias("last_component"),
         F.size(F.filter(vec, lambda x: x > 0)).alias("n_positive"),
     )
 
@@ -88,7 +90,7 @@ ORACLES_SCALARS: dict[str, str] = {
                CAST(embedding[1] AS DOUBLE) AS first_component,
                CAST(list_max(embedding) AS DOUBLE) AS max_component,
                CAST(list_min(embedding) AS DOUBLE) AS min_component,
-               CAST(embedding[1:3] AS DOUBLE[]) AS head3,
+               CAST(embedding[len(embedding)] AS DOUBLE) AS last_component,
                CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0))
                     AS INTEGER) AS n_positive
         FROM embeddings

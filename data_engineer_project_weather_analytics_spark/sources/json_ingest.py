@@ -40,7 +40,7 @@ def parse_current(raw: DataFrame, payload_col: str = PAYLOAD) -> DataFrame:
     parsed = raw.select(doc.alias("doc")).filter(F.col("doc").isNotNull())
     # A fully-null struct (valid JSON, wrong shape) carries no city id.
     parsed = parsed.filter(F.col("doc.id").isNotNull())
-    parsed = parsed.filter(F.col("doc.cod").cast("int") == 200)
+    parsed = parsed.filter(F.col("doc.cod").try_cast("int") == 200)
     head = F.element_at("doc.weather", 1)  # P2: weather[0]
     return parsed.select(
         F.col("doc.id").alias("city_id"),
@@ -84,7 +84,7 @@ def parse_forecast(raw: DataFrame, payload_col: str = PAYLOAD) -> DataFrame:
     parsed = (
         raw.select(doc.alias("doc"))
         .filter(F.col("doc").isNotNull())
-        .filter(F.col("doc.cod").cast("int") == 200)  # string '200' → 200
+        .filter(F.col("doc.cod").try_cast("int") == 200)  # string '200' → 200, garbage → NULL (dropped)
     )
     step = parsed.select(
         F.col("doc.city").alias("city"),
@@ -103,7 +103,7 @@ def parse_forecast(raw: DataFrame, payload_col: str = PAYLOAD) -> DataFrame:
         F.timestamp_seconds("city.sunset").cast("timestamp_ntz").alias("sunset"),
         F.timestamp_seconds("item.dt").cast("timestamp_ntz").alias("dt"),
         F.col("item.dt_txt").alias("dt_txt"),  # F5 raw text form
-        F.to_timestamp("item.dt_txt", "yyyy-MM-dd HH:mm:ss")
+        F.try_to_timestamp(F.col("item.dt_txt"), F.lit("yyyy-MM-dd HH:mm:ss"))
         .cast("timestamp_ntz")
         .alias("dt_parsed"),
         F.col("item.main.temp").alias("temp"),
