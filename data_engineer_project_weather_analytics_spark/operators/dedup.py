@@ -88,9 +88,18 @@ def minhash_signatures(
     no n_bands× row replication before the shuffle, and the shuffle
     carries n_bands partial minima per doc per map task regardless of
     doc size.  (A crossJoin-with-bands formulation is n_bands× more
-    shuffle input — measurably slower at corpus scale.)"""
+    shuffle input — measurably slower at corpus scale.)
+
+    Hashing cost is sub-linear in bands: each shingle is md5'd twice
+    (not once per band) and band *b* takes hex slice ``[8b, 8b+8)`` of
+    the 256-bit concatenation — 32 independent bits per band, so
+    cross-doc chance collisions are ~n²/2³³ per band (negligible), and
+    the per-band minima remain independent min-wise hashes."""
+    digest = F.concat(
+        F.md5(F.col("shingle")), F.md5(F.concat(F.col("shingle"), F.lit("#")))
+    )
     mins = [
-        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{b}")))).alias(f"__mh{b}")
+        F.min(F.substring(digest, 8 * b + 1, 8)).alias(f"__mh{b}")
         for b in range(n_bands)
     ]
     agg = ds.groupBy(id_col).agg(*mins)
@@ -101,21 +110,40 @@ def minhash_signatures(
     ).select(id_col, F.col("band").cast("int").alias("band"), "minhash")
 
 
-def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, max_bucket: int | None = None
+) -> DataFrame:
     """Docs agreeing on ≥1 band signature → near-dup candidates.
 
-    Equi-join on (band, minhash) — the LSH bucket join.  Output is the
-    distinct (id_a < id_b) pair set."""
-    a = signatures.select(
-        F.col(id_col).alias("id_a"), "band", "minhash"
+    Shaped as bucket-grouping rather than a self-join: a self-join
+    evaluates the (expensive: shingle explode + md5×bands) signature
+    pipeline TWICE — Spark only reuses exchanges when both sides
+    shuffle identically, and the planner prefers broadcasting one side
+    here.  Grouping by (band, minhash) computes signatures once, then
+    each bucket's sorted id array emits its pairs with higher-order
+    functions (id_a < id_b falls out of the sort).
+
+    ``max_bucket`` caps pair fan-out per bucket (a hot bucket emits
+    O(n²) pairs); at corpus scale set it to bound the worst case —
+    a bucket that hot means near-identical boilerplate better handled
+    by exact dedup first.  Output is the distinct pair set."""
+    buckets = (
+        signatures.groupBy("band", "minhash")
+        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    b = signatures.select(
-        F.col(id_col).alias("id_b"), "band", "minhash"
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    pairs = F.expr(
+        """
+        flatten(transform(ids, (x, i) ->
+            transform(slice(ids, i + 2, size(ids) - i - 1), y ->
+                struct(x AS id_a, y AS id_b))))
+        """
     )
     return (
-        a.join(b, on=["band", "minhash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 

@@ -23,7 +23,8 @@ _SIGNATURES = f"""
         WITH ds AS ({_SHINGLES}),
         bands AS (SELECT unnest(generate_series(0, 7)) AS band)
         SELECT doc_id, CAST(band AS INTEGER) AS band,
-               min(md5(shingle || '#' || band)) AS minhash
+               min(substr(md5(shingle) || md5(shingle || '#'),
+                          8 * band + 1, 8)) AS minhash
         FROM ds CROSS JOIN bands
         GROUP BY doc_id, band
 """
