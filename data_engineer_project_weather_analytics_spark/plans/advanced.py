@@ -1,0 +1,247 @@
+"""Advanced analytics queries: session windows, pivot, percentiles,
+the SQL entry point, and additional TPC-H shapes.
+
+These extend the reference surface with operators any BI/dashboard
+workload grows into (SURVEY.md lists them as natural extensions); all
+are oracle-checked except where noted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_engineer_project_weather_analytics_spark.plans.core import _dec2, _money_sum, _revenue
+from data_engineer_project_weather_analytics_spark.sources.catalog import load_table
+
+
+def w3_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via the native
+    ``session_window`` operator — the same state machine Structured
+    Streaming uses for streaming sessions.
+
+    Semantics: a session extends while the next event is strictly
+    within the gap of the previous; the window end is last event + gap
+    (the oracle replays this with lag + a running sum)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "user_id",
+            F.session_window(F.col("ts").cast("timestamp"), "30 minutes").alias("sw"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _money_sum(_dec2("value"), "session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("sw.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def a10_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: daily counts per event type as columns (the dashboard
+    crosstab).  Explicit value list → stable schema, and Catalyst
+    compiles it to one pass of conditional aggregates."""
+    events = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        events.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+def a9_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile``
+    ≡ DuckDB ``quantile_cont``: both linear interpolation over the
+    sorted set, so results agree bit-for-bit on identical input)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def sql_entry_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL front door: ``spark.sql`` over registered
+    views — big spenders via GROUP BY + HAVING + join, written in SQL
+    (identical text runs on the oracle minus the decimal note)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name,
+               count(*) AS n_orders,
+               round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+                   AS total_spent
+        FROM v_orders o
+        JOIN v_customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_name
+        HAVING count(*) >= 3
+        """
+    )
+
+
+def sql_entry_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — orders above their customer's own
+    average (Catalyst decorrelates this into a join + aggregate; the
+    reference had no optimizer at all, SURVEY.md §4.1)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM v_orders o1
+        WHERE o_totalprice > 2 * (
+            SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   / count(o_totalprice)
+            FROM v_orders o2 WHERE o2.o_custkey = o1.o_custkey
+        )
+        """
+    )
+
+
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan + selective filter + single aggregate
+    — the pushdown showcase (every predicate reaches the parquet
+    row-group stats)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _money_sum(
+                _dec2("l_extendedprice") * F.col("l_discount").cast("decimal(4,2)"),
+                "revenue",
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def tpch_q18_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: semi-join against a HAVING-filtered aggregate,
+    then top-k — large-order customers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec2("l_quantity")).alias("__qty"))
+        .filter(F.col("__qty") > 150)
+        .select("l_orderkey", F.col("__qty").cast("double").alias("total_qty"))
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").alias("o_orderdate"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+ORACLES_ADVANCED: dict[str, str] = {
+    "w3_session_windows": """
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             >= INTERVAL 30 MINUTE
+                        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        numbered AS (
+            SELECT *, sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events,
+               round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2)
+                   AS session_value
+        FROM numbered
+        GROUP BY user_id, session_id
+    """,
+    "a10_pivot": """
+        SELECT CAST(ts AS DATE) AS day,
+               count(*) FILTER (event_type = 'click')    AS click,
+               count(*) FILTER (event_type = 'error')    AS error,
+               count(*) FILTER (event_type = 'purchase') AS purchase,
+               count(*) FILTER (event_type = 'signup')   AS signup,
+               count(*) FILTER (event_type = 'view')     AS view
+        FROM events
+        GROUP BY 1
+    """,
+    "a9_percentiles": """
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.9) AS p90,
+               count(*) AS n
+        FROM events
+        GROUP BY event_type
+    """,
+    "sql_entry_having": """
+        SELECT c.c_custkey, c.c_name,
+               count(*) AS n_orders,
+               round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+                   AS total_spent
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_name
+        HAVING count(*) >= 3
+    """,
+    "sql_entry_correlated_subquery": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o1
+        WHERE o_totalprice > 2 * (
+            SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   / count(o_totalprice)
+            FROM orders o2 WHERE o2.o_custkey = o1.o_custkey
+        )
+    """,
+    "tpch_q6_forecast_revenue": """
+        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE), 2)
+                   AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+    """,
+    "tpch_q18_top_customers": """
+        WITH big AS (
+            SELECT l_orderkey,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 150
+        )
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
+        FROM big
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY total_qty DESC, o_orderkey ASC
+        LIMIT 20
+    """,
+}

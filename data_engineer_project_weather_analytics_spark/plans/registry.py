@@ -36,12 +36,13 @@ def _collect() -> dict[str, QuerySpec]:
 
     add(core, ORACLES_CORE)
 
-    from data_engineer_project_weather_analytics_spark.plans import extensions, scalars, weather
+    from data_engineer_project_weather_analytics_spark.plans import advanced, extensions, scalars, weather
     from data_engineer_project_weather_analytics_spark.plans.oracles_extensions import ORACLES_EXT
 
     add(extensions, ORACLES_EXT)
     add(weather, weather.ORACLES_WEATHER)
     add(scalars, scalars.ORACLES_SCALARS)
+    add(advanced, advanced.ORACLES_ADVANCED)
 
     return specs
 
