@@ -148,6 +148,61 @@ def lsh_candidate_pairs(
     )
 
 
+def duplicate_clusters(
+    pairs: DataFrame, max_iterations: int = 10
+) -> DataFrame:
+    """Connected components over near-dup pairs → duplicate clusters.
+
+    Iterative min-label propagation (the standard Spark idiom for CC
+    at scale — each iteration is one groupBy shuffle; converges in
+    O(log(diameter)) rounds, and near-dup clusters are shallow).  The
+    loop is driver-side control flow over lazy DataFrames; per-round
+    ``localCheckpoint`` truncates the growing lineage.
+
+    Input: (id_a, id_b) pairs.  Output: (doc_id, cluster_id) where
+    cluster_id is the minimum doc id reachable through the pair graph.
+    Genuinely iterative → no SQL oracle (driver rows-only check);
+    pytest asserts it against a union-find replay instead."""
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 def jaccard_pairs(
     ds: DataFrame, id_col: str, threshold: float = 0.2
 ) -> DataFrame:

@@ -87,10 +87,25 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     per-row *inside* the batch (unavoidable for codecs) but the
     Spark↔Python transfer is vectorized."""
 
+    # the decode step is re-declared inside the closure so cloudpickle
+    # ships it BY VALUE — workers must not need this module importable
+    # (the embedding harness runs the driver from an arbitrary cwd)
+    def _decode(payload: bytes, media_type: str) -> list[float]:
+        if not fake:
+            raise NotImplementedError(
+                "media decode requires codec libraries not present in this "
+                "environment; pass fake=True for the deterministic test decoder"
+            )
+        hist = [0] * 16
+        for byte in payload:
+            hist[byte % 16] += 1
+        total = float(len(payload)) or 1.0
+        return [h / total for h in hist]
+
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             feats = [
-                decode_media(p if p is not None else b"", t, fake=fake)
+                _decode(p if p is not None else b"", t)
                 for p, t in zip(batch["payload"], batch["media_type"])
             ]
             yield pd.DataFrame(

@@ -146,6 +146,67 @@ def lsh_ann_topk(
     )
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: DataFrame,
+    cell_col: str,
+    k: int = 5,
+    n_probe_cells: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer assigns vectors to cells
+    (here ``cell_col``, e.g. a cluster/label id); each query probes the
+    ``n_probe_cells`` cells whose centroids are nearest, then searches
+    exhaustively *within* those cells.
+
+    The scale shape: centroids are a tiny broadcast table, cell
+    assignment is scan-side, and the candidate join shuffles only by
+    cell id — the classic inverted-file trade of recall for a
+    1/|cells| scan reduction."""
+    cents = (
+        vectors.select(F.col(cell_col).alias("cell"), _as_double(vec_col).alias("__v"))
+        .select("cell", F.posexplode("__v").alias("pos", "comp"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("comp").alias("comp"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "comp"))).alias("pc"))
+        .select("cell", F.transform("pc", lambda s: s.getField("comp")).alias("centroid"))
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
+    )
+    # rank cells per query by centroid similarity, keep n_probe_cells
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("__csim").desc(), F.col("cell")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("__csim", cosine(F.col("__qv"), F.col("centroid")))
+        .withColumn("__r", F.row_number().over(probe_w))
+        .filter(F.col("__r") <= n_probe_cells)
+        .select("query_id", "__qv", "cell")
+    )
+    c = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(cell_col).alias("cell"),
+        _as_double(vec_col).alias("__cv"),
+    )
+    scored = (
+        c.join(F.broadcast(probes), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("__cos")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("__cos", 4).alias("sim"))
+    )
+
+
 def label_centroids(
     vectors: DataFrame, group_col: str, vec_col: str
 ) -> DataFrame:

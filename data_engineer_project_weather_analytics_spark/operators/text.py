@@ -25,6 +25,18 @@ def token_count(text_col: str | Column) -> Column:
     return F.size(tokens(text_col))
 
 
+#: BPE-ish pre-tokenization: word pieces OR single non-space symbols —
+#: the GPT-2-style regex split, ASCII classes so Java regex ≡ RE2.
+BPE_PATTERN = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+
+def bpe_token_count(text_col: str | Column) -> Column:
+    """Token count under the BPE-ish regex (upper bound on merged-BPE
+    length; the standard cheap proxy for LLM token budgeting)."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_PATTERN), F.lit(0)))
+
+
 def avg_token_length(text_col: str | Column) -> Column:
     """Mean characters per token = non-space chars / token count."""
     col = F.col(text_col) if isinstance(text_col, str) else text_col

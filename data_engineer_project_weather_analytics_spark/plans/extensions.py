@@ -100,6 +100,7 @@ def x4_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         text.token_count("text").alias("n_tokens"),
+        text.bpe_token_count("text").alias("n_bpe_tokens"),
         text.avg_token_length("text").alias("avg_token_len"),
     )
 
@@ -165,8 +166,29 @@ def x5b_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x2e_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH candidate pairs → duplicate
+    clusters (iterative min-label propagation; rows-only — genuinely
+    non-SQL control flow)."""
+    pairs = x2b_lsh_candidate_pairs(spark, sf_dir)
+    return dedup.duplicate_clusters(pairs, max_iterations=8)
+
+
+def _x3e_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: label column as the coarse quantizer cell, probing the
+    2 nearest cells per query (rows-only; verified against brute force
+    in pytest)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(
+        emb, "vec_id", "embedding", queries, cell_col="label", k=5, n_probe_cells=2
+    )
+
+
 #: rows-only registrations (non-SQL-expressible paths)
 NO_ORACLE = {
     "x3d_ann_lsh": _x3d_ann_lsh,
     "x5_multimodal_features": _x5_multimodal_features,
+    "x2e_dup_clusters": _x2e_dup_clusters,
+    "x3e_ivf_topk": _x3e_ivf_topk,
 }

@@ -129,6 +129,8 @@ ORACLES_EXT: dict[str, str] = {
     "x4_token_stats": """
         SELECT doc_id,
                CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]'))
+                    AS INTEGER) AS n_bpe_tokens,
                CAST(length(replace(text, ' ', '')) AS DOUBLE) /
                      len(string_split(text, ' ')) AS avg_token_len
         FROM documents

@@ -40,6 +40,38 @@ _RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Spark's Python workers.
+
+    Workers unpickle mapInPandas/UDF closures by importing their
+    defining module — which fails when the driver process runs from a
+    cwd that doesn't contain the package (the embedding harness does
+    exactly that).  ``addPyFile`` distributes a zip of the package and
+    prepends it to every worker's sys.path, independent of cwd."""
+    sc = spark.sparkContext
+    if getattr(sc, "_data_engineer_project_weather_analytics_spark_shipped", False):
+        return
+    try:
+        import tempfile
+        import zipfile
+
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        pkg_name = os.path.basename(pkg_dir)
+        fd, zip_path = tempfile.mkstemp(suffix=".zip", prefix="data_engineer_project_weather_analytics_spark_")
+        os.close(fd)
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                        zf.write(full, rel)
+        sc.addPyFile(zip_path)
+        sc._data_engineer_project_weather_analytics_spark_shipped = True
+    except Exception:
+        pass  # closures defined by-value still work; only module refs need this
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine confs to an existing session."""
     for k, v in _RUNTIME_CONFS.items():
@@ -49,6 +81,7 @@ def configure(spark: SparkSession) -> SparkSession:
             # A conf may be marked static in some deployments; the
             # engine degrades gracefully (catalog falls back).
             pass
+    _ship_package(spark)
     return spark
 
 

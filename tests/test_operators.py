@@ -137,3 +137,53 @@ def test_multimodal_feature_extraction(spark):
 def test_multimodal_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(b"bytes", "image", fake=False)
+
+
+def test_duplicate_clusters_matches_union_find(spark):
+    from data_engineer_project_weather_analytics_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=10, id_b=11),
+         Row(id_a=3, id_b=4), Row(id_a=20, id_b=21), Row(id_a=21, id_b=22)]
+    )
+    got = {r.doc_id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+
+    # union-find replay (driver-side ground truth)
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in [(1, 2), (2, 3), (10, 11), (3, 4), (20, 21), (21, 22)]:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+    assert got == want
+    assert got[4] == 1 and got[22] == 20  # chains collapse to min id
+
+
+def test_ivf_topk_well_formed_and_bounded_by_exact(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(emb, "vec_id", "embedding", queries, k=3)
+    ivf = similarity.ivf_topk(emb, "vec_id", "embedding", queries, cell_col="label",
+                              k=3, n_probe_cells=2)
+    ex1 = {r.query_id: r.sim for r in exact.collect() if r.rank == 1}
+    rows = ivf.collect()
+    assert 0 < len(rows) <= 15
+    for r in rows:
+        assert r.neighbor_id != r.query_id
+        if r.rank == 1:
+            assert r.sim <= ex1[r.query_id] + 1e-9
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame([Row(text="hello, world! it's 42")])
+    n = df.select(text.bpe_token_count("text").alias("n")).collect()[0].n
+    # hello , world ! it ' s 42  -> 8 pieces
+    assert n == 8
