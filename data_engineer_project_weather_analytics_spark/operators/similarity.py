@@ -109,34 +109,48 @@ def lsh_ann_topk(
     n_planes: int = 6,
     dim: int = 64,
     seed: int = 42,
+    n_tables: int = 2,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket.
+    """Approximate top-k: candidates share the query's LSH bucket in
+    at least one of ``n_tables`` independent plane sets.
 
-    With p planes the corpus splits into ≤2^p buckets; the bucket
-    equi-join reduces compared pairs by ~2^p at some recall cost
-    (raise recall with multiple plane sets / probing neighbors —
-    omitted here for clarity).  This is the plan shape that survives
-    a 100 TB corpus: bucket ids are computed scan-side (narrow), the
-    join shuffles by bucket, AQE splits skewed buckets."""
-    planes = seeded_hyperplanes(dim, n_planes, seed)
+    With p planes the corpus splits into ≤2^p buckets per table;
+    OR-amplification across tables trades candidate volume for recall
+    (P(candidate) = 1-(1-s^p)^L for similarity s).  Plan shape that
+    survives a 100 TB corpus: bucket ids are computed scan-side
+    (narrow, one pass emits all tables' buckets), the join shuffles by
+    (table, bucket), AQE splits skewed buckets."""
+    table_buckets = [
+        lsh_bucket(vec_col, seeded_hyperplanes(dim, n_planes, seed + t))
+        for t in range(n_tables)
+    ]
+    buckets_arr = F.array(
+        *[
+            F.struct(F.lit(t).alias("tbl"), b.alias("bkt"))
+            for t, b in enumerate(table_buckets)
+        ]
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(vec_col).alias("__qv"),
-        lsh_bucket(vec_col, planes).alias("__bucket"),
-    )
+        F.explode(buckets_arr).alias("__b"),
+    ).select("query_id", "__qv", F.col("__b.tbl").alias("__tbl"), F.col("__b.bkt").alias("__bkt"))
     c = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(vec_col).alias("__cv"),
-        lsh_bucket(vec_col, planes).alias("__bucket"),
+        F.explode(buckets_arr).alias("__b"),
+    ).select(
+        "neighbor_id", "__cv", F.col("__b.tbl").alias("__tbl"), F.col("__b.bkt").alias("__bkt")
     )
     scored = (
-        c.join(F.broadcast(q), on="__bucket")
+        c.join(F.broadcast(q), on=["__tbl", "__bkt"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
             cosine(F.col("__qv"), F.col("__cv")).alias("__cos"),
         )
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id"))
     return (

@@ -156,7 +156,26 @@ def tpch_q18_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a11_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase (salted) aggregation — bit-identical
+    to the direct groupBy thanks to exact decimal partials (the oracle
+    runs the plain GROUP BY)."""
+    from data_engineer_project_weather_analytics_spark.operators.skew import salted_sum_count
+
+    events = load_table(spark, sf_dir, "events")
+    out = salted_sum_count(events, ["user_id"], "value", n_salts=8)
+    return out.select("user_id", F.round("total", 2).alias("total"), "n", "avg")
+
+
 ORACLES_ADVANCED: dict[str, str] = {
+    "a11_salted_agg": """
+        SELECT user_id,
+               round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS total,
+               count(value) AS n,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(value) AS avg
+        FROM events
+        GROUP BY user_id
+    """,
     "w3_session_windows": """
         WITH flagged AS (
             SELECT user_id, ts, value,
