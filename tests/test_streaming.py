@@ -86,3 +86,46 @@ def test_windowed_aggregate_with_watermark(spark, tmp_path):
         "2025-12-01 01:00:00": (1, 30.0),
         "2025-12-01 02:00:00": (1, 40.0),
     }
+
+
+def test_stateful_latest_tracker(spark, tmp_path):
+    from data_engineer_project_weather_analytics_spark.streaming.stateful import latest_tracker
+
+    src = str(tmp_path / "statesrc")
+    ckpt = str(tmp_path / "stateckpt")
+    out = str(tmp_path / "stateout")
+
+    def run_batch():
+        stream = file_stream(spark, src, SCHEMA)
+        tracked = latest_tracker(stream, key_col="city_id", ts_col="ts", value_col="temp")
+
+        # memory sink can't recover from a checkpoint; foreachBatch can
+        def _sink(batch, batch_id):
+            if not batch.isEmpty():
+                batch.write.mode("append").parquet(out)
+
+        q = (
+            tracked.writeStream.foreachBatch(_sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: two cities
+    _write_batch(spark, src, [(1, 0, 0, 20.0), (1, 1, 0, 22.0), (2, 0, 30, 18.0)])
+    run_batch()
+    rows = {r.key: (str(r.latest_ts), r.latest_value, r.n_updates)
+            for r in spark.read.parquet(out).collect()}
+    assert rows[1] == ("2025-12-01 01:00:00", 22.0, 2)
+    assert rows[2] == ("2025-12-01 00:30:00", 18.0, 1)
+
+    # batch 2: late (older) row for city 1 must NOT displace the latest,
+    # but must bump the update count — state carried across micro-batches
+    _write_batch(spark, src, [(1, 0, 45, 21.0)])
+    run_batch()
+    latest = {r.key: (str(r.latest_ts), r.latest_value, r.n_updates)
+              for r in spark.read.parquet(out).collect()
+              if r.n_updates == 3}
+    assert latest[1] == ("2025-12-01 01:00:00", 22.0, 3)
