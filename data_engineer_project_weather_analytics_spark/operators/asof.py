@@ -44,18 +44,26 @@ def asof_join_backward(
     value_cols = list(value_cols)
     left_payload = [c for c in left.columns if c not in on]
 
+    # Right values ride in a STRUCT that is non-null for every right
+    # row: last(ignorenulls) then skips only the left placeholders, so
+    # a matched right row whose value column is genuinely NULL yields
+    # NULL (not a stale older value) — true ASOF semantics.
+    payload_struct = F.struct(*[F.col(c) for c in value_cols])
+    payload_type = (
+        right.select(payload_struct.alias("__p")).schema["__p"].dataType
+    )
     r = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__tag"),
-        *[F.col(c) for c in value_cols],
+        payload_struct.alias("__payload"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
     )
     l = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__tag"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+        F.lit(None).cast(payload_type).alias("__payload"),
         *[F.col(c) for c in left_payload],
     )
     unioned = r.unionByName(l)
@@ -68,6 +76,13 @@ def asof_join_backward(
         *on,
         "__tag",
         *left_payload,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+        F.last("__payload", ignorenulls=True).over(w).alias("__matched"),
     )
-    return carried.filter(F.col("__tag") == 1).drop("__tag")
+    return (
+        carried.filter(F.col("__tag") == 1)
+        .select(
+            *on,
+            *left_payload,
+            *[F.col(f"__matched.{c}").alias(c) for c in value_cols],
+        )
+    )

@@ -90,13 +90,18 @@ def minhash_signatures(
     doc size.  (A crossJoin-with-bands formulation is n_bands× more
     shuffle input — measurably slower at corpus scale.)
 
-    Hashing cost is sub-linear in bands: each shingle is md5'd twice
-    (not once per band) and band *b* takes hex slice ``[8b, 8b+8)`` of
-    the 256-bit concatenation — 32 independent bits per band, so
-    cross-doc chance collisions are ~n²/2³³ per band (negligible), and
-    the per-band minima remain independent min-wise hashes."""
+    Hashing cost is sub-linear in bands: each md5 supplies 32 hex
+    chars = four 32-bit band slices, so only ``ceil(n_bands/4)``
+    salted md5s are computed per shingle regardless of band count —
+    32 independent bits per band keeps cross-doc chance collisions at
+    ~n²/2³³ per band (negligible), and the per-band minima remain
+    independent min-wise hashes."""
+    n_digests = (n_bands + 3) // 4  # 4 bands per 32-hex-char md5
     digest = F.concat(
-        F.md5(F.col("shingle")), F.md5(F.concat(F.col("shingle"), F.lit("#")))
+        *[
+            F.md5(F.concat(F.col("shingle"), F.lit("#" * i)))
+            for i in range(n_digests)
+        ]
     )
     mins = [
         F.min(F.substring(digest, 8 * b + 1, 8)).alias(f"__mh{b}")
@@ -149,15 +154,19 @@ def lsh_candidate_pairs(
 
 
 def duplicate_clusters(
-    pairs: DataFrame, max_iterations: int = 10
+    pairs: DataFrame, max_iterations: int = 12
 ) -> DataFrame:
     """Connected components over near-dup pairs → duplicate clusters.
 
-    Iterative min-label propagation (the standard Spark idiom for CC
-    at scale — each iteration is one groupBy shuffle; converges in
-    O(log(diameter)) rounds, and near-dup clusters are shallow).  The
-    loop is driver-side control flow over lazy DataFrames; per-round
+    Min-label propagation with a pointer-jumping step per round:
+    neighbor-min moves a label one hop, then each node re-reads its
+    label's *current* label (path halving), giving O(log(diameter))
+    convergence — a plain one-hop loop needs diameter iterations and
+    silently splits long chains.  Each round is two shuffles;
     ``localCheckpoint`` truncates the growing lineage.
+
+    Raises if the graph has not converged after ``max_iterations`` —
+    a silently-split cluster is worse than a loud failure.
 
     Input: (id_a, id_b) pairs.  Output: (doc_id, cluster_id) where
     cluster_id is the minimum doc id reachable through the pair graph.
@@ -180,12 +189,26 @@ def duplicate_clusters(
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        updated = (
+        hop = (
             labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
             .select(
                 "id",
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        # pointer jump: follow my label to ITS label (path halving)
+        parents = hop.select(
+            F.col("id").alias("__pid"), F.col("cluster_id").alias("__plabel")
+        )
+        updated = (
+            hop.join(parents, hop["cluster_id"] == parents["__pid"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("__plabel"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
         )
@@ -199,8 +222,11 @@ def duplicate_clusters(
         )
         labels = updated
         if changed == 0:
-            break
-    return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+            return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+    raise RuntimeError(
+        f"duplicate_clusters did not converge in {max_iterations} iterations; "
+        "raise max_iterations (component diameter exceeds 2^iterations)"
+    )
 
 
 def jaccard_pairs(

@@ -63,16 +63,16 @@ def upsert(
     batch: DataFrame,
     keys: Sequence[str],
     seq_col: str = INGEST_SEQ,
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """One-shot logical upsert: existing ⊎ batch → last-write-wins.
 
     ``existing`` and ``batch`` must both carry ``seq_col``; batch rows
     win ties by carrying the higher sequence (K1/K2 semantics).
     """
-    merged = existing.unionByName(batch)
-    order = [F.col(seq_col).desc()]
-    w = Window.partitionBy(*keys).orderBy(*order)
-    return merged.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    return latest_write_wins(
+        existing.unionByName(batch), keys, seq_col=seq_col, tiebreak=tiebreak
+    )
 
 
 def insert_if_absent(existing: DataFrame, batch: DataFrame, keys: Sequence[str]) -> DataFrame:
@@ -155,6 +155,11 @@ class UpsertTable:
 
         The rewrite restarts sequences at 0; correctness is unaffected
         because the surviving rows are exactly the canonical set.
+
+        Not crash-atomic: a failure between the two overwrites can
+        leave the main path partial, recoverable from the temp
+        snapshot.  True atomic swap needs a transactional table format
+        (Delta/Iceberg MERGE+OPTIMIZE — ARCHITECTURE.md tradeoffs).
         """
         snapshot = stamp_batch(self.read_latest(), 0)
         tmp = self.path.rstrip("/") + ".compact.tmp"
@@ -168,3 +173,15 @@ class UpsertTable:
         if self.partition_cols:
             w2 = w2.partitionBy(*self.partition_cols)
         w2.parquet(self.path)
+        self._delete_path(tmp)
+
+    def _delete_path(self, path: str) -> None:
+        """Remove a temp directory via Hadoop FS (works for any scheme)."""
+        try:
+            jvm = self.spark.sparkContext._jvm
+            jsc = self.spark.sparkContext._jsc
+            hpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+            fs.delete(hpath, True)
+        except Exception:
+            pass  # cleanup best-effort; stale tmp is harmless to reads

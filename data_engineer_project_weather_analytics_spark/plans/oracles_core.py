@@ -136,7 +136,12 @@ ORACLES_CORE: dict[str, str] = {
     "a8_count_distinct": """
         SELECT count(DISTINCT user_id) AS n_users,
                count(DISTINCT event_type) AS n_types,
-               count(DISTINCT (user_id, event_type)) AS n_user_type_pairs
+               -- FILTER aligns with Spark's countDistinct(a, b), which
+               -- skips rows where ANY argument is NULL (DuckDB's row
+               -- struct (NULL, x) would otherwise count as distinct)
+               count(DISTINCT (user_id, event_type))
+                   FILTER (user_id IS NOT NULL AND event_type IS NOT NULL)
+                   AS n_user_type_pairs
         FROM events
     """,
     "j3_asof_join": """

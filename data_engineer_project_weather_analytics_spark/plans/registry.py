@@ -26,10 +26,21 @@ def _collect() -> dict[str, QuerySpec]:
     specs: dict[str, QuerySpec] = {}
 
     def add(module, oracles: dict[str, str]) -> None:
-        for name in dir(module):
-            fn = getattr(module, name)
-            if callable(fn) and not name.startswith("_") and name in oracles:
-                specs[name] = QuerySpec(name, fn, oracles[name])
+        # every oracle key MUST resolve to a public module function —
+        # a typo must fail loudly, not silently drop the query from
+        # both the query set and the correctness gate
+        missing = [
+            name
+            for name in oracles
+            if not callable(getattr(module, name, None)) or name.startswith("_")
+        ]
+        if missing:
+            raise RuntimeError(
+                f"oracle entries with no matching query function in "
+                f"{module.__name__}: {missing}"
+            )
+        for name in oracles:
+            specs[name] = QuerySpec(name, getattr(module, name), oracles[name])
         # functions intentionally registered without an oracle
         for name, fn in getattr(module, "NO_ORACLE", {}).items():
             specs[name] = QuerySpec(name, fn, None)

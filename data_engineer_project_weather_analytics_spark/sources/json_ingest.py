@@ -41,7 +41,9 @@ def parse_current(raw: DataFrame, payload_col: str = PAYLOAD) -> DataFrame:
     # A fully-null struct (valid JSON, wrong shape) carries no city id.
     parsed = parsed.filter(F.col("doc.id").isNotNull())
     parsed = parsed.filter(F.col("doc.cod").try_cast("int") == 200)
-    head = F.element_at("doc.weather", 1)  # P2: weather[0]
+    # P2: weather[0] — try_element_at: an empty weather[] must yield
+    # NULL fields, not an ANSI INVALID_ARRAY_INDEX job failure (P8)
+    head = F.try_element_at("doc.weather", F.lit(1))
     return parsed.select(
         F.col("doc.id").alias("city_id"),
         F.col("doc.name").alias("city_name"),
@@ -90,7 +92,7 @@ def parse_forecast(raw: DataFrame, payload_col: str = PAYLOAD) -> DataFrame:
         F.col("doc.city").alias("city"),
         F.explode("doc.list").alias("item"),  # P3
     )
-    head = F.element_at("item.weather", 1)
+    head = F.try_element_at("item.weather", F.lit(1))
     return step.select(
         F.col("city.id").alias("city_id"),  # P4: parent fields
         F.col("city.name").alias("city_name"),

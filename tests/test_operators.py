@@ -187,3 +187,53 @@ def test_bpe_token_count(spark):
     n = df.select(text.bpe_token_count("text").alias("n")).collect()[0].n
     # hello , world ! it ' s 42  -> 8 pieces
     assert n == 8
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    from data_engineer_project_weather_analytics_spark.operators.dedup import duplicate_clusters
+
+    # chain of 30 nodes: one-hop propagation would need 29 iterations;
+    # pointer jumping must converge well within 12
+    pairs = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(1, 30)]
+    )
+    got = {r.doc_id: r.cluster_id for r in duplicate_clusters(pairs, max_iterations=12).collect()}
+    assert set(got.values()) == {1}
+    assert len(got) == 30
+
+
+def test_minhash_bands_beyond_digest_are_nonempty(spark):
+    from data_engineer_project_weather_analytics_spark.operators.dedup import doc_shingles, minhash_signatures
+
+    df = spark.createDataFrame([Row(doc_id=1, text="a b c d e f g h i j")])
+    ds = doc_shingles(df, "doc_id", "text", 3)
+    sigs = minhash_signatures(ds, "doc_id", n_bands=10).collect()
+    assert len(sigs) == 10
+    assert all(len(r.minhash) == 8 for r in sigs)  # band 8,9 not empty
+
+
+def test_asof_null_right_value_not_stale(spark):
+    # right row at ts=2 matched but its value is genuinely NULL:
+    # result must be NULL, not the stale older 5.0
+    left = spark.createDataFrame([Row(k=1, ts=_ts(3), ev="x")])
+    right = spark.createDataFrame(
+        [Row(k=1, rts=_ts(1), v=5.0), Row(k=1, rts=_ts(2), v=None)],
+        schema="k long, rts timestamp, v double",
+    )
+    out = asof_join_backward(left, right, on=["k"], left_ts="ts", right_ts="rts",
+                             value_cols=["v"]).collect()
+    assert out[0].v is None
+
+
+def test_parse_current_empty_weather_array(spark):
+    import json
+
+    from data_engineer_project_weather_analytics_spark.sources.json_ingest import parse_current
+
+    doc = json.dumps({"id": 9, "name": "x", "cod": 200, "weather": [],
+                      "main": {"temp": 20.0}, "dt": 1764576000})
+    rows = parse_current(
+        spark.createDataFrame([(doc,)], schema="payload string")
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].weather_id is None  # empty array -> NULLs, not a crash

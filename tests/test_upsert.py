@@ -83,3 +83,11 @@ def test_insert_if_absent_first_write_wins(spark):
     batch = _rows(spark, [(1, 10, 99.0), (2, 10, 21.0)])
     out = insert_if_absent(existing, batch, keys=["city_id", "dt"])
     assert _latest_dict(out) == {(1, 10): 20.0, (2, 10): 21.0}
+
+
+def test_compact_cleans_temp_dir(spark, table, tmp_path):
+    import os
+
+    table.append_batch(_rows(spark, [(1, 10, 20.0)]))
+    table.compact()
+    assert not os.path.exists(table.path.rstrip("/") + ".compact.tmp")
