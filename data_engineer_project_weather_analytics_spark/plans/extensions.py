@@ -53,6 +53,20 @@ def x2c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(ds, "doc_id", threshold=0.1)
 
 
+def x2f_lsh_verified_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production near-dup pipeline: LSH candidates verified
+    by exact Jaccard ≥ 0.1 — candidates prune the pair space, the
+    verifier kills false positives.  (At corpus scale the Jaccard join
+    runs only over candidate pairs; here both stages are exact and the
+    oracle replays the composition.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    ds = dedup.doc_shingles(docs, "doc_id", "text", n=3)
+    sigs = dedup.minhash_signatures(ds, "doc_id", n_bands=8)
+    candidates = dedup.lsh_candidate_pairs(sigs, "doc_id")
+    verified = dedup.jaccard_pairs(ds, "doc_id", threshold=0.1)
+    return candidates.join(verified, on=["id_a", "id_b"], how="inner")
+
+
 def x2d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprint per document (md5-nibble bit votes)."""
     docs = load_table(spark, sf_dir, "documents")

@@ -63,6 +63,41 @@ ORACLES_EXT: dict[str, str] = {
         WHERE CAST(n_inter AS DOUBLE) /
                   (sa.set_size + sb.set_size - n_inter) >= 0.1
     """,
+    "x2f_lsh_verified_neardup": f"""
+        WITH ds AS ({_SHINGLES}),
+        sigs AS (
+            SELECT doc_id, CAST(band AS INTEGER) AS band,
+                   min(substr(md5(shingle) || md5(shingle || '#'),
+                              8 * band + 1, 8)) AS minhash
+            FROM ds CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band) b
+            GROUP BY doc_id, band
+        ),
+        candidates AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sigs a JOIN sigs b
+              ON a.band = b.band AND a.minhash = b.minhash
+            WHERE a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS set_size FROM ds GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+            FROM ds a JOIN ds b ON a.shingle = b.shingle
+            WHERE a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        verified AS (
+            SELECT id_a, id_b,
+                   CAST(n_inter AS DOUBLE) /
+                       (sa.set_size + sb.set_size - n_inter) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(n_inter AS DOUBLE) /
+                      (sa.set_size + sb.set_size - n_inter) >= 0.1
+        )
+        SELECT c.id_a, c.id_b, v.jaccard
+        FROM candidates c JOIN verified v USING (id_a, id_b)
+    """,
     "x2d_simhash": """
         WITH tok AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents

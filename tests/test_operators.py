@@ -237,3 +237,27 @@ def test_parse_current_empty_weather_array(spark):
     ).collect()
     assert len(rows) == 1
     assert rows[0].weather_id is None  # empty array -> NULLs, not a crash
+
+
+def test_ann_finds_planted_near_duplicates(spark):
+    import random
+
+    rng = random.Random(7)
+    base = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(50)]
+    rows = [Row(vec_id=i, embedding=v, label=i % 5) for i, v in enumerate(base)]
+    # plant 5 near-duplicates of vectors 0..4 (tiny perturbation)
+    for i in range(5):
+        noisy = [x + rng.gauss(0, 0.01) for x in base[i]]
+        rows.append(Row(vec_id=100 + i, embedding=noisy, label=i % 5))
+    df = spark.createDataFrame(rows)
+    queries = df.filter(F.col("vec_id") >= 100)
+    approx = similarity.lsh_ann_topk(df, "vec_id", "embedding", queries, k=1)
+    top1 = {r.query_id: r.neighbor_id for r in approx.collect() if r.rank == 1}
+    # near-identical vectors land in the same bucket with overwhelming
+    # probability (deterministic: seeded planes + fixed data)
+    found = sum(1 for q, n in top1.items() if n == q - 100)
+    assert found >= 4
+    ivf = similarity.ivf_topk(df, "vec_id", "embedding", queries, cell_col="label",
+                              k=1, n_probe_cells=2)
+    ivf1 = {r.query_id: r.neighbor_id for r in ivf.collect() if r.rank == 1}
+    assert sum(1 for q, n in ivf1.items() if n == q - 100) >= 4
