@@ -87,6 +87,22 @@ def language_id(text_col: str | Column) -> Column:
     )
 
 
+def deterministic_split(
+    id_col: str | Column, train_fraction_hex: str = "cd"
+) -> Column:
+    """Reproducible train/test split by content-independent id hash.
+
+    A row is 'train' iff the md5 of its id string is lexicographically
+    below the hex prefix threshold (``'cd'`` ≈ 205/256 ≈ 80.1 %).
+    Deterministic across runs, engines, and partitionings — the
+    property random() splits lack — and oracle-replayable since md5 +
+    string compare exist everywhere."""
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.when(
+        F.md5(col.cast("string")) < F.lit(train_fraction_hex), F.lit("train")
+    ).otherwise(F.lit("test"))
+
+
 def fingerprint(text_col: str | Column) -> Column:
     """Whole-document fingerprint: md5 of the case-folded text.
 

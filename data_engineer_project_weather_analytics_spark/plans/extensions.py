@@ -144,6 +144,17 @@ def x4d_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", text.language_id("text").alias("predicted_lang"))
 
 
+def x6_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/20 corpus split by id hash — reproducible
+    sharding for training pipelines (content- and partition-order-
+    independent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.deterministic_split("doc_id").alias("split"),
+    )
+
+
 def x4e_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     fp = text.fingerprint("text")

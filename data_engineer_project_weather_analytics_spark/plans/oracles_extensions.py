@@ -206,6 +206,12 @@ ORACLES_EXT: dict[str, str] = {
                END AS predicted_lang
         FROM documents
     """,
+    "x6_train_test_split": """
+        SELECT doc_id,
+               CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cd'
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents
+    """,
     "x4e_fingerprint": """
         SELECT doc_id,
                md5(lower(text)) AS fingerprint,

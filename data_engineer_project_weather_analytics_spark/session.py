@@ -73,7 +73,13 @@ def _ship_package(spark: SparkSession) -> None:
 
 
 def configure(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable engine confs to an existing session."""
+    """Apply runtime-settable engine confs to an existing session.
+
+    Idempotent and cached: the catalog calls this per table load, and
+    each ``conf.set`` is a py4j roundtrip — pure overhead after the
+    first application."""
+    if getattr(spark, "_data_engineer_project_weather_analytics_spark_configured", False):
+        return spark
     for k, v in _RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
@@ -82,6 +88,7 @@ def configure(spark: SparkSession) -> SparkSession:
             # engine degrades gracefully (catalog falls back).
             pass
     _ship_package(spark)
+    spark._data_engineer_project_weather_analytics_spark_configured = True
     return spark
 
 
