@@ -161,7 +161,12 @@ class UpsertTable:
         snapshot.  True atomic swap needs a transactional table format
         (Delta/Iceberg MERGE+OPTIMIZE — ARCHITECTURE.md tradeoffs).
         """
-        snapshot = stamp_batch(self.read_latest(), 0)
+        # sort by key within partitions so parquet row-group min/max
+        # stats become selective — point lookups and key-range scans
+        # prune row groups after compaction
+        snapshot = stamp_batch(
+            self.read_latest().sortWithinPartitions(*self.keys), 0
+        )
         tmp = self.path.rstrip("/") + ".compact.tmp"
         writer = snapshot.write.mode("overwrite")
         if self.partition_cols:
