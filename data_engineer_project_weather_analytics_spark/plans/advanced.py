@@ -167,7 +167,75 @@ def a11_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", F.round("total", 2).alias("total"), "n", "avg")
 
 
+def tpch_q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional aggregation (CASE inside sum) over
+    a join — counts split by a predicate, one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high).alias("high_priority_lines"),
+            F.sum(1 - high).alias("low_priority_lines"),
+        )
+    )
+
+
+def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional revenue share — ratio of two exact
+    decimal sums over one scan (broadcast part dimension)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = _revenue()
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+        F.lit(0).cast("decimal(16,4)")
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 ORACLES_ADVANCED: dict[str, str] = {
+    "tpch_q12_priority_shipping": """
+        SELECT l_linestatus,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_priority_lines,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_priority_lines
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+        GROUP BY l_linestatus
+    """,
+    "tpch_q14_promo_share": """
+        SELECT 100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                                     THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                                          * CAST(1 - l_discount AS DECIMAL(4,2))
+                                     ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE)
+                     / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                                * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+                   AS promo_revenue_pct,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+    """,
     "a11_salted_agg": """
         SELECT user_id,
                round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS total,

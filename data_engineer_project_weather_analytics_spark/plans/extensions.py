@@ -155,6 +155,30 @@ def x6_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x7_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination check: test docs sharing ≥ 3 word-3-gram
+    shingles with any train doc — the standard eval-decontamination
+    sweep, composed from the split + shingle operators.  Output is the
+    contaminated (test_doc, train_doc) pairs with their overlap."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = docs.select(
+        "doc_id", text.deterministic_split("doc_id").alias("split")
+    )
+    ds = dedup.doc_shingles(docs, "doc_id", "text", n=3).join(split, "doc_id")
+    test_sh = ds.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc"), "shingle"
+    )
+    train_sh = ds.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    return (
+        test_sh.join(train_sh, "shingle")
+        .groupBy("test_doc", "train_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+        .filter(F.col("n_shared_shingles") >= 3)
+    )
+
+
 def x4e_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     fp = text.fingerprint("text")

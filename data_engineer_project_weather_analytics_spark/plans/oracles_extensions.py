@@ -212,6 +212,25 @@ ORACLES_EXT: dict[str, str] = {
                     THEN 'train' ELSE 'test' END AS split
         FROM documents
     """,
+    "x7_decontamination": f"""
+        WITH ds AS ({_SHINGLES}),
+        split AS (
+            SELECT doc_id,
+                   CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cd'
+                        THEN 'train' ELSE 'test' END AS split
+            FROM documents
+        ),
+        tagged AS (SELECT ds.doc_id, ds.shingle, split.split
+                   FROM ds JOIN split USING (doc_id))
+        SELECT t.doc_id AS test_doc,
+               tr.doc_id AS train_doc,
+               count(*) AS n_shared_shingles
+        FROM tagged t
+        JOIN tagged tr ON t.shingle = tr.shingle
+        WHERE t.split = 'test' AND tr.split = 'train'
+        GROUP BY t.doc_id, tr.doc_id
+        HAVING count(*) >= 3
+    """,
     "x4e_fingerprint": """
         SELECT doc_id,
                md5(lower(text)) AS fingerprint,
