@@ -33,7 +33,14 @@ def entry(spark: SparkSession) -> DataFrame:
         order_cols=["ts", "event_id"],
         strategy="max_by",
     )
-    scorecard = events.agg(F.round(F.avg("value"), 4).alias("avg_value_all"))
+    # exact-decimal sum → double division: engine-stable average (the
+    # repo rule — never round() a division result)
+    scorecard = events.agg(
+        (
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+            / F.count("value")
+        ).alias("avg_value_all")
+    )
     # 1-row scorecard broadcast onto every latest row (no shuffle)
     return latest.join(F.broadcast(scorecard))
 

@@ -153,6 +153,51 @@ def lsh_candidate_pairs(
     )
 
 
+def jaccard_for_candidates(
+    ds: DataFrame, id_col: str, candidates: DataFrame, threshold: float = 0.2
+) -> DataFrame:
+    """Exact Jaccard evaluated ONLY over the given candidate pairs —
+    the verifier stage of the LSH near-dup pipeline.
+
+    Intersections are counted by joining shingles THROUGH the candidate
+    pair table (candidates ⋈ shingles(id_a) ⋈ shingles(id_b) on equal
+    shingle), so the verify cost is O(|candidates| × shingles-per-doc)
+    — NOT the O(all co-shingle pairs) of a full-corpus
+    :func:`jaccard_pairs`, which at corpus scale would defeat the
+    point of LSH pruning entirely.
+
+    Candidate pairs whose true Jaccard is below ``threshold`` (or who
+    share no shingle at all — possible via chance band collisions) are
+    dropped: candidates prune the pair space, the verifier kills the
+    false positives."""
+    sizes = ds.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = ds.select(F.col(id_col).alias("id_a"), "shingle")
+    b = ds.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        candidates.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            # unrounded (exact-int inputs → bit-identical division)
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def duplicate_clusters(
     pairs: DataFrame, max_iterations: int = 12
 ) -> DataFrame:

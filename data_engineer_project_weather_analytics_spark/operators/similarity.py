@@ -40,6 +40,16 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def sim_q(cos_col: Column) -> Column:
+    """Cosine quantized to a BIGINT at 1e-4 resolution.
+
+    ``floor(cos * 1e4)`` is a sign-stable integer transform computed on
+    the binary double — identical in any engine given identical inputs
+    — unlike ``round()``, where Spark rounds the shortest decimal
+    string and DuckDB the binary value (repo determinism rule)."""
+    return F.floor(cos_col * F.lit(10000.0)).cast("long")
+
+
 def cosine_topk(
     vectors: DataFrame,
     id_col: str,
@@ -73,7 +83,7 @@ def cosine_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("__cos", 4).alias("sim"))
+        .select("query_id", "neighbor_id", "rank", sim_q(F.col("__cos")).alias("sim"))
     )
 
 
@@ -156,7 +166,7 @@ def lsh_ann_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("__cos", 4).alias("sim"))
+        .select("query_id", "neighbor_id", "rank", sim_q(F.col("__cos")).alias("sim"))
     )
 
 
@@ -217,33 +227,49 @@ def ivf_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("__cos", 4).alias("sim"))
+        .select("query_id", "neighbor_id", "rank", sim_q(F.col("__cos")).alias("sim"))
     )
 
 
 def label_centroids(
     vectors: DataFrame, group_col: str, vec_col: str
 ) -> DataFrame:
-    """Per-group mean of each vector component (1-based position).
+    """Per-group mean of each vector component (1-based position),
+    computed over µ-quantized components (floor at 1e-6 resolution).
 
     ``posexplode`` + groupBy keeps this one shuffle with map-side
-    partial sums — no vector re-assembly until a consumer needs it."""
+    partial sums — no vector re-assembly until a consumer needs it.
+
+    Why quantize the *input*: a double ``avg()`` depends on summation
+    order (combiner arrival order varies run to run), so no rounding of
+    the output is engine- or run-stable.  ``floor(c * 1e6)`` of the
+    identical input doubles is identical in every engine; the BIGINT
+    sum is exact and order-independent; the final division of
+    identical doubles is bit-identical.  The centroid shifts by < 1e-6
+    per component — irrelevant for a coarse quantizer."""
     exploded = vectors.select(
         F.col(group_col), F.posexplode(F.col(vec_col)).alias("pos0", "component")
     )
+    q = F.floor(F.col("component").cast("double") * F.lit(1000000.0)).cast("long")
     return (
         exploded.groupBy(group_col, (F.col("pos0") + 1).alias("pos"))
-        .agg(F.round(F.avg(F.col("component").cast("double")), 6).alias("centroid_component"))
+        .agg(
+            (
+                F.sum(q).cast("double")
+                / (F.count(F.lit(1)) * F.lit(1000000).cast("long"))
+            ).alias("centroid_component")
+        )
     )
 
 
 def embedding_neardup_pairs(
     vectors: DataFrame, id_col: str, vec_col: str, threshold: float = 0.8
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (brute force).
+    """Embedding-cosine near-duplicate pairs (brute force O(n²) —
+    BroadcastNestedLoopJoin).
 
-    At scale, run :func:`lsh_ann_topk`-style bucketing first; the
-    brute-force form is the correctness oracle."""
+    NOT the production path: this is the pytest ground-truth oracle
+    for :func:`embedding_neardup_lsh`, run only on small slices."""
     a = vectors.select(F.col(id_col).alias("id_a"), _as_double(vec_col).alias("__va"))
     b = vectors.select(F.col(id_col).alias("id_b"), _as_double(vec_col).alias("__vb"))
     return (
@@ -251,7 +277,71 @@ def embedding_neardup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("__va"), F.col("__vb")), 4).alias("sim"),
+            sim_q(cosine(F.col("__va"), F.col("__vb"))).alias("sim"),
         )
-        .filter(F.col("sim") >= threshold)
+        .filter(F.col("sim") >= int(threshold * 10000))
+    )
+
+
+def embedding_neardup_lsh(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.8,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via random-hyperplane LSH
+    buckets — the scale path (no O(n²) join anywhere in the plan).
+
+    Candidate pairs come from an equi-join on (table, bucket): only
+    vectors agreeing on the full sign pattern of one plane set pair
+    up.  Pairs are deduped across tables *before* the cosine verify,
+    so each distinct pair's similarity is computed once; the heavy
+    vector payload moves only in the final id equi-joins.
+
+    Approximate by construction: a true near-dup pair that lands in
+    different buckets in all ``n_tables`` tables is missed (recall
+    ≈ 1-(1-s^p)^L).  The brute-force :func:`embedding_neardup_pairs`
+    is its pytest oracle on small slices."""
+    table_buckets = [
+        lsh_bucket(vec_col, seeded_hyperplanes(dim, n_planes, seed + t))
+        for t in range(n_tables)
+    ]
+    buckets_arr = F.array(
+        *[
+            F.struct(F.lit(t).alias("tbl"), b.alias("bkt"))
+            for t, b in enumerate(table_buckets)
+        ]
+    )
+    tagged = vectors.select(
+        F.col(id_col).alias("__vid"), F.explode(buckets_arr).alias("__b")
+    ).select(
+        "__vid", F.col("__b.tbl").alias("__tbl"), F.col("__b.bkt").alias("__bkt")
+    )
+    a = tagged.select(
+        F.col("__vid").alias("id_a"), "__tbl", "__bkt"
+    )
+    b = tagged.select(
+        F.col("__vid").alias("id_b"), "__tbl", "__bkt"
+    )
+    cand = (
+        a.join(b, on=["__tbl", "__bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = vectors.select(F.col(id_col).alias("id_a"), _as_double(vec_col).alias("__va"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), _as_double(vec_col).alias("__vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            sim_q(cosine(F.col("__va"), F.col("__vb"))).alias("sim"),
+        )
+        .filter(F.col("sim") >= int(threshold * 10000))
     )

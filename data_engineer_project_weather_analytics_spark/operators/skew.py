@@ -34,7 +34,11 @@ def salted_sum_count(
     ``(keys…, total, n, avg)`` with ``total``/``avg`` as exact-decimal
     → double (identical to the unsalted plan)."""
     keys = list(keys)
-    salt = (F.xxhash64(F.monotonically_increasing_id()) % n_salts).alias("__salt")
+    # pmod, not %: xxhash64 is signed, % would emit salts in
+    # (-n_salts, n_salts) — 2*n_salts-1 partial groups per key
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)).alias(
+        "__salt"
+    )
     partial = (
         df.select(*keys, F.col(value_col), salt)
         .groupBy(*keys, "__salt")
@@ -53,6 +57,8 @@ def salted_sum_count(
             *keys,
             F.col("__sum").cast("double").alias("total"),
             "n",
-            (F.col("__sum").cast("double") / F.col("n")).alias("avg"),
+            # try_divide: an all-NULL-values key has n=0 — NULL avg like
+            # the oracle, not an ANSI divide-by-zero error
+            F.try_divide(F.col("__sum").cast("double"), F.col("n")).alias("avg"),
         )
     )

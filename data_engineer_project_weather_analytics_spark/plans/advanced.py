@@ -214,10 +214,10 @@ def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES_ADVANCED: dict[str, str] = {
     "tpch_q12_priority_shipping": """
         SELECT l_linestatus,
-               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_priority_lines,
-               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 0 ELSE 1 END) AS low_priority_lines
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_lines,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_priority_lines
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'

@@ -39,10 +39,20 @@ def x2_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signatures(ds, "doc_id", n_bands=8)
 
 
+#: LSH bucket-width cap: a bucket wider than this is near-identical
+#: boilerplate better handled by exact dedup first; capping bounds the
+#: per-bucket pair fan-out to O(cap²) instead of O(n²) on a hot bucket.
+LSH_MAX_BUCKET = 100
+
+
 def x2b_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding: doc pairs agreeing on ≥1 band signature."""
+    """LSH banding: doc pairs agreeing on ≥1 band signature.
+
+    Capped at ``LSH_MAX_BUCKET`` docs per bucket — one degenerate hot
+    bucket would otherwise ``collect_set`` an unbounded id array on a
+    single reducer and emit O(n²) pairs."""
     sigs = x2_minhash_signatures(spark, sf_dir)
-    return dedup.lsh_candidate_pairs(sigs, "doc_id")
+    return dedup.lsh_candidate_pairs(sigs, "doc_id", max_bucket=LSH_MAX_BUCKET)
 
 
 def x2c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,16 +65,16 @@ def x2c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def x2f_lsh_verified_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full production near-dup pipeline: LSH candidates verified
-    by exact Jaccard ≥ 0.1 — candidates prune the pair space, the
-    verifier kills false positives.  (At corpus scale the Jaccard join
-    runs only over candidate pairs; here both stages are exact and the
-    oracle replays the composition.)"""
+    by exact Jaccard ≥ 0.1.  The exact-Jaccard work is computed ONLY
+    for candidate pairs (shingles join *through* the candidate table in
+    :func:`dedup.jaccard_for_candidates`), so the verifier cost is
+    proportional to |candidates| — not to all co-shingle pairs in the
+    corpus, which is what LSH pruning exists to avoid."""
     docs = load_table(spark, sf_dir, "documents")
     ds = dedup.doc_shingles(docs, "doc_id", "text", n=3)
     sigs = dedup.minhash_signatures(ds, "doc_id", n_bands=8)
-    candidates = dedup.lsh_candidate_pairs(sigs, "doc_id")
-    verified = dedup.jaccard_pairs(ds, "doc_id", threshold=0.1)
-    return candidates.join(verified, on=["id_a", "id_b"], how="inner")
+    candidates = dedup.lsh_candidate_pairs(sigs, "doc_id", max_bucket=LSH_MAX_BUCKET)
+    return dedup.jaccard_for_candidates(ds, "doc_id", candidates, threshold=0.1)
 
 
 def x2d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,10 +95,14 @@ def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x3b_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs at cosine ≥ 0.8 (brute force, capped
-    to a 500-vector slice so the oracle cross join stays bounded)."""
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
-    return similarity.embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.8)
+    """Embedding near-dup pairs at cosine ≥ 0.8, via random-hyperplane
+    LSH buckets — candidates from a (table, bucket) equi-join, cosine
+    verified per distinct pair.  No O(n²) join anywhere; the DuckDB
+    oracle replays the same seeded hyperplanes as SQL literals."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_lsh(
+        emb, "vec_id", "embedding", threshold=0.8, n_planes=6, dim=64, seed=42, n_tables=4
+    )
 
 
 def x3c_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -193,10 +207,24 @@ def x4e_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _x5_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload → Arrow-batched feature extraction (fake decoder:
-    deterministic byte histogram).  mapInPandas → rows-only check."""
+    deterministic byte histogram).  mapInPandas → rows-only check.
+
+    The raw ``array<float>`` feature stays internal: checked outputs
+    carry a scalar digest of the rendered vector (repo rule: no raw
+    array columns in driver-checked outputs — the canonicalizer can't
+    sort lists)."""
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.documents_as_media(docs)
-    return multimodal.extract_features(media, fake=True)
+    feats = multimodal.extract_features(media, fake=True)
+    return feats.select(
+        "media_id",
+        "media_type",
+        "size_bytes",
+        F.size("feature").alias("feature_dim"),
+        F.expr(
+            "md5(array_join(transform(feature, x -> format_string('%.6f', x)), ','))"
+        ).alias("feature_md5"),
+    )
 
 
 def x5b_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -20,7 +20,7 @@ ORACLES_CORE: dict[str, str] = {
         WHERE event_type = 'purchase' AND value > 100.0
     """,
     "p1_json_flatten": """
-        SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS prop_k
+        SELECT event_id, TRY_CAST(props->>'$.k' AS INTEGER) AS prop_k
         FROM events
     """,
     "p10_range_filter": """

@@ -8,6 +8,63 @@ the Spark side, so the sketches are bit-identical.
 
 from __future__ import annotations
 
+from data_engineer_project_weather_analytics_spark.operators.similarity import seeded_hyperplanes
+
+
+def _plane_sql(plane: list[float]) -> str:
+    """A hyperplane as a DuckDB DOUBLE[] literal — repr() round-trips
+    each double exactly, so the SQL side sees bit-identical planes."""
+    return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+
+def _x3b_lsh_oracle(
+    threshold: float = 0.8,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    n_tables: int = 4,
+) -> str:
+    """Replay of operators.similarity.embedding_neardup_lsh: the same
+    seeded hyperplanes (embedded as literals), the same sign-pattern
+    buckets, the same per-distinct-pair cosine verify with
+    floor-quantized similarity."""
+    arms = []
+    for t in range(n_tables):
+        planes = seeded_hyperplanes(dim, n_planes, seed + t)
+        bits = " || ".join(
+            "(CASE WHEN list_inner_product(emb, " + _plane_sql(p) + ") >= 0 "
+            "THEN '1' ELSE '0' END)"
+            for p in planes
+        )
+        arms.append(
+            f"SELECT vec_id, {t} AS tbl, {bits} AS bkt FROM v"
+        )
+    tagged = "\n            UNION ALL ".join(arms)
+    thr = int(threshold * 10000)
+    return f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        ),
+        tagged AS (
+            {tagged}
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM tagged a
+            JOIN tagged b ON a.tbl = b.tbl AND a.bkt = b.bkt
+            WHERE a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b,
+               CAST(floor(list_cosine_similarity(va.emb, vb.emb) * 10000)
+                    AS BIGINT) AS sim
+        FROM cand
+        JOIN v va ON va.vec_id = id_a
+        JOIN v vb ON vb.vec_id = id_b
+        WHERE CAST(floor(list_cosine_similarity(va.emb, vb.emb) * 10000)
+                   AS BIGINT) >= {thr}
+    """
+
+
 #: distinct (doc_id, 3-word shingle) pairs
 _SHINGLES = """
         SELECT DISTINCT doc_id,
@@ -39,10 +96,17 @@ ORACLES_EXT: dict[str, str] = {
     """,
     "x2_minhash_signatures": _SIGNATURES,
     "x2b_lsh_candidate_pairs": f"""
-        WITH sigs AS ({_SIGNATURES})
+        WITH sigs AS ({_SIGNATURES}),
+        ok_buckets AS (
+            SELECT band, minhash
+            FROM sigs
+            GROUP BY band, minhash
+            HAVING count(DISTINCT doc_id) BETWEEN 2 AND 100
+        )
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sigs a JOIN sigs b
-          ON a.band = b.band AND a.minhash = b.minhash
+        FROM sigs a
+        JOIN sigs b ON a.band = b.band AND a.minhash = b.minhash
+        JOIN ok_buckets ob ON ob.band = a.band AND ob.minhash = a.minhash
         WHERE a.doc_id < b.doc_id
     """,
     "x2c_ngram_jaccard": f"""
@@ -72,31 +136,35 @@ ORACLES_EXT: dict[str, str] = {
             FROM ds CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band) b
             GROUP BY doc_id, band
         ),
+        ok_buckets AS (
+            SELECT band, minhash
+            FROM sigs
+            GROUP BY band, minhash
+            HAVING count(DISTINCT doc_id) BETWEEN 2 AND 100
+        ),
         candidates AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM sigs a JOIN sigs b
-              ON a.band = b.band AND a.minhash = b.minhash
+            FROM sigs a
+            JOIN sigs b ON a.band = b.band AND a.minhash = b.minhash
+            JOIN ok_buckets ob ON ob.band = a.band AND ob.minhash = a.minhash
             WHERE a.doc_id < b.doc_id
         ),
         sizes AS (SELECT doc_id, count(*) AS set_size FROM ds GROUP BY doc_id),
         inter AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-            FROM ds a JOIN ds b ON a.shingle = b.shingle
-            WHERE a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id
-        ),
-        verified AS (
-            SELECT id_a, id_b,
-                   CAST(n_inter AS DOUBLE) /
-                       (sa.set_size + sb.set_size - n_inter) AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = id_a
-            JOIN sizes sb ON sb.doc_id = id_b
-            WHERE CAST(n_inter AS DOUBLE) /
-                      (sa.set_size + sb.set_size - n_inter) >= 0.1
+            SELECT c.id_a, c.id_b, count(*) AS n_inter
+            FROM candidates c
+            JOIN ds a ON a.doc_id = c.id_a
+            JOIN ds b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+            GROUP BY c.id_a, c.id_b
         )
-        SELECT c.id_a, c.id_b, v.jaccard
-        FROM candidates c JOIN verified v USING (id_a, id_b)
+        SELECT id_a, id_b,
+               CAST(n_inter AS DOUBLE) /
+                   (sa.set_size + sb.set_size - n_inter) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_inter AS DOUBLE) /
+                  (sa.set_size + sb.set_size - n_inter) >= 0.1
     """,
     "x2d_simhash": """
         WITH tok AS (
@@ -132,22 +200,11 @@ ORACLES_EXT: dict[str, str] = {
         SELECT query_id, neighbor_id,
                CAST(row_number() OVER (
                    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
-               round(cos, 4) AS sim
+               CAST(floor(cos * 10000) AS BIGINT) AS sim
         FROM scored
         QUALIFY rank <= 5
     """,
-    "x3b_embedding_neardup": """
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(list_cosine_similarity(
-                   CAST(a.embedding AS DOUBLE[]),
-                   CAST(b.embedding AS DOUBLE[])), 4) AS sim
-        FROM embeddings a
-        JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE a.vec_id < 500 AND b.vec_id < 500
-          AND round(list_cosine_similarity(
-                  CAST(a.embedding AS DOUBLE[]),
-                  CAST(b.embedding AS DOUBLE[])), 4) >= 0.8
-    """,
+    "x3b_embedding_neardup": _x3b_lsh_oracle(),
     "x3c_label_centroids": """
         WITH t AS (
             SELECT label,
@@ -157,7 +214,8 @@ ORACLES_EXT: dict[str, str] = {
             FROM embeddings
         )
         SELECT label, CAST(u.pos AS INTEGER) AS pos,
-               round(avg(CAST(u.val AS DOUBLE)), 6) AS centroid_component
+               CAST(sum(CAST(floor(CAST(u.val AS DOUBLE) * 1000000.0) AS BIGINT))
+                    AS DOUBLE) / (count(*) * 1000000) AS centroid_component
         FROM t
         GROUP BY label, u.pos
     """,

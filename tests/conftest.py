@@ -49,13 +49,15 @@ def _canon(v) -> str:
     if isinstance(v, (float, np.floating)):
         if math.isnan(v):
             return "∅"
-        return f"{float(v):.9g}"
+        # full precision: the local gate must be at least as strict as
+        # the driver's value hash (repr() round-trips doubles exactly)
+        return repr(float(v))
     if isinstance(v, (bool, np.bool_)):
         return "T" if v else "F"
     if isinstance(v, (int, np.integer)):
         return str(int(v))
     if isinstance(v, decimal.Decimal):
-        return f"{float(v):.9g}"
+        return repr(float(v))
     if isinstance(v, pd.Timestamp):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, datetime.datetime):
