@@ -46,8 +46,11 @@ HEADLINE: dict[str, str] = {
     "tpch_q5_local_volume": "collect",
     "x1_exact_dedup": "checksum",
     "x2b_lsh_candidate_pairs": "checksum",
+    "x2f_lsh_verified_neardup": "checksum",
     "x3_cosine_topk": "collect",
     "x4c_quality_score": "checksum",
+    "x7_decontamination": "checksum",
+    "w_ingest_current": "checksum",
 }
 
 

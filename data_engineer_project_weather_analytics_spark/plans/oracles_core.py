@@ -97,6 +97,33 @@ ORACLES_CORE: dict[str, str] = {
         WHERE NOT EXISTS (
             SELECT 1 FROM customer WHERE c_custkey = user_id)
     """,
+    "ri_cascade_delete": """
+        WITH doomed AS (
+            SELECT n_nationkey FROM nation
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+        ),
+        nn AS (
+            SELECT n_nationkey, n_name FROM nation
+            WHERE n_nationkey NOT IN (SELECT n_nationkey FROM doomed)
+        ),
+        nc AS (
+            SELECT c_nationkey, count(*) AS n FROM customer
+            WHERE c_nationkey NOT IN (SELECT n_nationkey FROM doomed)
+            GROUP BY c_nationkey
+        ),
+        ns AS (
+            SELECT s_nationkey, count(*) AS n FROM supplier
+            WHERE s_nationkey NOT IN (SELECT n_nationkey FROM doomed)
+            GROUP BY s_nationkey
+        )
+        SELECT nn.n_nationkey, nn.n_name,
+               CAST(coalesce(nc.n, 0) AS BIGINT) AS n_customers,
+               CAST(coalesce(ns.n, 0) AS BIGINT) AS n_suppliers
+        FROM nn
+        LEFT JOIN nc ON nc.c_nationkey = nn.n_nationkey
+        LEFT JOIN ns ON ns.s_nationkey = nn.n_nationkey
+    """,
     "k2_upsert_lww": """
         WITH base AS (
             SELECT event_id, user_id, ts, value, 0 AS ingest_seq FROM events

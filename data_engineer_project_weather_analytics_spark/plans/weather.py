@@ -20,11 +20,14 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_engineer_project_weather_analytics_spark.etl import etl_final_state
+from data_engineer_project_weather_analytics_spark.operators.upsert import stamp_batch, upsert
 from data_engineer_project_weather_analytics_spark.sources.json_ingest import (
     parse_current,
     parse_forecast,
     to_cities_dim,
     to_current_weather_fact,
+    to_forecast_weather_fact,
 )
 
 
@@ -134,6 +137,25 @@ FORECAST_DOCS: tuple[str, ...] = (
     _forecast_doc(1583992, "Đà Nẵng", 1764576000, 4),
 )
 
+#: a refreshed forecast fetch 3 h later: overlaps 3 of Hà Nội's steps
+#: (same (city_id, dt) → updated values) and adds one new step —
+#: exercises the (city_id, dt)-keyed upsert the reference gets from
+#: the forecast_weather PK.
+FORECAST_DOCS_R2: tuple[str, ...] = (
+    _forecast_doc(1581130, "Hà Nội", 1764576000 + 10800, 4),
+)
+
+#: round-2 current-weather fetch: one new reading (new dt), one
+#: corrected reading (same (city_id, dt), changed values), one new
+#: city, one city rename (cities LWW), one API error (dropped).
+CURRENT_DOCS_R2: tuple[str, ...] = (
+    _current_doc(1581130, "Hà Nội", "VN", 23.10, 71, 1764579600),
+    _current_doc(1583992, "Đà Nẵng", "VN", 26.88, 83, 1764576060, gust=3.9),
+    _current_doc(1580578, "Huế", "VN", 24.02, 88, 1764579660, rain=1.2),
+    _current_doc(1566083, "Hồ Chí Minh", "VN", 30.91, 68, 1764579720),
+    json.dumps({"cod": 429, "message": "rate limited"}),
+)
+
 
 def _raw(spark: SparkSession, docs: tuple[str, ...]) -> DataFrame:
     return spark.createDataFrame([(d,) for d in docs], schema="payload string")
@@ -193,6 +215,25 @@ def w_dashboard_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w_forecast_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The forecast_weather fact lifecycle: two fetch rounds projected
+    onto the 18-column INSERT list (``ipynb:1223-1237``), upserted
+    keyed ``(city_id, dt)`` — the refreshed round overwrites the
+    overlapping 3-hour steps (K2 semantics on the third table)."""
+    b0 = to_forecast_weather_fact(parse_forecast(_raw(spark, FORECAST_DOCS)))
+    b1 = to_forecast_weather_fact(parse_forecast(_raw(spark, FORECAST_DOCS_R2)))
+    return upsert(stamp_batch(b0, 0), stamp_batch(b1, 1), keys=["city_id", "dt"])
+
+
+def etl_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed reference lifecycle (``dags/etl.py:123-140``): two
+    fetch rounds, each flatten → cities upsert (K1) → current_weather
+    upsert (K2); output is the final fact ⋈ cities state — what
+    Postgres holds after the same sequence of transactions."""
+    rounds = [_raw(spark, CURRENT_DOCS), _raw(spark, CURRENT_DOCS_R2)]
+    return etl_final_state(spark, rounds, cities_mode="upsert")
+
+
 def _sql_values(docs: tuple[str, ...]) -> str:
     return ", ".join("('" + d.replace("'", "''") + "')" for d in docs)
 
@@ -228,6 +269,78 @@ _CURRENT_SQL = f"""
         FROM valid
 """
 
+def _current_full_sql(docs: tuple[str, ...], seq: int) -> str:
+    """Full fact+dim flatten of a current-weather docs batch, stamped
+    with its round sequence — the replay input for upsert oracles."""
+    return f"""
+        SELECT
+            {seq} AS seq,
+            TRY_CAST(json_extract_string(j, '$.id') AS BIGINT) AS city_id,
+            json_extract_string(j, '$.name') AS city_name,
+            json_extract_string(j, '$.sys.country') AS country,
+            TRY_CAST(json_extract_string(j, '$.coord.lat') AS DOUBLE) AS coord_lat,
+            TRY_CAST(json_extract_string(j, '$.coord.lon') AS DOUBLE) AS coord_lon,
+            TRY_CAST(json_extract_string(j, '$.timezone') AS INTEGER) AS timezone,
+            make_timestamp(TRY_CAST(json_extract_string(j, '$.dt') AS BIGINT) * 1000000) AS dt,
+            TRY_CAST(json_extract_string(j, '$.weather[0].id') AS INTEGER) AS weather_id,
+            json_extract_string(j, '$.weather[0].main') AS weather_main,
+            json_extract_string(j, '$.weather[0].description') AS description,
+            json_extract_string(j, '$.base') AS base,
+            TRY_CAST(json_extract_string(j, '$.main.temp') AS DOUBLE) AS temp,
+            TRY_CAST(json_extract_string(j, '$.main.feels_like') AS DOUBLE) AS feels_like,
+            TRY_CAST(json_extract_string(j, '$.main.temp_min') AS DOUBLE) AS temp_min,
+            TRY_CAST(json_extract_string(j, '$.main.temp_max') AS DOUBLE) AS temp_max,
+            TRY_CAST(json_extract_string(j, '$.main.pressure') AS INTEGER) AS pressure,
+            TRY_CAST(json_extract_string(j, '$.main.humidity') AS INTEGER) AS humidity,
+            TRY_CAST(json_extract_string(j, '$.visibility') AS INTEGER) AS visibility,
+            TRY_CAST(json_extract_string(j, '$.wind.speed') AS DOUBLE) AS wind_speed,
+            TRY_CAST(json_extract_string(j, '$.wind.deg') AS INTEGER) AS wind_deg,
+            TRY_CAST(json_extract_string(j, '$.wind.gust') AS DOUBLE) AS wind_gust,
+            TRY_CAST(json_extract_string(j, '$.clouds.all') AS INTEGER) AS clouds_all,
+            make_timestamp(TRY_CAST(json_extract_string(j, '$.sys.sunrise') AS BIGINT) * 1000000) AS sunrise,
+            make_timestamp(TRY_CAST(json_extract_string(j, '$.sys.sunset') AS BIGINT) * 1000000) AS sunset
+        FROM (
+            SELECT TRY_CAST(payload AS JSON) AS j
+            FROM (VALUES {_sql_values(docs)}) AS raw(payload)
+        )
+        WHERE j IS NOT NULL
+          AND json_extract_string(j, '$.id') IS NOT NULL
+          AND TRY_CAST(json_extract_string(j, '$.cod') AS INTEGER) = 200
+    """
+
+
+def _forecast_fact_sql(docs: tuple[str, ...], seq: int) -> str:
+    """Forecast docs → 18-column forecast_weather rows + round seq."""
+    return f"""
+        SELECT
+            {seq} AS seq,
+            make_timestamp(CAST(payload->>('$.list[' || i || '].dt') AS BIGINT) * 1000000) AS dt,
+            payload->>('$.list[' || i || '].dt_txt') AS dt_txt,
+            TRY_CAST(payload->>('$.list[' || i || '].main.temp') AS DOUBLE) AS temp,
+            TRY_CAST(payload->>('$.list[' || i || '].main.feels_like') AS DOUBLE) AS feels_like,
+            TRY_CAST(payload->>('$.list[' || i || '].main.temp_min') AS DOUBLE) AS temp_min,
+            TRY_CAST(payload->>('$.list[' || i || '].main.temp_max') AS DOUBLE) AS temp_max,
+            TRY_CAST(payload->>('$.list[' || i || '].main.pressure') AS INTEGER) AS pressure,
+            TRY_CAST(payload->>('$.list[' || i || '].main.humidity') AS INTEGER) AS humidity,
+            TRY_CAST(payload->>('$.list[' || i || '].weather[0].id') AS INTEGER) AS weather_id,
+            payload->>('$.list[' || i || '].weather[0].main') AS weather_main,
+            payload->>('$.list[' || i || '].weather[0].description') AS description,
+            TRY_CAST(payload->>('$.list[' || i || '].wind.speed') AS DOUBLE) AS wind_speed,
+            TRY_CAST(payload->>('$.list[' || i || '].wind.deg') AS INTEGER) AS wind_deg,
+            TRY_CAST(payload->>('$.list[' || i || '].wind.gust') AS DOUBLE) AS wind_gust,
+            TRY_CAST(payload->>('$.list[' || i || '].visibility') AS INTEGER) AS visibility,
+            CAST(payload->>'$.city.id' AS BIGINT) AS city_id,
+            make_timestamp(CAST(payload->>'$.city.sunrise' AS BIGINT) * 1000000) AS sunrise,
+            make_timestamp(CAST(payload->>'$.city.sunset' AS BIGINT) * 1000000) AS sunset
+        FROM (
+            SELECT payload,
+                   unnest(generate_series(0, CAST(payload->>'$.cnt' AS INTEGER) - 1)) AS i
+            FROM (VALUES {_sql_values(docs)}) AS raw(payload)
+            WHERE json_valid(payload) AND CAST(payload->>'$.cod' AS INTEGER) = 200
+        )
+    """
+
+
 ORACLES_WEATHER: dict[str, str] = {
     "w_ingest_current": _CURRENT_SQL,
     "w_ingest_forecast": f"""
@@ -259,5 +372,42 @@ ORACLES_WEATHER: dict[str, str] = {
             max(humidity) AS max_humidity
         FROM flat
         GROUP BY country
+    """,
+    "w_forecast_fact": f"""
+        WITH all_rows AS (
+            {_forecast_fact_sql(FORECAST_DOCS, 0)}
+            UNION ALL
+            {_forecast_fact_sql(FORECAST_DOCS_R2, 1)}
+        )
+        SELECT dt, dt_txt, temp, feels_like, temp_min, temp_max,
+               pressure, humidity, weather_id, weather_main, description,
+               wind_speed, wind_deg, wind_gust, visibility, city_id,
+               sunrise, sunset
+        FROM all_rows
+        QUALIFY row_number() OVER (
+            PARTITION BY city_id, dt ORDER BY seq DESC) = 1
+    """,
+    "etl_run": f"""
+        WITH all_rows AS (
+            {_current_full_sql(CURRENT_DOCS, 0)}
+            UNION ALL
+            {_current_full_sql(CURRENT_DOCS_R2, 1)}
+        ),
+        fact AS (
+            SELECT city_id, dt, weather_id, weather_main, description, base,
+                   temp, feels_like, temp_min, temp_max, pressure, humidity,
+                   visibility, wind_speed, wind_deg, wind_gust, clouds_all,
+                   sunrise, sunset
+            FROM all_rows
+            QUALIFY row_number() OVER (
+                PARTITION BY city_id, dt ORDER BY seq DESC) = 1
+        ),
+        cities AS (
+            SELECT city_id, city_name, country, coord_lat, coord_lon, timezone
+            FROM all_rows
+            QUALIFY row_number() OVER (PARTITION BY city_id ORDER BY seq DESC) = 1
+        )
+        SELECT f.*, c.city_name, c.country, c.coord_lat, c.coord_lon, c.timezone
+        FROM fact f JOIN cities c USING (city_id)
     """,
 }

@@ -159,6 +159,33 @@ def to_current_weather_fact(flat: DataFrame) -> DataFrame:
     )
 
 
+def to_forecast_weather_fact(flat: DataFrame) -> DataFrame:
+    """Project exploded forecast rows onto the ``forecast_weather``
+    fact schema — the 18-column INSERT list of
+    ``notebook/WeatherProject.ipynb:1223-1237`` (table keyed
+    ``(city_id, dt)``), columns reordered to the INSERT order (P6)."""
+    return flat.select(
+        "dt",
+        "dt_txt",
+        "temp",
+        "feels_like",
+        "temp_min",
+        "temp_max",
+        "pressure",
+        "humidity",
+        "weather_id",
+        "weather_main",
+        "description",
+        "wind_speed",
+        "wind_deg",
+        "wind_gust",
+        "visibility",
+        "city_id",
+        "sunrise",
+        "sunset",
+    )
+
+
 def to_cities_dim(flat: DataFrame) -> DataFrame:
     """Extract the cities dimension (notebook cell 19, ``ipynb:679`` —
     6-col projection + ``drop_duplicates`` → A4 distinct)."""

@@ -261,3 +261,53 @@ def test_ann_finds_planted_near_duplicates(spark):
                               k=1, n_probe_cells=2)
     ivf1 = {r.query_id: r.neighbor_id for r in ivf.collect() if r.rank == 1}
     assert sum(1 for q, n in ivf1.items() if n == q - 100) >= 4
+
+
+def test_cascade_delete_idempotent_and_complete(spark):
+    from data_engineer_project_weather_analytics_spark.operators.delete import cascade_delete
+
+    dim = spark.createDataFrame(
+        [(1, "Hanoi"), (2, "Hue"), (3, "Da Nang")], "city_id long, name string"
+    )
+    fact = spark.createDataFrame(
+        [(1, 10.0), (1, 11.0), (2, 20.0), (3, 30.0)],
+        "city_id long, temp double",
+    )
+    doomed = spark.createDataFrame([(1,)], "city_id long")
+    new_dim, (new_fact,) = cascade_delete(dim, "city_id", [(fact, "city_id")], doomed)
+    assert {r.city_id for r in new_dim.collect()} == {2, 3}
+    # cascade: every fact row of the deleted city is gone too
+    assert {r.city_id for r in new_fact.collect()} == {2, 3}
+    # idempotent: applying the same delete again changes nothing
+    dim2, (fact2,) = cascade_delete(new_dim, "city_id", [(new_fact, "city_id")], doomed)
+    assert sorted(dim2.collect()) == sorted(new_dim.collect())
+    assert sorted(fact2.collect()) == sorted(new_fact.collect())
+
+
+def test_embedding_neardup_lsh_matches_brute_force_on_planted_dups(spark):
+    import random
+
+    rng = random.Random(11)
+    base = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(40)]
+    rows = [Row(vec_id=i, embedding=v, label=0) for i, v in enumerate(base)]
+    for i in range(5):  # plant near-identical copies (cos ~ 0.9999)
+        noisy = [x + rng.gauss(0, 0.005) for x in base[i]]
+        rows.append(Row(vec_id=100 + i, embedding=noisy, label=0))
+    df = spark.createDataFrame(rows)
+    brute = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_neardup_pairs(
+            df, "vec_id", "embedding", threshold=0.8
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_neardup_lsh(
+            df, "vec_id", "embedding", threshold=0.8
+        ).collect()
+    }
+    assert lsh <= brute  # no false positives ever (verified pairs)
+    # near-identical pairs collide in >=1 table with overwhelming
+    # probability (deterministic: seeded planes + fixed data)
+    planted = {(i, 100 + i) for i in range(5)}
+    assert planted <= lsh
