@@ -113,6 +113,60 @@ def fingerprint(text_col: str | Column) -> Column:
     return F.md5(F.lower(col))
 
 
+def gopher_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style corpus-quality signals, per document — the
+    repetition and well-formedness heuristics of the Gopher/MassiveText
+    filtering rules, re-expressed as pure Catalyst expressions (no
+    Python, no shuffle: every signal is a higher-order function over
+    the token array of the row).
+
+    Signals:
+
+    * ``mean_word_len`` — non-space chars / tokens (Gopher keeps 3-10);
+    * ``alpha_word_ratio`` — fraction of tokens containing a letter
+      (Gopher requires ≥ 0.8 with alphabetic chars);
+    * ``distinct_token_ratio`` — |distinct tokens| / |tokens| (low ⇒
+      repetitious boilerplate);
+    * ``top_token_ratio`` — most frequent token's share of the doc
+      (the single-term domination test);
+    * ``gopher_pass`` — the conjunction, with the standard-ish bands.
+
+    All ratios are int/int divisions of exact counts — bit-identical
+    in any engine.  ``top_token_ratio`` is computed *inside the row*
+    (distinct × filter scan over the token array), trading O(distinct ×
+    len) per-row work for zero shuffles — at corpus scale this keeps
+    quality scoring embarrassingly parallel."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    chars = F.length(F.regexp_replace(F.col(text_col), " ", ""))
+    alpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda w: w == t)),
+        )
+    )
+    mean_word_len = chars.cast("double") / n
+    alpha_ratio = alpha.cast("double") / n
+    distinct_ratio = n_distinct.cast("double") / n
+    top_ratio = top.cast("double") / n
+    return df.select(
+        F.col(id_col),
+        mean_word_len.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        distinct_ratio.alias("distinct_token_ratio"),
+        top_ratio.alias("top_token_ratio"),
+        (
+            (mean_word_len >= 3.0)
+            & (mean_word_len <= 10.0)
+            & (alpha_ratio >= 0.8)
+            & (distinct_ratio >= 0.2)
+            & (top_ratio <= 0.2)
+        ).alias("gopher_pass"),
+    )
+
+
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash over tokens.
 

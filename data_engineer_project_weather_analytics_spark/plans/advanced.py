@@ -211,7 +211,144 @@ def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join — orders with ≥1 late-shipped
+    line, counted by priority.  The semi-join moves only the order key
+    (no fact-row duplication) and the count is one partial-agg pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.filter(
+        F.col("l_shipdate") >= F.lit("1998-06-01 00:00:00").cast("timestamp_ntz")
+    ).select("l_orderkey")
+    return (
+        orders.join(late, orders["o_orderkey"] == late["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: filtered LEFT OUTER join + two-level aggregate
+    — the distribution of per-customer order counts, customers with no
+    orders included (c_count = 0)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") != "F"
+    )
+    per_cust = (
+        customer.join(orders, customer["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated average subquery, decorrelated into
+    a per-part aggregate + re-join — revenue from lines under 20% of
+    their part's average quantity.  The brand dimension filter is
+    broadcast; the threshold join shuffles only the filtered lines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    brand_parts = part.filter(F.col("p_brand") == "Brand#13").select("p_partkey")
+    li_b = li.join(
+        F.broadcast(brand_parts), li["l_partkey"] == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    thresh = li_b.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (F.sum(_dec2("l_quantity")).cast("double") / F.count("l_quantity"))
+        ).alias("__thr")
+    )
+    return (
+        li_b.join(thresh, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("__thr"))
+        .agg(
+            (F.sum(_dec2("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery threshold + NOT EXISTS anti-
+    join — above-average-balance customers who never ordered, rolled
+    up by market segment.  The 1-row average broadcasts; the anti-join
+    is the only shuffle."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(_dec2("c_acctbal")).cast("double") / F.count("c_acctbal")).alias(
+            "__avg"
+        )
+    )
+    rich = customer.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("__avg")
+    )
+    dormant = rich.join(orders, rich["c_custkey"] == orders["o_custkey"], "left_anti")
+    return dormant.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        _money_sum(_dec2("c_acctbal"), "totacctbal"),
+    )
+
+
 ORACLES_ADVANCED: dict[str, str] = {
+    "tpch_q4_order_priority": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate >= TIMESTAMP '1998-06-01 00:00:00')
+        GROUP BY o_orderpriority
+    """,
+    "tpch_q13_order_distribution": """
+        SELECT c_count, count(*) AS custdist
+        FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders
+              ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+    """,
+    "tpch_q17_small_quantity_revenue": """
+        WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'),
+        li_b AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem JOIN bp ON l_partkey = p_partkey
+        ),
+        t AS (
+            SELECT l_partkey,
+                   CAST(0.2 AS DOUBLE) *
+                       (CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                        / count(l_quantity)) AS thr
+            FROM li_b GROUP BY l_partkey
+        )
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+                   AS avg_yearly,
+               count(*) AS n_lines
+        FROM li_b JOIN t USING (l_partkey)
+        WHERE l_quantity < thr
+    """,
+    "tpch_q22_dormant_customers": """
+        WITH avg_bal AS (
+            SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                       / count(c_acctbal) AS a
+            FROM customer WHERE c_acctbal > 0.0
+        )
+        SELECT c_mktsegment,
+               count(*) AS numcust,
+               round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2)
+                   AS totacctbal
+        FROM customer, avg_bal
+        WHERE c_acctbal > a
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment
+    """,
     "tpch_q12_priority_shipping": """
         SELECT l_linestatus,
                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')

@@ -10,7 +10,7 @@ rows-only checks via ``NO_ORACLE``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_engineer_project_weather_analytics_spark.operators import dedup, multimodal, similarity, text
@@ -190,6 +190,62 @@ def x7_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("test_doc", "train_doc")
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
         .filter(F.col("n_shared_shingles") >= 3)
+    )
+
+
+def x4f_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style quality signals per document — all
+    in-row Catalyst expressions, zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.gopher_signals(docs, "doc_id", "text")
+
+
+def x8_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 tokens by occurrence (tokenizer /
+    vocab-building pass).  One explode + one partial-agg shuffle +
+    TakeOrdered — no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.tokens("text")).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("token"))
+        .limit(100)
+    )
+
+
+def x9_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 keywords by TF-IDF.
+
+    IDF uses the *rational* surrogate ``(N + 1) / (df + 1)`` instead of
+    its logarithm: the ranking it induces per document is identical
+    (log is monotone), and ``tf · (N+1)`` is exact integer arithmetic
+    followed by ONE double division — bit-identical in every engine,
+    where ``ln()`` may differ in the last ulp between libm
+    implementations.  Term stats are two partial-agg shuffles; the
+    doc-frequency and corpus-size sides broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(text.tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("__tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    nd = docs.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            (
+                (F.col("__tf") * (F.col("__n") + F.lit(1))).cast("double")
+                / (F.col("__df") + F.lit(1))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "rank", "tfidf")
     )
 
 

@@ -289,6 +289,64 @@ ORACLES_EXT: dict[str, str] = {
         GROUP BY t.doc_id, tr.doc_id
         HAVING count(*) >= 3
     """,
+    "x4f_gopher_quality": """
+        WITH t AS (
+            SELECT doc_id,
+                   string_split(text, ' ') AS toks,
+                   length(replace(text, ' ', '')) AS chars
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   CAST(chars AS DOUBLE) / len(toks) AS mean_word_len,
+                   CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+                        AS DOUBLE) / len(toks) AS alpha_word_ratio,
+                   CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                       AS distinct_token_ratio,
+                   CAST(list_max(list_transform(list_distinct(toks),
+                            t2 -> len(list_filter(toks, w -> w = t2))))
+                        AS DOUBLE) / len(toks) AS top_token_ratio
+            FROM t
+        )
+        SELECT doc_id, mean_word_len, alpha_word_ratio,
+               distinct_token_ratio, top_token_ratio,
+               (mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AND alpha_word_ratio >= 0.8
+                AND distinct_token_ratio >= 0.2
+                AND top_token_ratio <= 0.2) AS gopher_pass
+        FROM s
+    """,
+    "x8_vocab_topk": """
+        SELECT token, count(*) AS n_occurrences
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+        ORDER BY n_occurrences DESC, token
+        LIMIT 100
+    """,
+    "x9_tfidf_keywords": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM toks GROUP BY doc_id, term
+        ),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        nd AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+            SELECT doc_id, term,
+                   CAST(tf * (n + 1) AS DOUBLE) / (df + 1) AS tfidf
+            FROM tf JOIN df USING (term) CROSS JOIN nd
+        )
+        SELECT doc_id, term, CAST(rank AS INTEGER) AS rank, tfidf
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+            FROM scored
+        )
+        WHERE rank <= 3
+    """,
     "x4e_fingerprint": """
         SELECT doc_id,
                md5(lower(text)) AS fingerprint,
