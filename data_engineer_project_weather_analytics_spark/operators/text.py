@@ -113,6 +113,40 @@ def fingerprint(text_col: str | Column) -> Column:
     return F.md5(F.lower(col))
 
 
+#: PII patterns, applied in this order.  ASCII-class-only regexes so
+#: Java (Spark) and RE2 (DuckDB) agree; DuckDB needs the 'g' flag to
+#: match Spark's replace-all default.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    ("phone", r"\+[0-9]{7,15}", "<PHONE>"),
+)
+
+
+def redact_pii(text_col: str | Column) -> Column:
+    """Scrub emails / SSN-shaped ids / IPv4s / international phone
+    numbers — the standard pre-training privacy pass, as chained
+    ``regexp_replace`` (order matters: IP before phone would eat
+    dotted quads; patterns are applied in ``PII_PATTERNS`` order in
+    BOTH engines).  Pure codegen — no Python in the hot path."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    for _, pattern, token in PII_PATTERNS:
+        col = F.regexp_replace(col, pattern, token)
+    return col
+
+
+def pii_counts(text_col: str | Column) -> list[Column]:
+    """Per-category PII hit counts (for filtering / audit)."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return [
+        F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0))).alias(
+            f"n_{name}"
+        )
+        for name, pattern, _ in PII_PATTERNS
+    ]
+
+
 def gopher_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Gopher-style corpus-quality signals, per document — the
     repetition and well-formedness heuristics of the Gopher/MassiveText

@@ -412,6 +412,24 @@ def t4_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t6_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 variant: sliding 1-hour window every 30 minutes — each event
+    lands in exactly window/slide = 2 overlapping windows.  Spark's
+    ``F.window`` explodes scan-side (narrow), so the aggregation is
+    still one partial-agg shuffle; the oracle replays the epoch-aligned
+    window-start arithmetic."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), _exact_avg("value", 4, "avg_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "n",
+            "avg_value",
+        )
+    )
+
+
 def a6_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup (not in the reference; free Catalyst
     built-in — SURVEY.md §2.5 'not present' list)."""

@@ -257,6 +257,57 @@ def x4e_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x10_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard LLM-pretraining
+    layout: within each shard (= lang here), documents are concatenated
+    in deterministic id order and chunked into fixed 2048-token
+    training sequences; a document may straddle a boundary.
+
+    One window cumsum per shard + exact integer arithmetic: each doc's
+    tokens occupy ``[cum - n, cum)``, so its first/last sequence and
+    in-sequence offset are integer divisions.  Packing is shard-local
+    (PARTITION BY), exactly like production pipelines — a single global
+    cumsum would serialize the corpus through one reducer."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("lang", "doc_id", text.token_count("text").alias("n_tokens"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("__cum", F.sum("n_tokens").over(w))
+    return c.select(
+        "lang",
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.expr("(__cum - n_tokens) DIV 2048").alias("start_seq"),
+        F.expr("(__cum - 1) DIV 2048").alias("end_seq"),
+        F.expr("(__cum - n_tokens) % 2048").alias("offset_in_seq"),
+    )
+
+
+#: Literal PII-bearing fixture docs (shared verbatim with the oracle —
+#: the synthetic corpus contains no PII, so the redaction path gets its
+#: own value-hash-checked inputs, like the weather ingestion family).
+PII_DOCS: tuple[tuple[int, str], ...] = (
+    (1, "contact me at alice.smith+spam@example.co.uk or +84912345678 now"),
+    (2, "server 10.0.42.7 logged ssn 123-45-6789 and bob@test.org twice"),
+    (3, "no sensitive content in this perfectly ordinary sentence"),
+    (4, "edge: v1.2.3.4 release notes mention 999-99-9999 and x@y.io"),
+)
+
+
+def x11_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the fixture docs: redacted text + per-category
+    hit counts (audit trail).  Chained regexp_replace in codegen."""
+    docs = spark.createDataFrame(list(PII_DOCS), "doc_id long, text string")
+    return docs.select(
+        "doc_id",
+        text.redact_pii("text").alias("redacted"),
+        *text.pii_counts("text"),
+    )
+
+
 # --------------------------------------------------------------------------
 # X5 — multimodal (mapInPandas plumbing; decode stubbed)
 # --------------------------------------------------------------------------

@@ -245,6 +245,24 @@ ORACLES_CORE: dict[str, str] = {
         FROM events
         GROUP BY 1, 2
     """,
+    "t6_sliding_window": """
+        WITH w AS (
+            SELECT unnest([
+                       make_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT)
+                                      * 1800 * 1000000),
+                       make_timestamp((CAST(floor(epoch(ts) / 1800) AS BIGINT) - 1)
+                                      * 1800 * 1000000)
+                   ]) AS window_start,
+                   value
+            FROM events
+        )
+        SELECT window_start,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(value)
+                   AS avg_value
+        FROM w
+        GROUP BY window_start
+    """,
     "tpch_q1_pricing_summary": f"""
         SELECT
             l_returnflag,

@@ -9,6 +9,34 @@ the Spark side, so the sketches are bit-identical.
 from __future__ import annotations
 
 from data_engineer_project_weather_analytics_spark.operators.similarity import seeded_hyperplanes
+from data_engineer_project_weather_analytics_spark.operators.text import PII_PATTERNS
+
+
+def _x11_pii_sql() -> str:
+    """Replay of x11_pii_redaction: the same literal docs, the same
+    patterns in the same order (imported, not copied), with DuckDB's
+    'g' flag matching Spark's replace-all default."""
+    from data_engineer_project_weather_analytics_spark.plans.extensions import PII_DOCS
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    redacted = "text"
+    for _, pat, tok in PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{esc(pat)}', '{tok}', 'g')"
+    counts = ",\n               ".join(
+        f"CAST(len(regexp_extract_all(text, '{esc(pat)}')) AS INTEGER) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    values = ", ".join(
+        "(" + str(i) + ", '" + t.replace("'", "''") + "')" for i, t in PII_DOCS
+    )
+    return f"""
+        SELECT doc_id,
+               {redacted} AS redacted,
+               {counts}
+        FROM (VALUES {values}) AS docs(doc_id, text)
+    """
 
 
 def _plane_sql(plane: list[float]) -> str:
@@ -353,6 +381,27 @@ ORACLES_EXT: dict[str, str] = {
                substr(md5(lower(text)), 1, 8) AS fp_prefix
         FROM documents
     """,
+    "x10_sequence_packing": """
+        WITH t AS (
+            SELECT lang, doc_id,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT lang, doc_id, n_tokens,
+                   sum(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM t
+        )
+        SELECT lang, doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST((cum - n_tokens) // 2048 AS BIGINT) AS start_seq,
+               CAST((cum - 1) // 2048 AS BIGINT) AS end_seq,
+               CAST((cum - n_tokens) % 2048 AS BIGINT) AS offset_in_seq
+        FROM c
+    """,
+    "x11_pii_redaction": _x11_pii_sql(),
     "x5b_binary_roundtrip": """
         SELECT doc_id AS media_id,
                'image' AS media_type,

@@ -39,7 +39,8 @@ def test_column_pruning_reaches_scan(spark):
 @pytest.mark.parametrize(
     "name",
     ["j1_dim_join_agg", "tpch_q3_shipping_priority", "tpch_q5_local_volume",
-     "a5_latest_join_dim", "tpch_q18_top_customers"],
+     "a5_latest_join_dim", "tpch_q18_top_customers",
+     "tpch_q17_small_quantity_revenue"],
 )
 def test_dimension_joins_broadcast(spark, name):
     plan = _formatted_plan(spark, name)
@@ -56,7 +57,8 @@ def test_topk_avoids_global_sort(spark):
     ["k2_upsert_lww", "a3_latest_per_key", "w2_moving_avg", "j3_asof_join",
      "j1_dim_join_agg", "tpch_q1_pricing_summary", "x2b_lsh_candidate_pairs",
      "a11_salted_agg", "w3_session_windows", "x2f_lsh_verified_neardup",
-     "x3b_embedding_neardup"],
+     "x3b_embedding_neardup", "tpch_q4_order_priority",
+     "tpch_q13_order_distribution"],
 )
 def test_no_cartesian_products(spark, name):
     plan = _formatted_plan(spark, name)
