@@ -111,9 +111,10 @@ def x3c_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_centroids(emb, "label", "embedding")
 
 
-def _x3d_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH buckets (seeded
-    planes — deterministic, but not SQL-expressible → rows-only)."""
+def x3d_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH buckets.  The
+    seeded planes are deterministic, so the DuckDB oracle replays them
+    as SQL literals (same construction as x3b)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.lsh_ann_topk(emb, "vec_id", "embedding", queries, k=5)
@@ -350,10 +351,12 @@ def x5b_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _x2e_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x2e_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the LSH candidate pairs → duplicate
-    clusters (iterative min-label propagation; rows-only — genuinely
-    non-SQL control flow)."""
+    clusters.  The Spark side is iterative min-label propagation with
+    pointer jumping; the DuckDB oracle computes the same fixpoint with
+    a recursive transitive-closure CTE — feasible at oracle scale,
+    where the Spark formulation is the one that distributes."""
     pairs = x2b_lsh_candidate_pairs(spark, sf_dir)
     return dedup.duplicate_clusters(pairs, max_iterations=8)
 
@@ -369,10 +372,10 @@ def _x3e_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: rows-only registrations (non-SQL-expressible paths)
+#: rows-only registrations (genuinely non-SQL-expressible paths:
+#: mapInPandas media decode; IVF's float-averaged centroids feed the
+#: probe-cell *ranking*, which no exact SQL replay can pin down)
 NO_ORACLE = {
-    "x3d_ann_lsh": _x3d_ann_lsh,
     "x5_multimodal_features": _x5_multimodal_features,
-    "x2e_dup_clusters": _x2e_dup_clusters,
     "x3e_ivf_topk": _x3e_ivf_topk,
 }

@@ -45,17 +45,9 @@ def _plane_sql(plane: list[float]) -> str:
     return "[" + ", ".join(repr(x) for x in plane) + "]"
 
 
-def _x3b_lsh_oracle(
-    threshold: float = 0.8,
-    n_planes: int = 6,
-    dim: int = 64,
-    seed: int = 42,
-    n_tables: int = 4,
-) -> str:
-    """Replay of operators.similarity.embedding_neardup_lsh: the same
-    seeded hyperplanes (embedded as literals), the same sign-pattern
-    buckets, the same per-distinct-pair cosine verify with
-    floor-quantized similarity."""
+def _tagged_arms(n_planes: int, dim: int, seed: int, n_tables: int) -> str:
+    """UNION ALL arms assigning each vector its sign-pattern bucket in
+    every LSH table, planes embedded as literals."""
     arms = []
     for t in range(n_tables):
         planes = seeded_hyperplanes(dim, n_planes, seed + t)
@@ -67,7 +59,21 @@ def _x3b_lsh_oracle(
         arms.append(
             f"SELECT vec_id, {t} AS tbl, {bits} AS bkt FROM v"
         )
-    tagged = "\n            UNION ALL ".join(arms)
+    return "\n            UNION ALL ".join(arms)
+
+
+def _x3b_lsh_oracle(
+    threshold: float = 0.8,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    n_tables: int = 4,
+) -> str:
+    """Replay of operators.similarity.embedding_neardup_lsh: the same
+    seeded hyperplanes (embedded as literals), the same sign-pattern
+    buckets, the same per-distinct-pair cosine verify with
+    floor-quantized similarity."""
+    tagged = _tagged_arms(n_planes, dim, seed, n_tables)
     thr = int(threshold * 10000)
     return f"""
         WITH v AS (
@@ -90,6 +96,48 @@ def _x3b_lsh_oracle(
         JOIN v vb ON vb.vec_id = id_b
         WHERE CAST(floor(list_cosine_similarity(va.emb, vb.emb) * 10000)
                    AS BIGINT) >= {thr}
+    """
+
+
+def _x3d_lsh_ann_oracle(
+    k: int = 5,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    n_tables: int = 2,
+) -> str:
+    """Replay of operators.similarity.lsh_ann_topk for queries
+    vec_id < 10: bucket-collision candidates OR-amplified over
+    ``n_tables`` plane sets, exact cosine re-rank within candidates."""
+    tagged = _tagged_arms(n_planes, dim, seed, n_tables)
+    return f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        ),
+        tagged AS (
+            {tagged}
+        ),
+        qt AS (SELECT * FROM tagged WHERE vec_id < 10),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM tagged c
+            JOIN qt q ON c.tbl = q.tbl AND c.bkt = q.bkt
+            WHERE c.vec_id <> q.vec_id
+        ),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   list_cosine_similarity(vq.emb, vc.emb) AS cos
+            FROM cand
+            JOIN v vq ON vq.vec_id = query_id
+            JOIN v vc ON vc.vec_id = neighbor_id
+        )
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
+               CAST(floor(cos * 10000) AS BIGINT) AS sim
+        FROM scored
+        QUALIFY rank <= {k}
     """
 
 
@@ -233,6 +281,45 @@ ORACLES_EXT: dict[str, str] = {
         QUALIFY rank <= 5
     """,
     "x3b_embedding_neardup": _x3b_lsh_oracle(),
+    "x3d_ann_lsh": _x3d_lsh_ann_oracle(),
+    "x2e_dup_clusters": f"""
+        WITH RECURSIVE ds AS ({_SHINGLES}),
+        sigs AS (
+            SELECT doc_id, CAST(band AS INTEGER) AS band,
+                   min(substr(md5(shingle) || md5(shingle || '#'),
+                              8 * band + 1, 8)) AS minhash
+            FROM ds CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band) b
+            GROUP BY doc_id, band
+        ),
+        ok_buckets AS (
+            SELECT band, minhash
+            FROM sigs
+            GROUP BY band, minhash
+            HAVING count(DISTINCT doc_id) BETWEEN 2 AND 100
+        ),
+        candidates AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sigs a
+            JOIN sigs b ON a.band = b.band AND a.minhash = b.minhash
+            JOIN ok_buckets ob ON ob.band = a.band AND ob.minhash = a.minhash
+            WHERE a.doc_id < b.doc_id
+        ),
+        sym AS (
+            SELECT id_a AS src, id_b AS dst FROM candidates
+            UNION ALL
+            SELECT id_b, id_a FROM candidates
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM sym
+            UNION
+            SELECT src, src FROM sym
+            UNION
+            SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+        )
+        SELECT src AS doc_id, min(dst) AS cluster_id
+        FROM reach
+        GROUP BY src
+    """,
     "x3c_label_centroids": """
         WITH t AS (
             SELECT label,
