@@ -188,11 +188,21 @@ def ivf_topk(
     assignment is scan-side, and the candidate join shuffles only by
     cell id — the classic inverted-file trade of recall for a
     1/|cells| scan reduction."""
+    # µ-quantized exact mean per component (see label_centroids): the
+    # centroid is then order-independent and engine-reproducible, which
+    # makes the probe-cell RANKING deterministic — the property that
+    # lets the DuckDB oracle replay the whole IVF path.
+    q_comp = F.floor(F.col("comp") * F.lit(1000000.0)).cast("long")
     cents = (
         vectors.select(F.col(cell_col).alias("cell"), _as_double(vec_col).alias("__v"))
         .select("cell", F.posexplode("__v").alias("pos", "comp"))
         .groupBy("cell", "pos")
-        .agg(F.avg("comp").alias("comp"))
+        .agg(
+            (
+                F.sum(q_comp).cast("double")
+                / (F.count(F.lit(1)) * F.lit(1000000).cast("long"))
+            ).alias("comp")
+        )
         .groupBy("cell")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "comp"))).alias("pc"))
         .select("cell", F.transform("pc", lambda s: s.getField("comp")).alias("centroid"))

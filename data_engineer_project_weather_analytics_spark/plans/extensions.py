@@ -361,10 +361,12 @@ def x2e_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_clusters(pairs, max_iterations=8)
 
 
-def _x3e_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x3e_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: label column as the coarse quantizer cell, probing the
-    2 nearest cells per query (rows-only; verified against brute force
-    in pytest)."""
+    2 nearest cells per query.  Centroids are µ-quantized exact means,
+    so the probe ranking is deterministic and the DuckDB oracle can
+    replay the whole path (also verified against brute force in
+    pytest)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.ivf_topk(
@@ -372,10 +374,7 @@ def _x3e_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: rows-only registrations (genuinely non-SQL-expressible paths:
-#: mapInPandas media decode; IVF's float-averaged centroids feed the
-#: probe-cell *ranking*, which no exact SQL replay can pin down)
+#: rows-only registrations (genuinely non-SQL-expressible paths)
 NO_ORACLE = {
     "x5_multimodal_features": _x5_multimodal_features,
-    "x3e_ivf_topk": _x3e_ivf_topk,
 }

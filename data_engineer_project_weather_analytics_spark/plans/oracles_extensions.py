@@ -282,6 +282,55 @@ ORACLES_EXT: dict[str, str] = {
     """,
     "x3b_embedding_neardup": _x3b_lsh_oracle(),
     "x3d_ann_lsh": _x3d_lsh_ann_oracle(),
+    "x3e_ivf_topk": """
+        WITH v AS (
+            SELECT vec_id, label AS cell, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings
+        ),
+        comp AS (
+            SELECT cell, u.pos AS pos,
+                   CAST(sum(CAST(floor(CAST(u.val AS DOUBLE) * 1000000.0)
+                                 AS BIGINT)) AS DOUBLE)
+                       / (count(*) * 1000000) AS comp
+            FROM (
+                SELECT cell,
+                       unnest(list_transform(
+                           generate_series(1, len(emb)),
+                           i -> {'pos': i, 'val': emb[i]})) AS u
+                FROM v
+            )
+            GROUP BY cell, u.pos
+        ),
+        cent AS (
+            SELECT cell, list(comp ORDER BY pos) AS centroid
+            FROM comp GROUP BY cell
+        ),
+        q AS (SELECT vec_id AS query_id, emb AS qemb FROM v WHERE vec_id < 10),
+        probes AS (
+            SELECT query_id, cell, qemb FROM (
+                SELECT q.query_id, c.cell, q.qemb,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(q.qemb, c.centroid)
+                                        DESC, c.cell) AS r
+                FROM q CROSS JOIN cent c
+            ) WHERE r <= 2
+        ),
+        scored AS (
+            SELECT p.query_id, c.vec_id AS neighbor_id,
+                   list_cosine_similarity(p.qemb, c.emb) AS cos
+            FROM probes p
+            JOIN v c ON c.cell = p.cell
+            WHERE c.vec_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
+               CAST(floor(cos * 10000) AS BIGINT) AS sim
+        FROM scored
+        QUALIFY rank <= 5
+    """,
     "x2e_dup_clusters": f"""
         WITH RECURSIVE ds AS ({_SHINGLES}),
         sigs AS (

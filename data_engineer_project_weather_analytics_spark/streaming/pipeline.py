@@ -72,15 +72,41 @@ def windowed_aggregate(
     window_duration: str = "1 hour",
     watermark_delay: str = "3 hours",
     value_col: str = "value",
+    slide_duration: str | None = None,
 ) -> DataFrame:
-    """Tumbling event-time aggregation with a watermark bounding state
-    (late rows beyond the delay are dropped — T5)."""
+    """Tumbling (or, with ``slide_duration``, sliding) event-time
+    aggregation with a watermark bounding state (late rows beyond the
+    delay are dropped — T5).  A sliding window multiplies state by
+    window/slide; the watermark still expires every window whose end
+    precedes it, so state stays bounded."""
+    win = (
+        F.window(F.col(ts_col), window_duration, slide_duration)
+        if slide_duration is not None
+        else F.window(F.col(ts_col), window_duration)
+    )
     return (
         stream.withWatermark(ts_col, watermark_delay)
-        .groupBy(F.window(F.col(ts_col), window_duration).alias("w"))
+        .groupBy(win.alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.avg(value_col).alias("avg_value"),
         )
         .select(F.col("w.start").alias("bucket"), "n", "avg_value")
+    )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    watermark_delay: str = "3 hours",
+) -> DataFrame:
+    """Streaming exact-once dedup: drop re-deliveries of the same key
+    within the watermark horizon (``dropDuplicatesWithinWatermark``) —
+    the stream-side complement to the sink-side LWW upsert.  State
+    holds one entry per key seen inside the horizon and is expired by
+    the watermark, so memory is bounded by arrival rate × delay, not
+    by stream lifetime."""
+    return stream.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+        key_cols
     )

@@ -129,3 +129,76 @@ def test_stateful_latest_tracker(spark, tmp_path):
               for r in spark.read.parquet(out).collect()
               if r.n_updates == 3}
     assert latest[1] == ("2025-12-01 01:00:00", 22.0, 3)
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a re-delivered key inside the
+    horizon is emitted once; keys are distinct across micro-batches
+    of the same run too."""
+    from data_engineer_project_weather_analytics_spark.streaming.pipeline import dedup_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(
+        spark,
+        src,
+        [(1, 0, 0, 20.0), (1, 0, 0, 20.0), (2, 0, 5, 21.0), (2, 0, 5, 99.0)],
+    )
+    deduped = dedup_stream(
+        file_stream(spark, src, SCHEMA), ["city_id", "ts"], "ts"
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    keys = [(r.city_id, r.ts) for r in rows]
+    assert len(keys) == len(set(keys)) == 2  # one survivor per key
+
+
+def test_stream_sliding_window_matches_batch(spark, tmp_path):
+    """Sliding-window streaming agg over availableNow equals the batch
+    F.window result on the same data (each event in 2 windows)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    data = [(1, 0, 10, 20.0), (1, 0, 40, 22.0), (2, 1, 5, 30.0)]
+    _write_batch(spark, src, data)
+    agg = windowed_aggregate(
+        file_stream(spark, src, SCHEMA),
+        "ts",
+        window_duration="1 hour",
+        slide_duration="30 minutes",
+        watermark_delay="0 seconds",
+        value_col="temp",
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("slide_out")
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.bucket, r.n) for r in spark.sql("SELECT * FROM slide_out").collect()
+    }
+    from pyspark.sql import functions as F
+
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("bucket"), "n")
+    )
+    want = {(r.bucket, r.n) for r in batch.collect()}
+    assert got == want
+    # every event lands in exactly window/slide = 2 windows
+    assert sum(n for _, n in got) == 2 * len(data)
