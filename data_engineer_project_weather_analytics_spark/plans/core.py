@@ -412,6 +412,33 @@ def t4_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w4_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-window family in one pass: rank / dense_rank /
+    percent_rank / cume_dist over a TIED ordering (floor of value — so
+    gap and density semantics are actually exercised), plus ntile over
+    a fully-ordered window (ntile depends on physical row order, so its
+    window must be a total order to be deterministic).  percent_rank
+    and cume_dist are int/int divisions — engine-exact."""
+    events = load_table(spark, sf_dir, "events")
+    w_ties = Window.partitionBy("event_type").orderBy(F.floor("value").desc())
+    w_total = Window.partitionBy("event_type").orderBy(
+        F.floor("value").desc(), F.col("event_id")
+    )
+    return (
+        events.select(
+            "event_id",
+            "event_type",
+            "value",
+            F.rank().over(w_ties).alias("rnk"),
+            F.dense_rank().over(w_ties).alias("drnk"),
+            F.ntile(4).over(w_total).alias("quartile"),
+            F.percent_rank().over(w_ties).alias("pct_rank"),
+            F.cume_dist().over(w_ties).alias("cume"),
+        )
+        .filter(F.col("rnk") <= 100)
+    )
+
+
 def t6_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 variant: sliding 1-hour window every 30 minutes — each event
     lands in exactly window/slide = 2 overlapping windows.  Spark's

@@ -309,6 +309,49 @@ def x11_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: near-identical titles for the entity-resolution fixture (literal —
+#: shared verbatim with the oracle, like the weather/PII families).
+X12_TITLES: tuple[tuple[int, str], ...] = (
+    (1, "the quick brown fox jumps"),
+    (2, "the quick brown fox jump"),
+    (3, "the quick browne fox jumps"),
+    (4, "a completely different title"),
+    (5, "a completly different title"),
+    (6, "the slow brown fox naps"),
+    (7, "unblocked singleton entry"),
+)
+
+
+def x12_blocked_edit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution near-dup: blocking key (first token) prunes
+    the pair space, then exact Levenshtein ≤ 2 verifies within blocks
+    — the classic blocked fuzzy-matching shape.  The block equi-join
+    replaces the O(n²) all-pairs edit-distance scan; at corpus scale
+    the blocking key is the only shuffle key and skewed blocks split
+    under AQE (a hot block means a degenerate key — route through
+    exact dedup first, as with LSH buckets)."""
+    docs = spark.createDataFrame(list(X12_TITLES), "id long, title string")
+    blocked = docs.select(
+        "id", "title", F.expr("split_part(title, ' ', 1)").alias("block")
+    )
+    a = blocked.select(
+        F.col("id").alias("id_a"), F.col("title").alias("title_a"), "block"
+    )
+    b = blocked.select(
+        F.col("id").alias("id_b"), F.col("title").alias("title_b"), "block"
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("title_a", "title_b").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= 2)
+    )
+
+
 # --------------------------------------------------------------------------
 # X5 — multimodal (mapInPandas plumbing; decode stubbed)
 # --------------------------------------------------------------------------

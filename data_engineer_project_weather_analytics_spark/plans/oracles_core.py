@@ -245,6 +245,20 @@ ORACLES_CORE: dict[str, str] = {
         FROM events
         GROUP BY 1, 2
     """,
+    "w4_rank_functions": """
+        SELECT * FROM (
+            SELECT event_id, event_type, value,
+                   CAST(rank() OVER w1 AS INTEGER) AS rnk,
+                   CAST(dense_rank() OVER w1 AS INTEGER) AS drnk,
+                   CAST(ntile(4) OVER w2 AS INTEGER) AS quartile,
+                   percent_rank() OVER w1 AS pct_rank,
+                   cume_dist() OVER w1 AS cume
+            FROM events
+            WINDOW w1 AS (PARTITION BY event_type ORDER BY floor(value) DESC),
+                   w2 AS (PARTITION BY event_type
+                          ORDER BY floor(value) DESC, event_id)
+        ) WHERE rnk <= 100
+    """,
     "t6_sliding_window": """
         WITH w AS (
             SELECT unnest([

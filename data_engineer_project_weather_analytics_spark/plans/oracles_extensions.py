@@ -141,6 +141,27 @@ def _x3d_lsh_ann_oracle(
     """
 
 
+def _x12_sql() -> str:
+    """Replay of x12_blocked_edit_dedup over the same literal titles."""
+    from data_engineer_project_weather_analytics_spark.plans.extensions import X12_TITLES
+
+    values = ", ".join(
+        "(" + str(i) + ", '" + t.replace("'", "''") + "')" for i, t in X12_TITLES
+    )
+    return f"""
+        WITH docs AS (
+            SELECT id, title, split_part(title, ' ', 1) AS block
+            FROM (VALUES {values}) AS t(id, title)
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(levenshtein(a.title, b.title) AS INTEGER) AS edit_distance
+        FROM docs a
+        JOIN docs b ON a.block = b.block
+        WHERE a.id < b.id
+          AND levenshtein(a.title, b.title) <= 2
+    """
+
+
 #: distinct (doc_id, 3-word shingle) pairs
 _SHINGLES = """
         SELECT DISTINCT doc_id,
@@ -538,6 +559,7 @@ ORACLES_EXT: dict[str, str] = {
         FROM c
     """,
     "x11_pii_redaction": _x11_pii_sql(),
+    "x12_blocked_edit_dedup": _x12_sql(),
     "x5b_binary_roundtrip": """
         SELECT doc_id AS media_id,
                'image' AS media_type,
