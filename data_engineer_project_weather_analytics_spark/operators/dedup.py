@@ -137,6 +137,38 @@ def minhash_signatures(
     ).select(id_col, F.col("band").cast("int").alias("band"), "minhash")
 
 
+def minhash_with_sizes(
+    ds: DataFrame, id_col: str, n_bands: int = 8
+) -> tuple[DataFrame, DataFrame]:
+    """Band signatures AND shingle-set sizes from ONE aggregation.
+
+    The Jaccard verifier needs per-doc set sizes; computing them in the
+    same hash aggregate as the band minima means the shingle table is
+    scanned and shuffled once for both — Spark's ReuseExchange then
+    shares the (id-keyed) exchange between the two consumers.  At
+    corpus scale this removes an entire scan+shuffle of the exploded
+    shingle table from the near-dup pipeline."""
+    n_digests = (n_bands + 3) // 4
+    digest = F.concat(
+        *[
+            F.md5(F.concat(F.col("shingle"), F.lit("#" * i)))
+            for i in range(n_digests)
+        ]
+    )
+    mins = [
+        F.min(F.substring(digest, 8 * b + 1, 8)).alias(f"__mh{b}")
+        for b in range(n_bands)
+    ]
+    agg = ds.groupBy(id_col).agg(*mins, F.count(F.lit(1)).alias("set_size"))
+    stack_args = ", ".join(f"{b}, __mh{b}" for b in range(n_bands))
+    sigs = agg.select(
+        F.col(id_col),
+        F.expr(f"stack({n_bands}, {stack_args}) AS (band, minhash)"),
+    ).select(id_col, F.col("band").cast("int").alias("band"), "minhash")
+    sizes = agg.select(id_col, "set_size")
+    return sigs, sizes
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, id_col: str, max_bucket: int | None = None
 ) -> DataFrame:
@@ -176,7 +208,11 @@ def lsh_candidate_pairs(
 
 
 def jaccard_for_candidates(
-    ds: DataFrame, id_col: str, candidates: DataFrame, threshold: float = 0.2
+    ds: DataFrame,
+    id_col: str,
+    candidates: DataFrame,
+    threshold: float = 0.2,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard evaluated ONLY over the given candidate pairs —
     the verifier stage of the LSH near-dup pipeline.
@@ -191,8 +227,13 @@ def jaccard_for_candidates(
     Candidate pairs whose true Jaccard is below ``threshold`` (or who
     share no shingle at all — possible via chance band collisions) are
     dropped: candidates prune the pair space, the verifier kills the
-    false positives."""
-    sizes = ds.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    false positives.
+
+    Pass ``sizes`` (``(id, set_size)``, e.g. from
+    :func:`minhash_with_sizes`) to reuse an already-computed set-size
+    table instead of re-scanning ``ds``."""
+    if sizes is None:
+        sizes = ds.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = ds.select(F.col(id_col).alias("id_a"), "shingle")
     b = ds.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (

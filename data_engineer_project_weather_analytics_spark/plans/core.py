@@ -412,6 +412,24 @@ def t4_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a13_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): two chosen
+    groupings + grand total in one pass, with ``grouping_id`` to
+    disambiguate NULL-as-ALL from NULL-as-value."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("v_events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(user_id % 10 AS BIGINT) AS user_bucket,
+               CAST(grouping_id() AS BIGINT) AS gid,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM v_events
+        GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+        """
+    )
+
+
 def w4_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full ranking-window family in one pass: rank / dense_rank /
     percent_rank / cume_dist over a TIED ordering (floor of value — so

@@ -72,9 +72,12 @@ def x2f_lsh_verified_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, which is what LSH pruning exists to avoid."""
     docs = load_table(spark, sf_dir, "documents")
     ds = dedup.doc_shingles(docs, "doc_id", "text", n=3)
-    sigs = dedup.minhash_signatures(ds, "doc_id", n_bands=8)
+    # one aggregation yields signatures AND set sizes (shared exchange)
+    sigs, sizes = dedup.minhash_with_sizes(ds, "doc_id", n_bands=8)
     candidates = dedup.lsh_candidate_pairs(sigs, "doc_id", max_bucket=LSH_MAX_BUCKET)
-    return dedup.jaccard_for_candidates(ds, "doc_id", candidates, threshold=0.1)
+    return dedup.jaccard_for_candidates(
+        ds, "doc_id", candidates, threshold=0.1, sizes=sizes
+    )
 
 
 def x2d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

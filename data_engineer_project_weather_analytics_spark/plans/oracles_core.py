@@ -245,6 +245,15 @@ ORACLES_CORE: dict[str, str] = {
         FROM events
         GROUP BY 1, 2
     """,
+    "a13_grouping_sets": """
+        SELECT event_type,
+               CAST(user_id % 10 AS BIGINT) AS user_bucket,
+               CAST(GROUPING(event_type, user_id % 10) AS BIGINT) AS gid,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM events
+        GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+    """,
     "w4_rank_functions": """
         SELECT * FROM (
             SELECT event_id, event_type, value,
