@@ -88,6 +88,30 @@ def insert_if_absent(existing: DataFrame, batch: DataFrame, keys: Sequence[str])
     return existing.unionByName(fresh)
 
 
+def jdbc_stage(
+    df: DataFrame,
+    url: str,
+    table: str,
+    properties: dict[str, str],
+    mode: str = "append",
+    batchsize: int = 10_000,
+) -> None:
+    """K1 optional parity path: stage a batch into a JDBC table
+    (SURVEY §2.2) — the bulk-write complement to the reference's
+    row-at-a-time ``cursor.execute`` loop.  Each partition opens one
+    connection and writes ``batchsize`` rows per round trip; pair with
+    a staging table + server-side ``INSERT … SELECT … ON CONFLICT`` for
+    upsert semantics (JDBC itself has no keyed merge).
+
+    Untestable in this environment (no database, no JDBC driver jar) —
+    provided for deployments; see
+    :meth:`~data_engineer_project_weather_analytics_spark.sources.config.DbConfig.jdbc_url` /
+    ``jdbc_properties`` for the credential plumbing."""
+    df.write.option("batchsize", str(batchsize)).jdbc(
+        url, table, mode=mode, properties=properties
+    )
+
+
 class UpsertTable:
     """A keyed upsert table persisted as append-only parquet.
 

@@ -170,3 +170,89 @@ def test_rest_fetch_injectable_and_error_drop(spark):
     # end-to-end: payloads → flatten drops the failed row
     parsed = parse_current(fetch_payloads(cities, fetch_fn=fake_fetch, delay_s=0.0))
     assert parsed.count() == 2
+
+
+def test_engine_config_from_env_and_redaction(spark):
+    from data_engineer_project_weather_analytics_spark.sources.config import EngineConfig, _assert_no_secret_in_repr
+
+    env = {
+        "WEATHER_API_KEY": "sk-supersecret-123",
+        "DB_HOST": "db.example.com",
+        "DB_NAME": "weather",
+        "DB_USER": "etl",
+        "DB_PASSWORD": "hunter2-secret",
+        "WEATHER_FETCH_DELAY_S": "0.1",
+    }
+    cfg = EngineConfig.from_env(env)
+    assert cfg.db.host == "db.example.com"
+    assert cfg.fetch_delay_s == 0.1
+    assert cfg.db.jdbc_url() == (
+        "jdbc:postgresql://db.example.com/weather?sslmode=require"
+    )
+    # secrets are present on the object but NEVER in any repr/str
+    assert cfg.api_key == "sk-supersecret-123"
+    assert cfg.db.password == "hunter2-secret"
+    _assert_no_secret_in_repr(cfg)
+    assert "hunter2" not in repr(cfg) + str(cfg) + repr(cfg.db)
+    # apply() plants only non-secret knobs on the session
+    cfg.apply(spark)
+    assert spark.conf.get("spark.data_engineer_project_weather_analytics_spark.fetch_delay_s") == "0.1"
+    for key in ("api_key", "password", "DB_PASSWORD"):
+        try:
+            # no conf key should carry a secret
+            assert "secret" not in (spark.conf.get(f"spark.data_engineer_project_weather_analytics_spark.{key}", "") or "")
+        except Exception:
+            pass
+
+
+def test_gopher_signals_values(spark):
+    from data_engineer_project_weather_analytics_spark.operators.text import gopher_signals
+
+    df = spark.createDataFrame(
+        [(1, "aa bb aa aa"), (2, "one two three four five")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in gopher_signals(df, "doc_id", "text").collect()}
+    # doc 1: 4 tokens, 2 distinct, top token 'aa' ×3
+    assert rows[1].distinct_token_ratio == 0.5
+    assert rows[1].top_token_ratio == 0.75
+    assert not rows[1].gopher_pass  # dominated by one token
+    # doc 2: all distinct
+    assert rows[2].distinct_token_ratio == 1.0
+    assert rows[2].top_token_ratio == 0.2
+
+
+def test_redact_pii_order_and_counts(spark):
+    from pyspark.sql import functions as F
+
+    from data_engineer_project_weather_analytics_spark.operators.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.io ip 1.2.3.4 ssn 111-22-3333 tel +12345678901")],
+        "id long, text string",
+    )
+    row = df.select(
+        redact_pii("text").alias("red"), *pii_counts("text")
+    ).collect()[0]
+    assert row.red == "mail <EMAIL> ip <IP> ssn <SSN> tel <PHONE>"
+    assert (row.n_email, row.n_ssn, row.n_ipv4, row.n_phone) == (1, 1, 1, 1)
+
+
+def test_sequence_packing_invariants(spark):
+    from data_engineer_project_weather_analytics_spark.plans.registry import REGISTRY
+
+    out = REGISTRY["x10_sequence_packing"].fn(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert rows
+    by_shard: dict = {}
+    for r in rows:
+        assert 0 <= r.offset_in_seq < 2048
+        assert r.start_seq <= r.end_seq
+        by_shard.setdefault(r.lang, []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.doc_id)
+        # contiguity: next doc starts exactly where the previous ended
+        pos = 0
+        for r in shard_rows:
+            assert r.start_seq * 2048 + r.offset_in_seq == pos
+            pos += r.n_tokens
