@@ -117,24 +117,12 @@ def minhash_signatures(
     salted md5s are computed per shingle regardless of band count —
     32 independent bits per band keeps cross-doc chance collisions at
     ~n²/2³³ per band (negligible), and the per-band minima remain
-    independent min-wise hashes."""
-    n_digests = (n_bands + 3) // 4  # 4 bands per 32-hex-char md5
-    digest = F.concat(
-        *[
-            F.md5(F.concat(F.col("shingle"), F.lit("#" * i)))
-            for i in range(n_digests)
-        ]
-    )
-    mins = [
-        F.min(F.substring(digest, 8 * b + 1, 8)).alias(f"__mh{b}")
-        for b in range(n_bands)
-    ]
-    agg = ds.groupBy(id_col).agg(*mins)
-    stack_args = ", ".join(f"{b}, __mh{b}" for b in range(n_bands))
-    return agg.select(
-        F.col(id_col),
-        F.expr(f"stack({n_bands}, {stack_args}) AS (band, minhash)"),
-    ).select(id_col, F.col("band").cast("int").alias("band"), "minhash")
+    independent min-wise hashes.
+
+    (Delegates to :func:`minhash_with_sizes` — single home for the
+    md5-slicing construction the SQL oracle mirrors; the extra count
+    aggregate is free.)"""
+    return minhash_with_sizes(ds, id_col, n_bands)[0]
 
 
 def minhash_with_sizes(
@@ -278,8 +266,9 @@ def duplicate_clusters(
 
     Input: (id_a, id_b) pairs.  Output: (doc_id, cluster_id) where
     cluster_id is the minimum doc id reachable through the pair graph.
-    Genuinely iterative → no SQL oracle (driver rows-only check);
-    pytest asserts it against a union-find replay instead."""
+    Oracle-checked: the DuckDB twin computes the same fixpoint with a
+    recursive transitive-closure CTE (x2e_dup_clusters); pytest also
+    asserts it against a union-find replay."""
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )

@@ -29,10 +29,15 @@ def delete_rows(df: DataFrame, delete_keys: DataFrame, on: Sequence[tuple[str, s
     """Remove rows of ``df`` whose ``on`` columns match a delete key.
 
     ``on`` maps ``(df_col, key_col)`` pairs; the anti-join broadcasts
-    the (small) key set, so this is one pruned scan of ``df``."""
+    the (small) key set, so this is one pruned scan of ``df``.
+
+    Plain ``=``, not null-safe equality: SQL ``DELETE … WHERE fk IN``
+    and Postgres ``ON DELETE CASCADE`` never match a NULL FK (a row
+    referencing nothing cascades from nothing), and the DuckDB oracle's
+    ``NOT IN`` agrees."""
     cond = None
     for df_col, key_col in on:
-        clause = df[df_col].eqNullSafe(delete_keys[key_col])
+        clause = df[df_col] == delete_keys[key_col]
         cond = clause if cond is None else (cond & clause)
     return df.join(F.broadcast(delete_keys), cond, "left_anti")
 

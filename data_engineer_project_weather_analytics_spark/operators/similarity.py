@@ -110,6 +110,26 @@ def lsh_bucket(vec_col: str | Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def lsh_bucket_array(
+    vec_col: str | Column, n_planes: int, dim: int, seed: int, n_tables: int
+) -> Column:
+    """``array<struct<tbl,bkt>>`` — this vector's sign-pattern bucket
+    in every LSH table.  Single home for the bucket encoding (seed
+    offset = table index) shared by :func:`lsh_ann_topk`,
+    :func:`embedding_neardup_lsh`, and mirrored by the SQL oracles'
+    ``_tagged_arms``; change it in one place or parity breaks."""
+    table_buckets = [
+        lsh_bucket(vec_col, seeded_hyperplanes(dim, n_planes, seed + t))
+        for t in range(n_tables)
+    ]
+    return F.array(
+        *[
+            F.struct(F.lit(t).alias("tbl"), b.alias("bkt"))
+            for t, b in enumerate(table_buckets)
+        ]
+    )
+
+
 def lsh_ann_topk(
     vectors: DataFrame,
     id_col: str,
@@ -130,16 +150,7 @@ def lsh_ann_topk(
     survives a 100 TB corpus: bucket ids are computed scan-side
     (narrow, one pass emits all tables' buckets), the join shuffles by
     (table, bucket), AQE splits skewed buckets."""
-    table_buckets = [
-        lsh_bucket(vec_col, seeded_hyperplanes(dim, n_planes, seed + t))
-        for t in range(n_tables)
-    ]
-    buckets_arr = F.array(
-        *[
-            F.struct(F.lit(t).alias("tbl"), b.alias("bkt"))
-            for t, b in enumerate(table_buckets)
-        ]
-    )
+    buckets_arr = lsh_bucket_array(vec_col, n_planes, dim, seed, n_tables)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(vec_col).alias("__qv"),
@@ -289,7 +300,9 @@ def embedding_neardup_pairs(
             "id_b",
             sim_q(cosine(F.col("__va"), F.col("__vb"))).alias("sim"),
         )
-        .filter(F.col("sim") >= int(threshold * 10000))
+        # round, not int(): 0.043*10000 is 429.999… in binary — int()
+        # would silently lower the cutoff by one quantum
+        .filter(F.col("sim") >= int(round(threshold * 10000)))
     )
 
 
@@ -316,16 +329,7 @@ def embedding_neardup_lsh(
     different buckets in all ``n_tables`` tables is missed (recall
     ≈ 1-(1-s^p)^L).  The brute-force :func:`embedding_neardup_pairs`
     is its pytest oracle on small slices."""
-    table_buckets = [
-        lsh_bucket(vec_col, seeded_hyperplanes(dim, n_planes, seed + t))
-        for t in range(n_tables)
-    ]
-    buckets_arr = F.array(
-        *[
-            F.struct(F.lit(t).alias("tbl"), b.alias("bkt"))
-            for t, b in enumerate(table_buckets)
-        ]
-    )
+    buckets_arr = lsh_bucket_array(vec_col, n_planes, dim, seed, n_tables)
     tagged = vectors.select(
         F.col(id_col).alias("__vid"), F.explode(buckets_arr).alias("__b")
     ).select(
@@ -353,5 +357,5 @@ def embedding_neardup_lsh(
             "id_b",
             sim_q(cosine(F.col("__va"), F.col("__vb"))).alias("sim"),
         )
-        .filter(F.col("sim") >= int(threshold * 10000))
+        .filter(F.col("sim") >= int(round(threshold * 10000)))
     )

@@ -104,17 +104,22 @@ ORACLES_CORE: dict[str, str] = {
             WHERE r_name = 'ASIA'
         ),
         nn AS (
-            SELECT n_nationkey, n_name FROM nation
-            WHERE n_nationkey NOT IN (SELECT n_nationkey FROM doomed)
+            -- NOT EXISTS, not NOT IN: a NULL key must be KEPT (anti-join
+            -- / Postgres CASCADE semantics), not swallowed by NULL IN
+            SELECT n_nationkey, n_name FROM nation n
+            WHERE NOT EXISTS (
+                SELECT 1 FROM doomed d WHERE d.n_nationkey = n.n_nationkey)
         ),
         nc AS (
-            SELECT c_nationkey, count(*) AS n FROM customer
-            WHERE c_nationkey NOT IN (SELECT n_nationkey FROM doomed)
+            SELECT c_nationkey, count(*) AS n FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM doomed d WHERE d.n_nationkey = c.c_nationkey)
             GROUP BY c_nationkey
         ),
         ns AS (
-            SELECT s_nationkey, count(*) AS n FROM supplier
-            WHERE s_nationkey NOT IN (SELECT n_nationkey FROM doomed)
+            SELECT s_nationkey, count(*) AS n FROM supplier s
+            WHERE NOT EXISTS (
+                SELECT 1 FROM doomed d WHERE d.n_nationkey = s.s_nationkey)
             GROUP BY s_nationkey
         )
         SELECT nn.n_nationkey, nn.n_name,

@@ -10,6 +10,17 @@ from __future__ import annotations
 
 from data_engineer_project_weather_analytics_spark.operators.similarity import seeded_hyperplanes
 from data_engineer_project_weather_analytics_spark.operators.text import PII_PATTERNS
+from data_engineer_project_weather_analytics_spark.plans.extensions import LSH_MAX_BUCKET
+
+#: capped-bucket CTE body — tracks plans.extensions.LSH_MAX_BUCKET so
+#: the Spark cap and the oracle cap can never drift (used by x2b, x2f,
+#: x2e).  Assumes a CTE named ``sigs`` in scope.
+_OK_BUCKETS = f"""
+            SELECT band, minhash
+            FROM sigs
+            GROUP BY band, minhash
+            HAVING count(DISTINCT doc_id) BETWEEN 2 AND {LSH_MAX_BUCKET}
+"""
 
 
 def _x11_pii_sql() -> str:
@@ -74,7 +85,7 @@ def _x3b_lsh_oracle(
     buckets, the same per-distinct-pair cosine verify with
     floor-quantized similarity."""
     tagged = _tagged_arms(n_planes, dim, seed, n_tables)
-    thr = int(threshold * 10000)
+    thr = int(round(threshold * 10000))  # round, not int(): see sim_q callers
     return f"""
         WITH v AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
@@ -194,12 +205,7 @@ ORACLES_EXT: dict[str, str] = {
     "x2_minhash_signatures": _SIGNATURES,
     "x2b_lsh_candidate_pairs": f"""
         WITH sigs AS ({_SIGNATURES}),
-        ok_buckets AS (
-            SELECT band, minhash
-            FROM sigs
-            GROUP BY band, minhash
-            HAVING count(DISTINCT doc_id) BETWEEN 2 AND 100
-        )
+        ok_buckets AS ({_OK_BUCKETS})
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM sigs a
         JOIN sigs b ON a.band = b.band AND a.minhash = b.minhash
@@ -233,12 +239,7 @@ ORACLES_EXT: dict[str, str] = {
             FROM ds CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band) b
             GROUP BY doc_id, band
         ),
-        ok_buckets AS (
-            SELECT band, minhash
-            FROM sigs
-            GROUP BY band, minhash
-            HAVING count(DISTINCT doc_id) BETWEEN 2 AND 100
-        ),
+        ok_buckets AS ({_OK_BUCKETS}),
         candidates AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM sigs a
@@ -361,12 +362,7 @@ ORACLES_EXT: dict[str, str] = {
             FROM ds CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band) b
             GROUP BY doc_id, band
         ),
-        ok_buckets AS (
-            SELECT band, minhash
-            FROM sigs
-            GROUP BY band, minhash
-            HAVING count(DISTINCT doc_id) BETWEEN 2 AND 100
-        ),
+        ok_buckets AS ({_OK_BUCKETS}),
         candidates AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM sigs a

@@ -310,33 +310,44 @@ def _current_full_sql(docs: tuple[str, ...], seq: int) -> str:
 
 
 def _forecast_fact_sql(docs: tuple[str, ...], seq: int) -> str:
-    """Forecast docs → 18-column forecast_weather rows + round seq."""
+    """Forecast docs → 18-column forecast_weather rows + round seq.
+
+    TRY_CAST(payload AS JSON) + json_extract_string + TRY_CAST for
+    every scalar (the CLAUDE.md DuckDB rule): a plain CAST inside a
+    multi-predicate WHERE can be folded onto a malformed doc and error
+    the oracle instead of filtering the row."""
+    step = "'$.list[' || i || ']"
     return f"""
         SELECT
             {seq} AS seq,
-            make_timestamp(CAST(payload->>('$.list[' || i || '].dt') AS BIGINT) * 1000000) AS dt,
-            payload->>('$.list[' || i || '].dt_txt') AS dt_txt,
-            TRY_CAST(payload->>('$.list[' || i || '].main.temp') AS DOUBLE) AS temp,
-            TRY_CAST(payload->>('$.list[' || i || '].main.feels_like') AS DOUBLE) AS feels_like,
-            TRY_CAST(payload->>('$.list[' || i || '].main.temp_min') AS DOUBLE) AS temp_min,
-            TRY_CAST(payload->>('$.list[' || i || '].main.temp_max') AS DOUBLE) AS temp_max,
-            TRY_CAST(payload->>('$.list[' || i || '].main.pressure') AS INTEGER) AS pressure,
-            TRY_CAST(payload->>('$.list[' || i || '].main.humidity') AS INTEGER) AS humidity,
-            TRY_CAST(payload->>('$.list[' || i || '].weather[0].id') AS INTEGER) AS weather_id,
-            payload->>('$.list[' || i || '].weather[0].main') AS weather_main,
-            payload->>('$.list[' || i || '].weather[0].description') AS description,
-            TRY_CAST(payload->>('$.list[' || i || '].wind.speed') AS DOUBLE) AS wind_speed,
-            TRY_CAST(payload->>('$.list[' || i || '].wind.deg') AS INTEGER) AS wind_deg,
-            TRY_CAST(payload->>('$.list[' || i || '].wind.gust') AS DOUBLE) AS wind_gust,
-            TRY_CAST(payload->>('$.list[' || i || '].visibility') AS INTEGER) AS visibility,
-            CAST(payload->>'$.city.id' AS BIGINT) AS city_id,
-            make_timestamp(CAST(payload->>'$.city.sunrise' AS BIGINT) * 1000000) AS sunrise,
-            make_timestamp(CAST(payload->>'$.city.sunset' AS BIGINT) * 1000000) AS sunset
+            make_timestamp(TRY_CAST(json_extract_string(j, {step}.dt') AS BIGINT) * 1000000) AS dt,
+            json_extract_string(j, {step}.dt_txt') AS dt_txt,
+            TRY_CAST(json_extract_string(j, {step}.main.temp') AS DOUBLE) AS temp,
+            TRY_CAST(json_extract_string(j, {step}.main.feels_like') AS DOUBLE) AS feels_like,
+            TRY_CAST(json_extract_string(j, {step}.main.temp_min') AS DOUBLE) AS temp_min,
+            TRY_CAST(json_extract_string(j, {step}.main.temp_max') AS DOUBLE) AS temp_max,
+            TRY_CAST(json_extract_string(j, {step}.main.pressure') AS INTEGER) AS pressure,
+            TRY_CAST(json_extract_string(j, {step}.main.humidity') AS INTEGER) AS humidity,
+            TRY_CAST(json_extract_string(j, {step}.weather[0].id') AS INTEGER) AS weather_id,
+            json_extract_string(j, {step}.weather[0].main') AS weather_main,
+            json_extract_string(j, {step}.weather[0].description') AS description,
+            TRY_CAST(json_extract_string(j, {step}.wind.speed') AS DOUBLE) AS wind_speed,
+            TRY_CAST(json_extract_string(j, {step}.wind.deg') AS INTEGER) AS wind_deg,
+            TRY_CAST(json_extract_string(j, {step}.wind.gust') AS DOUBLE) AS wind_gust,
+            TRY_CAST(json_extract_string(j, {step}.visibility') AS INTEGER) AS visibility,
+            TRY_CAST(json_extract_string(j, '$.city.id') AS BIGINT) AS city_id,
+            make_timestamp(TRY_CAST(json_extract_string(j, '$.city.sunrise') AS BIGINT) * 1000000) AS sunrise,
+            make_timestamp(TRY_CAST(json_extract_string(j, '$.city.sunset') AS BIGINT) * 1000000) AS sunset
         FROM (
-            SELECT payload,
-                   unnest(generate_series(0, CAST(payload->>'$.cnt' AS INTEGER) - 1)) AS i
-            FROM (VALUES {_sql_values(docs)}) AS raw(payload)
-            WHERE json_valid(payload) AND CAST(payload->>'$.cod' AS INTEGER) = 200
+            SELECT j,
+                   unnest(generate_series(
+                       0, TRY_CAST(json_extract_string(j, '$.cnt') AS INTEGER) - 1)) AS i
+            FROM (
+                SELECT TRY_CAST(payload AS JSON) AS j
+                FROM (VALUES {_sql_values(docs)}) AS raw(payload)
+            )
+            WHERE j IS NOT NULL
+              AND TRY_CAST(json_extract_string(j, '$.cod') AS INTEGER) = 200
         )
     """
 

@@ -197,12 +197,14 @@ def test_engine_config_from_env_and_redaction(spark):
     # apply() plants only non-secret knobs on the session
     cfg.apply(spark)
     assert spark.conf.get("spark.data_engineer_project_weather_analytics_spark.fetch_delay_s") == "0.1"
-    for key in ("api_key", "password", "DB_PASSWORD"):
-        try:
-            # no conf key should carry a secret
-            assert "secret" not in (spark.conf.get(f"spark.data_engineer_project_weather_analytics_spark.{key}", "") or "")
-        except Exception:
-            pass
+    # no engine conf value may carry a secret (regression gate for a
+    # future apply() accidentally planting credentials)
+    for key in (
+        "fetch_delay_s", "api_units", "api_lang", "api_timeout_s",
+        "api_key", "password",
+    ):
+        val = spark.conf.get(f"spark.data_engineer_project_weather_analytics_spark.{key}", "") or ""
+        assert cfg.api_key not in val and cfg.db.password not in val
 
 
 def test_gopher_signals_values(spark):
@@ -241,7 +243,9 @@ def test_redact_pii_order_and_counts(spark):
 def test_sequence_packing_invariants(spark):
     from data_engineer_project_weather_analytics_spark.plans.registry import REGISTRY
 
-    out = REGISTRY["x10_sequence_packing"].fn(spark, "/root/testdata/sf0.001")
+    from .conftest import SF_DIR
+
+    out = REGISTRY["x10_sequence_packing"].fn(spark, SF_DIR)
     rows = out.collect()
     assert rows
     by_shard: dict = {}
