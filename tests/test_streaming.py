@@ -202,3 +202,48 @@ def test_stream_sliding_window_matches_batch(spark, tmp_path):
     assert got == want
     # every event lands in exactly window/slide = 2 windows
     assert sum(n for _, n in got) == 2 * len(data)
+
+
+def test_stream_session_window_emission_governed_by_watermark(spark, tmp_path):
+    """Streaming session windows (append mode): a session is emitted
+    only once the watermark passes its end.  Two micro-batches
+    (maxFilesPerTrigger=1): after batch 1 the watermark reaches batch
+    1's max event time, so batch 2 flushes exactly the sessions that
+    closed before it — the session still open at the horizon stays in
+    state unemitted."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    out_ckpt = str(tmp_path / "ckpt")
+    # batch 1: city 1 session A (10:00,10:10), session B (12:00);
+    #          city 2 session C (10:05)
+    _write_batch(spark, src, [(1, 10, 0, 20.0), (1, 10, 10, 21.0),
+                              (1, 12, 0, 25.0), (2, 10, 5, 30.0)])
+    # batch 2: late flush event advancing nothing new for cities 1/2
+    _write_batch(spark, src, [(99, 23, 0, 1.0)])
+
+    stream = file_stream(spark, src, SCHEMA, max_files_per_trigger=1)
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy("city_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("city_id", F.col("sw.start").alias("session_start"), "n_events")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sessions_out")
+        .option("checkpointLocation", out_ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.city_id, r.session_start.hour, r.session_start.minute, r.n_events)
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    # after the last batch the watermark reaches 23:00: sessions A, B
+    # and C have all closed and are emitted; the flush event's own
+    # session (ends 23:30, beyond the final watermark) stays in state
+    # and is NOT emitted — append-mode emission is watermark-governed
+    assert got == {(1, 10, 0, 2), (1, 12, 0, 1), (2, 10, 5, 1)}
