@@ -294,7 +294,102 @@ def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: five-table join with a symmetric two-nation
+    predicate, yearly revenue rollup.  Both nation sides broadcast;
+    the fact chain (lineitem→orders) is the only big shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("__sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("__cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("__sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("__cn_key"))
+        .filter(
+            ((F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY"))
+            | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(_money_sum(_revenue(), "revenue"), F.count(F.lit(1)).alias("n_lines"))
+
+
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer in a date
+    window, top 20 — join + agg + TakeOrdered (no global sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    q = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp_ntz"))
+            ),
+            li["l_orderkey"] == orders["o_orderkey"],
+        )
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+    )
+    return (
+        q.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_money_sum(_revenue(), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
 ORACLES_ADVANCED: dict[str, str] = {
+    "tpch_q7_volume_shipping": """
+        SELECT supp_nation, cust_nation, l_year,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE), 2)
+                   AS revenue,
+               count(*) AS n_lines
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                   l_extendedprice, l_discount
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+               OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE')
+        )
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    "tpch_q10_returned_items": """
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE), 2)
+                   AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
     "tpch_q4_order_priority": """
         SELECT o_orderpriority, count(*) AS order_count
         FROM orders
