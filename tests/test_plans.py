@@ -40,7 +40,8 @@ def test_column_pruning_reaches_scan(spark):
     "name",
     ["j1_dim_join_agg", "tpch_q3_shipping_priority", "tpch_q5_local_volume",
      "a5_latest_join_dim", "tpch_q18_top_customers",
-     "tpch_q17_small_quantity_revenue"],
+     "tpch_q17_small_quantity_revenue", "tpch_q7_volume_shipping",
+     "tpch_q10_returned_items"],
 )
 def test_dimension_joins_broadcast(spark, name):
     plan = _formatted_plan(spark, name)

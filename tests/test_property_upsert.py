@@ -55,3 +55,46 @@ def test_lww_matches_postgres_upsert_replay(spark, batches):
         for k, v in batch:
             expected[k] = v
     assert got == expected
+
+
+#: a corpus = list of docs, each a list of words from a tiny vocabulary
+#: (heavy overlap → dense shingle collisions, the hard case)
+corpus_strategy = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d", "e"]), min_size=3, max_size=8),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=corpus_strategy)
+def test_candidate_pruned_jaccard_equals_full_intersected(spark, corpus):
+    """For ANY corpus: jaccard_for_candidates(ds, cand) must equal the
+    full-corpus jaccard_pairs restricted to the candidate pairs — the
+    pruned verifier may change the PLAN, never the result."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_project_weather_analytics_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(words)) for i, words in enumerate(corpus)]
+    )
+    ds = dedup.doc_shingles(docs, "doc_id", "text", n=3)
+    sigs, sizes = dedup.minhash_with_sizes(ds, "doc_id", n_bands=8)
+    cand = dedup.lsh_candidate_pairs(sigs, "doc_id", max_bucket=100)
+    pruned = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.jaccard_for_candidates(
+            ds, "doc_id", cand, threshold=0.1, sizes=sizes
+        ).collect()
+    }
+    full = dedup.jaccard_pairs(ds, "doc_id", threshold=0.1)
+    intersected = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in full.join(cand, on=["id_a", "id_b"], how="left_semi").collect()
+    }
+    assert pruned == intersected
