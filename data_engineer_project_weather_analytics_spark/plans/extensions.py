@@ -312,6 +312,39 @@ def x11_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-language sampling rates for the corpus-mixing sweep: md5-prefix
+#: thresholds, so the rate is a hex string compare (engine-portable,
+#: partition-order-independent — same construction as the x6 split).
+#: 'cd'/256 ≈ 80.1 %, '33'/256 ≈ 19.9 %, '80'/256 = 50.0 %.
+STRATA_THRESHOLDS: tuple[tuple[str, str], ...] = (
+    ("en", "33"),   # downsample the dominant language
+    ("de", "cd"),
+    ("fr", "cd"),
+    ("zh", "80"),
+)
+DEFAULT_STRATUM_THRESHOLD = "cd"
+
+
+def x13_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus resampling — the corpus-mixing
+    primitive of training-data pipelines (rebalance languages/sources
+    by downsampling dominant strata).  A doc survives iff the md5 of
+    its id is below its stratum's hex threshold: reproducible across
+    runs, engines, and partitionings (what ``sample()``'s RNG is not),
+    and a pure narrow filter — no shuffle, no state.  Output keeps the
+    stratum and the threshold for audit."""
+    docs = load_table(spark, sf_dir, "documents")
+    thr = F.lit(DEFAULT_STRATUM_THRESHOLD)
+    for lang, t in reversed(STRATA_THRESHOLDS):
+        thr = F.when(F.col("lang") == lang, F.lit(t)).otherwise(thr)
+    h = F.md5(F.col("doc_id").cast("string"))
+    return (
+        docs.select("doc_id", "lang", thr.alias("threshold"), h.alias("__h"))
+        .filter(F.col("__h") < F.col("threshold"))
+        .select("doc_id", "lang", "threshold")
+    )
+
+
 #: near-identical titles for the entity-resolution fixture (literal —
 #: shared verbatim with the oracle, like the weather/PII families).
 X12_TITLES: tuple[tuple[int, str], ...] = (

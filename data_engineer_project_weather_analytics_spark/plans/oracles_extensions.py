@@ -152,6 +152,29 @@ def _x3d_lsh_ann_oracle(
     """
 
 
+def _x13_sql() -> str:
+    """Replay of x13_stratified_sample from the same threshold table."""
+    from data_engineer_project_weather_analytics_spark.plans.extensions import (
+        DEFAULT_STRATUM_THRESHOLD,
+        STRATA_THRESHOLDS,
+    )
+
+    cases = "\n                 ".join(
+        f"WHEN lang = '{lang}' THEN '{t}'" for lang, t in STRATA_THRESHOLDS
+    )
+    return f"""
+        SELECT doc_id, lang, threshold
+        FROM (
+            SELECT doc_id, lang,
+                   CASE {cases}
+                        ELSE '{DEFAULT_STRATUM_THRESHOLD}' END AS threshold,
+                   md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM documents
+        )
+        WHERE h < threshold
+    """
+
+
 def _x12_sql() -> str:
     """Replay of x12_blocked_edit_dedup over the same literal titles."""
     from data_engineer_project_weather_analytics_spark.plans.extensions import X12_TITLES
@@ -556,6 +579,7 @@ ORACLES_EXT: dict[str, str] = {
     """,
     "x11_pii_redaction": _x11_pii_sql(),
     "x12_blocked_edit_dedup": _x12_sql(),
+    "x13_stratified_sample": _x13_sql(),
     "x5b_binary_roundtrip": """
         SELECT doc_id AS media_id,
                'image' AS media_type,
