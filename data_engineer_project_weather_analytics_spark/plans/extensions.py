@@ -325,6 +325,35 @@ STRATA_THRESHOLDS: tuple[tuple[str, str], ...] = (
 DEFAULT_STRATUM_THRESHOLD = "cd"
 
 
+def x14_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding post-processing: unit-normalize, then matryoshka-style
+    truncation to the first 16 dims with re-normalization — the
+    standard retrieval-index preparation pair, all higher-order
+    functions (one narrow projection, no shuffle, no Python).
+
+    Checked outputs carry quantized scalars only (repo rule: no raw
+    arrays): the original L2 norm and an md5 digest of the
+    1e-4-quantized truncated unit vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x)
+    )
+    head = F.slice(v, 1, 16)
+    head_norm = F.sqrt(
+        F.aggregate(
+            F.zip_with(head, head, lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
+        )
+    )
+    unit16 = F.transform(head, lambda x: x / head_norm)
+    q16 = F.transform(unit16, lambda x: F.floor(x * F.lit(10000.0)).cast("long"))
+    return emb.select(
+        "vec_id",
+        F.floor(norm * F.lit(10000.0)).cast("long").alias("norm_q"),
+        F.md5(F.array_join(q16, ",")).alias("unit16_digest"),
+    )
+
+
 def x13_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified corpus resampling — the corpus-mixing
     primitive of training-data pipelines (rebalance languages/sources

@@ -580,6 +580,26 @@ ORACLES_EXT: dict[str, str] = {
     "x11_pii_redaction": _x11_pii_sql(),
     "x12_blocked_edit_dedup": _x12_sql(),
     "x13_stratified_sample": _x13_sql(),
+    "x14_embedding_normalize": """
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings
+        ),
+        n AS (
+            SELECT vec_id,
+                   sqrt(list_inner_product(emb, emb)) AS norm,
+                   emb[1:16] AS head
+            FROM v
+        )
+        SELECT vec_id,
+               CAST(floor(norm * 10000.0) AS BIGINT) AS norm_q,
+               md5(array_to_string(
+                   list_transform(head,
+                       x -> CAST(floor(x / sqrt(list_inner_product(head, head))
+                                       * 10000.0) AS BIGINT)),
+                   ',')) AS unit16_digest
+        FROM n
+    """,
     "x5b_binary_roundtrip": """
         SELECT doc_id AS media_id,
                'image' AS media_type,

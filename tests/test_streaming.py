@@ -247,3 +247,33 @@ def test_stream_session_window_emission_governed_by_watermark(spark, tmp_path):
     # session (ends 23:30, beyond the final watermark) stays in state
     # and is NOT emitted — append-mode emission is watermark-governed
     assert got == {(1, 10, 0, 2), (1, 12, 0, 1), (2, 10, 5, 1)}
+
+
+def test_stream_static_dim_join(spark, tmp_path):
+    """Stream-static broadcast join: the canonical streaming dimension
+    enrichment — the static side is re-resolved per micro-batch, no
+    state, no watermark needed."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, src, [(1, 10, 0, 20.0), (2, 10, 5, 30.0), (7, 11, 0, 9.0)])
+    dim = spark.createDataFrame(
+        [(1, "Hanoi"), (2, "Hue")], "city_id long, city_name string"
+    )
+    enriched = file_stream(spark, src, SCHEMA).join(F.broadcast(dim), "city_id")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_out")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.city_id, r.city_name, r.temp)
+        for r in spark.sql("SELECT * FROM enriched_out").collect()
+    }
+    # inner join: the city with no dimension row (7) is dropped
+    assert got == {(1, "Hanoi", 20.0), (2, "Hue", 30.0)}
