@@ -173,14 +173,36 @@ def lsh_candidate_pairs(
     ``max_bucket`` caps pair fan-out per bucket (a hot bucket emits
     O(n²) pairs); at corpus scale set it to bound the worst case —
     a bucket that hot means near-identical boilerplate better handled
-    by exact dedup first.  Output is the distinct pair set."""
+    by exact dedup first.  Output is the distinct pair set.
+
+    The cap is enforced BEFORE any id array is built: bucket widths
+    are counted first (a plain count aggregate whose per-group state is
+    one long, never a collection), buckets outside [2, max_bucket] are
+    dropped with a semi-join, and only the survivors reach
+    ``collect_set``.  A degenerate mega-bucket (100 M ids sharing one
+    band signature) therefore never materializes its id array in a
+    reducer buffer — filtering on ``size(ids)`` after the collect would
+    bound pair emission but not aggregation memory.  The same pre-count
+    also discards singleton buckets (the vast majority at corpus scale)
+    before the expensive array aggregation.  The kept-bucket set is
+    identical by construction, so results match the uncapped-then-
+    filtered formulation exactly.  (Width = row count: upstream
+    :func:`minhash_signatures` emits exactly one row per (doc, band).)"""
+    if max_bucket is not None:
+        kept = (
+            signatures.groupBy("band", "minhash")
+            .agg(F.count(F.lit(1)).alias("__width"))
+            .filter(
+                (F.col("__width") >= 2) & (F.col("__width") <= max_bucket)
+            )
+            .select("band", "minhash")
+        )
+        signatures = signatures.join(kept, ["band", "minhash"], "left_semi")
     buckets = (
         signatures.groupBy("band", "minhash")
         .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    if max_bucket is not None:
-        buckets = buckets.filter(F.size("ids") <= max_bucket)
     pairs = F.expr(
         """
         flatten(transform(ids, (x, i) ->

@@ -143,3 +143,26 @@ def test_lsh_hot_bucket_capped(spark):
     # sanity: uncapped would have emitted n*(n-1)/2 pairs from that bucket
     uncapped = dedup.lsh_candidate_pairs(sigs, "doc_id", max_bucket=None)
     assert uncapped.count() == n * (n - 1) // 2
+
+
+def test_lsh_bucket_cap_precedes_collect(spark):
+    """The cap must be enforced BEFORE collect_set builds any id array:
+    the plan's signature is a LeftSemi join (kept-bucket filter) feeding
+    the array aggregation — a post-collect ``size(ids)`` filter bounds
+    pair emission but still materializes a mega-bucket's full id array
+    in one reducer buffer."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_project_weather_analytics_spark.operators import dedup
+
+    sigs = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0).alias("band"),
+        F.lit("deadbeef").alias("minhash"),
+    )
+    capped = dedup.lsh_candidate_pairs(sigs, "doc_id", max_bucket=5)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = capped._jdf.queryExecution().explainString(mode)
+    assert "LeftSemi" in plan, plan
+    # the width pre-count is a plain long-state aggregate, present once
+    assert "count(1)" in plan, plan
