@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_engineer_project_weather_analytics_spark.plans.core import _dec2, _money_sum, _revenue
+from data_engineer_project_weather_analytics_spark.plans.hints import maybe_broadcast
 from data_engineer_project_weather_analytics_spark.sources.catalog import load_table
 
 
@@ -143,7 +144,7 @@ def tpch_q18_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(maybe_broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
         .select(
             "c_custkey",
             "c_name",
@@ -191,7 +192,8 @@ def tpch_q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: conditional revenue share — ratio of two exact
-    decimal sums over one scan (broadcast part dimension)."""
+    decimal sums over one scan (part dimension broadcast while its
+    size estimate fits; part scales with SF)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     rev = _revenue()
@@ -199,7 +201,7 @@ def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("decimal(16,4)")
     )
     return (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        li.join(maybe_broadcast(part), li["l_partkey"] == part["p_partkey"])
         .agg(
             (
                 F.lit(100.0)
@@ -252,7 +254,7 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     part = load_table(spark, sf_dir, "part")
     brand_parts = part.filter(F.col("p_brand") == "Brand#13").select("p_partkey")
     li_b = li.join(
-        F.broadcast(brand_parts), li["l_partkey"] == F.col("p_partkey")
+        maybe_broadcast(brand_parts), li["l_partkey"] == F.col("p_partkey")
     ).select("l_partkey", "l_quantity", "l_extendedprice")
     thresh = li_b.groupBy("l_partkey").agg(
         (
@@ -296,8 +298,10 @@ def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: five-table join with a symmetric two-nation
-    predicate, yearly revenue rollup.  Both nation sides broadcast;
-    the fact chain (lineitem→orders) is the only big shuffle."""
+    predicate, yearly revenue rollup.  Both nation sides (constant 25
+    rows) force-broadcast; customer/supplier (SF-scaling) broadcast
+    size-conditionally; the fact chain (lineitem→orders) is the only
+    unconditional big shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -310,9 +314,9 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("__cn_key"), F.col("n_name").alias("cust_nation")
     )
     joined = (
-        li.join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        li.join(maybe_broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(maybe_broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("__sn_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("__cn_key"))
         .filter(
@@ -341,7 +345,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             li["l_orderkey"] == orders["o_orderkey"],
         )
-        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(maybe_broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
         .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
     )
     return (

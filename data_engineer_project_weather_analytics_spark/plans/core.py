@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from data_engineer_project_weather_analytics_spark.operators.latest import latest_per_key
 from data_engineer_project_weather_analytics_spark.operators.upsert import latest_write_wins
+from data_engineer_project_weather_analytics_spark.plans.hints import maybe_broadcast
 from data_engineer_project_weather_analytics_spark.sources.catalog import load_table
 
 
@@ -165,12 +166,13 @@ def a4_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def a5_latest_join_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 (+J1): the map widget — latest reading per key joined to the
-    dimension for coordinates/name.  The dimension side is broadcast:
-    zero shuffle added on top of A3's."""
+    dimension for coordinates/name.  The dimension side is broadcast
+    size-conditionally (customer scales with SF): zero shuffle added on
+    top of A3's while it fits, stats/AQE choice beyond."""
     latest = a3_latest_per_key(spark, sf_dir)
     customer = load_table(spark, sf_dir, "customer")
     return latest.join(
-        F.broadcast(customer.select("c_custkey", "c_name", "c_acctbal")),
+        maybe_broadcast(customer.select("c_custkey", "c_name", "c_acctbal")),
         latest["user_id"] == customer["c_custkey"],
         "inner",
     ).select("user_id", "c_name", "c_acctbal", "event_id", "ts", "value")
@@ -183,14 +185,15 @@ def a5_latest_join_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j1_dim_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 at volume: fact ⋈ broadcast dimension chain, revenue rollup.
 
-    lineitem ⋈ supplier ⋈ nation: both dims broadcast, so the only
-    shuffle is the final groupBy on n_name (25 groups) — the shape that
-    survives a 1000-executor scale-up."""
+    lineitem ⋈ supplier ⋈ nation: nation (constant 25 rows) is force-
+    broadcast, supplier (SF-scaling) size-conditionally, so the only
+    shuffle while the dims fit is the final groupBy on n_name (25
+    groups) — the shape that survives a 1000-executor scale-up."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     return (
-        lineitem.join(F.broadcast(supplier), lineitem["l_suppkey"] == supplier["s_suppkey"])
+        lineitem.join(maybe_broadcast(supplier), lineitem["l_suppkey"] == supplier["s_suppkey"])
         .join(F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"])
         .groupBy("n_name")
         .agg(
@@ -585,7 +588,8 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → join → agg → top-k.
-    customer (filtered) broadcasts into orders; orders⋈lineitem is the
+    customer (filtered, but still SF-proportional) broadcasts into
+    orders only while its size estimate fits; orders⋈lineitem is the
     one real shuffle; top-10 via TakeOrdered."""
     customer = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
@@ -600,7 +604,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.join(
             orders, lineitem["l_orderkey"] == orders["o_orderkey"]
         )
-        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(maybe_broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(_money_sum(_revenue(), "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
@@ -609,8 +613,10 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 5-way star join, dims broadcast, one fact
-    shuffle (orders⋈lineitem), grouped rollup per nation."""
+    """TPC-H Q5 shape: 5-way star join, one fact shuffle
+    (orders⋈lineitem), grouped rollup per nation.  nation/region
+    (constant 25/5 rows) force-broadcast; customer/supplier (SF-
+    scaling) broadcast only under the size threshold."""
     region = load_table(spark, sf_dir, "region")
     nation = load_table(spark, sf_dir, "nation")
     supplier = load_table(spark, sf_dir, "supplier")
@@ -622,8 +628,8 @@ def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     return (
         lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
-        .join(F.broadcast(supplier), lineitem["l_suppkey"] == supplier["s_suppkey"])
+        .join(maybe_broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(maybe_broadcast(supplier), lineitem["l_suppkey"] == supplier["s_suppkey"])
         .join(F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
         .groupBy("r_name", "n_name")

@@ -226,15 +226,19 @@ def x9_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     (log is monotone), and ``tf · (N+1)`` is exact integer arithmetic
     followed by ONE double division — bit-identical in every engine,
     where ``ln()`` may differ in the last ulp between libm
-    implementations.  Term stats are two partial-agg shuffles; the
-    doc-frequency and corpus-size sides broadcast."""
+    implementations.  Term stats are two partial-agg shuffles; only the
+    1-row corpus-count side broadcasts — the document-frequency table
+    is VOCABULARY-sized (one row per distinct term, unbounded on a real
+    corpus), so its join with ``tf`` shuffles on ``term``: ``df_`` is
+    already partitioned by ``term`` from its own groupBy, so the join
+    reuses that exchange and only re-hashes ``tf``."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(text.tokens("text")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("__tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
     nd = docs.agg(F.count(F.lit(1)).alias("__n"))
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_, "term")
         .join(F.broadcast(nd))
         .select(
             "doc_id",

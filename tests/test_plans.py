@@ -145,6 +145,136 @@ def test_lsh_hot_bucket_capped(spark):
     assert uncapped.count() == n * (n - 1) // 2
 
 
+# ---------------------------------------------------------------------------
+# broadcast hygiene: forced hints must never pin an SF-scaling side
+# ---------------------------------------------------------------------------
+
+#: tables whose size grows with the scale factor — a forced broadcast of
+#: any of these OOMs executors at the 100 TB target scale.
+_SF_SCALING_SCANS = (
+    "customer.parquet", "part.parquet", "supplier.parquet",
+    "orders.parquet", "lineitem.parquet", "events.parquet",
+    "documents.parquet", "embeddings.parquet",
+)
+
+#: queries whose *forced* broadcast side is structurally bounded even
+#: though it derives from an SF-scaling scan, so it legitimately
+#: survives `autoBroadcastJoinThreshold=-1`:
+#:   x3_cosine_topk   — the query-vector probe set (fixed id list)
+#:   x3e_ivf_topk     — the IVF centroid table (n_cells rows) probe
+#:   x9_tfidf_keywords / tpch_q22_dormant_customers — 1-row aggregates
+_BOUNDED_BROADCAST_QUERIES = {
+    "x3_cosine_topk",
+    "x3e_ivf_topk",
+    "x9_tfidf_keywords",
+    "tpch_q22_dormant_customers",
+}
+
+
+def _walk_physical(node):
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        yield n
+        ch = n.children()
+        for i in range(ch.length()):
+            stack.append(ch.apply(i))
+
+
+def _broadcast_subtrees(df) -> list[str]:
+    plan = df._jdf.queryExecution().sparkPlan()
+    return [
+        n.toString()
+        for n in _walk_physical(plan)
+        if "BroadcastExchange" in n.nodeName()
+    ]
+
+
+def _bounded_subtree(sub: str) -> bool:
+    """A broadcast subtree is scale-bounded if its output cannot grow
+    with the input: a grand (keys=[]) aggregate or an explicit limit."""
+    return (
+        "keys=[], " in sub
+        or "GlobalLimit" in sub
+        or "TakeOrderedAndProject" in sub
+    )
+
+
+def test_forced_broadcasts_only_on_scale_constant_sides(spark):
+    """With auto-broadcast disabled, any BroadcastExchange left in a
+    plan comes from an explicit `F.broadcast()` hint — which Spark will
+    honor at ANY size.  Assert no such forced hint pins a subtree that
+    scans an SF-scaling table (unless the subtree provably bounds its
+    output: 1-row aggregate or limit).  This is the regression gate for
+    the size-conditional `maybe_broadcast` mechanism."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        offenders = []
+        for name, spec in REGISTRY.items():
+            if name in _BOUNDED_BROADCAST_QUERIES:
+                continue
+            for sub in _broadcast_subtrees(spec.fn(spark, SF_DIR)):
+                if _bounded_subtree(sub):
+                    continue
+                hit = [t for t in _SF_SCALING_SCANS if t in sub]
+                if hit:
+                    offenders.append((name, hit, sub.splitlines()[0]))
+        assert not offenders, offenders
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_no_nested_loop_joins_registry_wide(spark):
+    """BroadcastNestedLoopJoin is only acceptable when one side is
+    structurally bounded (1-row scalar aggregates, the IVF centroid
+    probe, a fixed query-vector set) — everywhere else it signals a
+    missing equi-join key and O(n·m) work at scale."""
+    offenders = []
+    for name, spec in REGISTRY.items():
+        if name in _BOUNDED_BROADCAST_QUERIES:
+            continue
+        plan = spec.fn(spark, SF_DIR)._jdf.queryExecution().sparkPlan().toString()
+        if "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
+
+
+def test_maybe_broadcast_is_size_conditional(spark):
+    """The hint must respond to the threshold: forced under it, absent
+    (and overridable by stats/AQE) above it."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_project_weather_analytics_spark.plans.hints import (
+        maybe_broadcast,
+        parse_byte_size,
+    )
+    from data_engineer_project_weather_analytics_spark.sources.catalog import load_table
+
+    assert parse_byte_size("10485760b") == 10 * 1024 * 1024
+    assert parse_byte_size("10MB") == 10 * 1024 * 1024
+    assert parse_byte_size("-1") == -1
+    assert parse_byte_size("512") == 512
+
+    fact = load_table(spark, SF_DIR, "orders")
+    dim = load_table(spark, SF_DIR, "customer")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = fact.join(
+            maybe_broadcast(dim, threshold_bytes=1 << 40),
+            fact["o_custkey"] == dim["c_custkey"],
+        )
+        assert "BroadcastHashJoin" in hinted._jdf.queryExecution().sparkPlan().toString()
+        unhinted = fact.join(
+            maybe_broadcast(dim, threshold_bytes=1),
+            fact["o_custkey"] == dim["c_custkey"],
+        )
+        assert "BroadcastExchange" not in unhinted._jdf.queryExecution().sparkPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_lsh_bucket_cap_precedes_collect(spark):
     """The cap must be enforced BEFORE collect_set builds any id array:
     the plan's signature is a LeftSemi join (kept-bucket filter) feeding
