@@ -306,15 +306,32 @@ def embedding_neardup_pairs(
     )
 
 
+def recommended_n_planes(n_vectors: int, target_bucket: int = 256) -> int:
+    """Plane count that keeps the EXPECTED bucket population near
+    ``target_bucket``: 2^planes buckets per table ⇒
+    ``ceil(log2(n / target))`` planes, floored at 6.
+
+    Within-bucket candidate generation is O(width²) per bucket, so the
+    plane count must grow with the corpus — a fixed 6 planes (64
+    buckets) that is fine at 10⁵ vectors degrades toward O(n²/64) at
+    10⁹.  More planes also lower per-table recall (p^planes); callers
+    raising ``n_planes`` for a bigger corpus should raise ``n_tables``
+    to compensate (recall ≈ 1-(1-p^planes)^tables)."""
+    if n_vectors <= target_bucket:
+        return 6
+    return max(6, math.ceil(math.log2(n_vectors / target_bucket)))
+
+
 def embedding_neardup_lsh(
     vectors: DataFrame,
     id_col: str,
     vec_col: str,
     threshold: float = 0.8,
-    n_planes: int = 6,
+    n_planes: int | None = None,
     dim: int = 64,
     seed: int = 42,
     n_tables: int = 4,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via random-hyperplane LSH
     buckets — the scale path (no O(n²) join anywhere in the plan).
@@ -325,16 +342,41 @@ def embedding_neardup_lsh(
     so each distinct pair's similarity is computed once; the heavy
     vector payload moves only in the final id equi-joins.
 
+    Two guards keep the bucket join sub-quadratic at corpus scale:
+
+    * ``n_planes=None`` (default) sizes the plane count from the actual
+      corpus (one column-pruned count job →
+      :func:`recommended_n_planes`), so bucket population stays near
+      the target instead of O(n/2^6) with a fixed default;
+    * ``max_bucket`` drops degenerate hot buckets (identical or
+      near-zero vectors collapsing into one sign pattern) BEFORE the
+      pair self-join — widths are pre-counted and over-cap buckets
+      semi-joined away, the same pre-cap shape as the MinHash path
+      (operators/dedup.py), so no reducer ever sees the O(width²)
+      pair blow-up.  Vectors that bucket-collide that hard are exact
+      dups better handled by exact dedup first.
+
     Approximate by construction: a true near-dup pair that lands in
     different buckets in all ``n_tables`` tables is missed (recall
-    ≈ 1-(1-s^p)^L).  The brute-force :func:`embedding_neardup_pairs`
-    is its pytest oracle on small slices."""
+    ≈ 1-(1-p^planes)^tables where p = 1 - θ/π).  The brute-force
+    :func:`embedding_neardup_pairs` is its pytest oracle on small
+    slices."""
+    if n_planes is None:
+        n_planes = recommended_n_planes(vectors.count())
     buckets_arr = lsh_bucket_array(vec_col, n_planes, dim, seed, n_tables)
     tagged = vectors.select(
         F.col(id_col).alias("__vid"), F.explode(buckets_arr).alias("__b")
     ).select(
         "__vid", F.col("__b.tbl").alias("__tbl"), F.col("__b.bkt").alias("__bkt")
     )
+    if max_bucket is not None:
+        kept = (
+            tagged.groupBy("__tbl", "__bkt")
+            .agg(F.count(F.lit(1)).alias("__width"))
+            .filter((F.col("__width") >= 2) & (F.col("__width") <= max_bucket))
+            .select("__tbl", "__bkt")
+        )
+        tagged = tagged.join(kept, ["__tbl", "__bkt"], "left_semi")
     a = tagged.select(
         F.col("__vid").alias("id_a"), "__tbl", "__bkt"
     )

@@ -44,6 +44,11 @@ def x2_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: per-bucket pair fan-out to O(cap²) instead of O(n²) on a hot bucket.
 LSH_MAX_BUCKET = 100
 
+#: Same guard for the embedding (sign-pattern) LSH tables — buckets
+#: this wide mean exact-duplicate vectors; drop them before the pair
+#: self-join (mirrored by the x3b oracle's kept-bucket CTE).
+EMB_LSH_MAX_BUCKET = 1000
+
 
 def x2b_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding: doc pairs agreeing on ≥1 band signature.
@@ -100,11 +105,14 @@ def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x3b_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs at cosine ≥ 0.8, via random-hyperplane
     LSH buckets — candidates from a (table, bucket) equi-join, cosine
-    verified per distinct pair.  No O(n²) join anywhere; the DuckDB
-    oracle replays the same seeded hyperplanes as SQL literals."""
+    verified per distinct pair, hot buckets dropped before the pair
+    join (``EMB_LSH_MAX_BUCKET``).  No O(n²) join anywhere; the DuckDB
+    oracle replays the same seeded hyperplanes as SQL literals and the
+    same kept-bucket filter."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_neardup_lsh(
-        emb, "vec_id", "embedding", threshold=0.8, n_planes=6, dim=64, seed=42, n_tables=4
+        emb, "vec_id", "embedding", threshold=0.8, n_planes=6, dim=64,
+        seed=42, n_tables=4, max_bucket=EMB_LSH_MAX_BUCKET,
     )
 
 

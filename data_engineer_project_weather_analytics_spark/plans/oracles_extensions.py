@@ -82,8 +82,11 @@ def _x3b_lsh_oracle(
 ) -> str:
     """Replay of operators.similarity.embedding_neardup_lsh: the same
     seeded hyperplanes (embedded as literals), the same sign-pattern
-    buckets, the same per-distinct-pair cosine verify with
-    floor-quantized similarity."""
+    buckets, the same kept-bucket width filter
+    (``EMB_LSH_MAX_BUCKET``), the same per-distinct-pair cosine verify
+    with floor-quantized similarity."""
+    from data_engineer_project_weather_analytics_spark.plans.extensions import EMB_LSH_MAX_BUCKET
+
     tagged = _tagged_arms(n_planes, dim, seed, n_tables)
     thr = int(round(threshold * 10000))  # round, not int(): see sim_q callers
     return f"""
@@ -93,10 +96,21 @@ def _x3b_lsh_oracle(
         tagged AS (
             {tagged}
         ),
+        kept AS (
+            SELECT tbl, bkt
+            FROM tagged
+            GROUP BY tbl, bkt
+            HAVING count(*) BETWEEN 2 AND {EMB_LSH_MAX_BUCKET}
+        ),
+        tagged_kept AS (
+            -- kept is unique per (tbl, bkt): inner join ≡ semi join
+            SELECT t.vec_id, t.tbl, t.bkt
+            FROM tagged t JOIN kept k ON t.tbl = k.tbl AND t.bkt = k.bkt
+        ),
         cand AS (
             SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-            FROM tagged a
-            JOIN tagged b ON a.tbl = b.tbl AND a.bkt = b.bkt
+            FROM tagged_kept a
+            JOIN tagged_kept b ON a.tbl = b.tbl AND a.bkt = b.bkt
             WHERE a.vec_id < b.vec_id
         )
         SELECT id_a, id_b,

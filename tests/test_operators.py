@@ -284,6 +284,15 @@ def test_cascade_delete_idempotent_and_complete(spark):
     assert sorted(fact2.collect()) == sorted(new_fact.collect())
 
 
+def test_recommended_n_planes_scales_with_corpus():
+    from data_engineer_project_weather_analytics_spark.operators.similarity import recommended_n_planes
+
+    assert recommended_n_planes(100) == 6          # tiny corpus → floor
+    assert recommended_n_planes(256 * 64) == 6     # 64 buckets of 256
+    assert recommended_n_planes(256 * 2**12) == 12
+    assert recommended_n_planes(10**9) > recommended_n_planes(10**6)
+
+
 def test_embedding_neardup_lsh_matches_brute_force_on_planted_dups(spark):
     import random
 

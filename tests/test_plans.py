@@ -275,6 +275,29 @@ def test_maybe_broadcast_is_size_conditional(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_embedding_lsh_bucket_cap_precedes_pair_join(spark):
+    """embedding_neardup_lsh must drop over-cap buckets BEFORE the
+    within-bucket self-join: 300 identical vectors collapse into one
+    bucket per table and would otherwise emit ~45k candidate pairs."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_project_weather_analytics_spark.operators import similarity
+
+    vecs = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(i % 3 + 1)) for i in range(8)]).alias("embedding"),
+    )
+    capped = similarity.embedding_neardup_lsh(
+        vecs, "vec_id", "embedding", threshold=0.5,
+        n_planes=4, dim=8, n_tables=2, max_bucket=100,
+    )
+    assert capped.count() == 0
+    plan = capped._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "LeftSemi" in plan, plan
+
+
 def test_lsh_bucket_cap_precedes_collect(spark):
     """The cap must be enforced BEFORE collect_set builds any id array:
     the plan's signature is a LeftSemi join (kept-bucket filter) feeding
