@@ -40,12 +40,26 @@ from data_engineer_project_weather_analytics_spark.sources.json_ingest import (
     to_current_weather_fact,
 )
 
+#: Deterministic survivor choice when one fetch round carries two
+#: different rows for the same key (duplicate city reading in a batch):
+#: without a tiebreak both Spark's row_number and the DuckDB replay pick
+#: an arbitrary row and can diverge.  Columns are typed payload fields
+#: extracted identically by both engines; the oracle mirrors them in its
+#: window ORDER BY (desc = NULLS LAST in both engines' defaults).
+CITIES_TIEBREAK = ("city_name", "country", "coord_lat", "coord_lon")
+CURRENT_FACT_TIEBREAK = ("temp", "pressure", "humidity", "weather_id")
 
-def first_write_wins(appended: DataFrame, keys: list[str]) -> DataFrame:
+
+def first_write_wins(
+    appended: DataFrame, keys: list[str], tiebreak: tuple[str, ...] = ()
+) -> DataFrame:
     """Insert-if-absent view over an append+sequence store: per key,
     the row of the OLDEST batch (``ON CONFLICT DO NOTHING`` semantics
-    — notebook cell 19)."""
-    w = Window.partitionBy(*keys).orderBy(F.col(INGEST_SEQ).asc())
+    — notebook cell 19).  ``tiebreak`` columns make the survivor
+    deterministic if one batch ever carries two rows for a key."""
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(INGEST_SEQ).asc(), *[F.col(c).desc() for c in tiebreak]
+    )
     return (
         appended.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -77,10 +91,17 @@ def run_etl(
         cities_table.append_batch(to_cities_dim(flat))
         current_table.append_batch(to_current_weather_fact(flat))
     if cities_mode == "upsert":
-        cities = cities_table.read_latest()
+        cities = latest_write_wins(
+            cities_table.read_raw(), cities_table.keys, tiebreak=CITIES_TIEBREAK
+        )
     else:
-        cities = first_write_wins(cities_table.read_raw(), cities_table.keys)
-    return cities, current_table.read_latest()
+        cities = first_write_wins(
+            cities_table.read_raw(), cities_table.keys, tiebreak=CITIES_TIEBREAK
+        )
+    return cities, latest_write_wins(
+        current_table.read_raw(), current_table.keys,
+        tiebreak=CURRENT_FACT_TIEBREAK,
+    )
 
 
 def etl_final_state(
@@ -109,10 +130,16 @@ def etl_final_state(
     for b in fact_batches[1:]:
         fact_all = fact_all.unionByName(b)
     if cities_mode == "upsert":
-        cities = latest_write_wins(cities_all, ["city_id"])
+        cities = latest_write_wins(
+            cities_all, ["city_id"], tiebreak=CITIES_TIEBREAK
+        )
     else:
-        cities = first_write_wins(cities_all, ["city_id"])
-    fact = latest_write_wins(fact_all, ["city_id", "dt"])
+        cities = first_write_wins(
+            cities_all, ["city_id"], tiebreak=CITIES_TIEBREAK
+        )
+    fact = latest_write_wins(
+        fact_all, ["city_id", "dt"], tiebreak=CURRENT_FACT_TIEBREAK
+    )
     return fact.join(F.broadcast(cities), "city_id")
 
 

@@ -222,7 +222,10 @@ def w_forecast_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlapping 3-hour steps (K2 semantics on the third table)."""
     b0 = to_forecast_weather_fact(parse_forecast(_raw(spark, FORECAST_DOCS)))
     b1 = to_forecast_weather_fact(parse_forecast(_raw(spark, FORECAST_DOCS_R2)))
-    return upsert(stamp_batch(b0, 0), stamp_batch(b1, 1), keys=["city_id", "dt"])
+    return upsert(
+        stamp_batch(b0, 0), stamp_batch(b1, 1), keys=["city_id", "dt"],
+        tiebreak=("temp", "pressure", "humidity"),
+    )
 
 
 def etl_run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -396,7 +399,8 @@ ORACLES_WEATHER: dict[str, str] = {
                sunrise, sunset
         FROM all_rows
         QUALIFY row_number() OVER (
-            PARTITION BY city_id, dt ORDER BY seq DESC) = 1
+            PARTITION BY city_id, dt
+            ORDER BY seq DESC, temp DESC, pressure DESC, humidity DESC) = 1
     """,
     "etl_run": f"""
         WITH all_rows AS (
@@ -411,12 +415,17 @@ ORACLES_WEATHER: dict[str, str] = {
                    sunrise, sunset
             FROM all_rows
             QUALIFY row_number() OVER (
-                PARTITION BY city_id, dt ORDER BY seq DESC) = 1
+                PARTITION BY city_id, dt
+                ORDER BY seq DESC, temp DESC, pressure DESC, humidity DESC,
+                         weather_id DESC) = 1
         ),
         cities AS (
             SELECT city_id, city_name, country, coord_lat, coord_lon, timezone
             FROM all_rows
-            QUALIFY row_number() OVER (PARTITION BY city_id ORDER BY seq DESC) = 1
+            QUALIFY row_number() OVER (
+                PARTITION BY city_id
+                ORDER BY seq DESC, city_name DESC, country DESC,
+                         coord_lat DESC, coord_lon DESC) = 1
         )
         SELECT f.*, c.city_name, c.country, c.coord_lat, c.coord_lon, c.timezone
         FROM fact f JOIN cities c USING (city_id)

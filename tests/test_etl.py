@@ -179,3 +179,30 @@ def test_forecast_fact_upsert_matches_replay(spark, tmp_path):
         latest, con, "SELECT * FROM forecast_weather", "forecast_weather"
     )
     con.close()
+
+
+def test_duplicate_key_in_one_batch_survivor_is_deterministic(spark):
+    """If a single fetch round carries TWO different rows for the same
+    key (duplicate city reading in a batch), the surviving row must be
+    chosen deterministically — same seq on both rows means the window
+    would otherwise pick whichever row the shuffle happened to order
+    first, and could diverge from the DuckDB replay run-to-run."""
+    import json
+
+    from data_engineer_project_weather_analytics_spark.etl import etl_final_state
+
+    base = json.loads(CURRENT_DOCS[0])
+    hot = json.loads(CURRENT_DOCS[0])
+    hot["main"]["temp"] = base["main"]["temp"] + 5.0  # same id, same dt
+    dup_round = _raw(spark, (json.dumps(base), json.dumps(hot)))
+
+    results = [
+        {
+            (r["city_id"], r["dt"]): r["temp"]
+            for r in etl_final_state(spark, [dup_round]).collect()
+        }
+        for _ in range(2)
+    ]
+    assert results[0] == results[1]
+    # the tiebreak (temp DESC first) must keep the hotter reading
+    assert list(results[0].values()) == [hot["main"]["temp"]]
