@@ -167,19 +167,34 @@ def gopher_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     All ratios are int/int divisions of exact counts — bit-identical
     in any engine.  ``top_token_ratio`` is computed *inside the row*
-    (distinct × filter scan over the token array), trading O(distinct ×
-    len) per-row work for zero shuffles — at corpus scale this keeps
-    quality scoring embarrassingly parallel."""
+    as the longest run in the SORTED token array — O(len·log len) per
+    row and zero shuffles, so quality scoring stays embarrassingly
+    parallel AND bounded on pathological documents (the naive
+    distinct×filter scan is O(distinct × len): quadratic on a 100
+    k-token doc of mostly-unique tokens)."""
     toks = tokens(text_col)
     n = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
     chars = F.length(F.regexp_replace(F.col(text_col), " ", ""))
     alpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda t: F.size(F.filter(toks, lambda w: w == t)),
-        )
+    # max token frequency = longest equal-run after array_sort; the
+    # fold carries (prev token, current run, best run) through the row
+    run = lambda acc, x: F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(  # noqa: E731
+        F.lit(1)
+    )
+    top = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run(acc, x).alias("run"),
+            F.greatest(acc["best"], run(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     mean_word_len = chars.cast("double") / n
     alpha_ratio = alpha.cast("double") / n

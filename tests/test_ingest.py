@@ -224,6 +224,44 @@ def test_gopher_signals_values(spark):
     assert rows[2].top_token_ratio == 0.2
 
 
+def test_gopher_top_token_ratio_matches_counter_on_random_docs(spark):
+    import collections
+    import random
+
+    from data_engineer_project_weather_analytics_spark.operators.text import gopher_signals
+
+    rng = random.Random(7)
+    docs = [
+        (i, " ".join(rng.choice(["a", "bb", "ccc", "d", "e"]) for _ in range(rng.randint(1, 40))))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r.doc_id: r for r in gopher_signals(df, "doc_id", "text").collect()}
+    for i, text in docs:
+        toks = text.split(" ")
+        expected = max(collections.Counter(toks).values()) / len(toks)
+        assert rows[i].top_token_ratio == expected, (i, text)
+
+
+def test_gopher_signals_bounded_on_pathological_long_doc(spark):
+    """100k tokens, ~50k distinct: the naive distinct×filter scan is
+    ~5e9 comparisons per row; the sorted-run form must finish in
+    seconds."""
+    import time
+
+    from data_engineer_project_weather_analytics_spark.operators.text import gopher_signals
+
+    n_unique, n_common = 100_000, 50
+    text = " ".join(
+        ["common"] * n_common + [f"w{i}" for i in range(n_unique)]
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    t0 = time.time()
+    row = gopher_signals(df, "doc_id", "text").collect()[0]
+    assert time.time() - t0 < 30
+    assert row.top_token_ratio == n_common / (n_common + n_unique)
+
+
 def test_redact_pii_order_and_counts(spark):
     from pyspark.sql import functions as F
 
