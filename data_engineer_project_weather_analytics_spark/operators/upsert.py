@@ -115,14 +115,28 @@ def jdbc_stage(
 class UpsertTable:
     """A keyed upsert table persisted as append-only parquet.
 
-    Layout: ``path/`` holds plain parquet appends, each write stamped
-    with the next ``ingest_seq``.  ``read_latest()`` returns the
-    canonical last-write-wins view; ``compact()`` rewrites the store so
-    the view is a bare scan again.
+    Layout: generation directories under ``path/`` —
 
-    At scale the store would be partitioned by a date derived from the
-    event time (``partition_cols``) so readers prune; the dedup shuffle
-    only touches partitions a batch actually wrote.
+    * ``path/gen=<N>/``       parquet appends of generation N, each
+      write stamped with the next ``ingest_seq``;
+    * ``path/_committed_<N>`` empty marker; the LIVE generation is the
+      highest committed N.
+
+    ``read_latest()`` returns the canonical last-write-wins view of the
+    live generation; ``compact()`` materializes that view into
+    generation N+1 and commits it by CREATING ``_committed_<N+1>`` —
+    a single atomic file creation, so a crash at ANY point of a
+    compaction leaves readers on the old, complete generation (the
+    partially-written ``gen=N+1`` directory has no marker and is
+    clobbered by the next compact).  No reader ever observes a partial
+    canonical view; the double-overwrite swap this replaces had a
+    window where the main path held half a snapshot.
+
+    Single-writer, like the Postgres connection it models: appends
+    during a compaction belong to the generation being retired.  At
+    scale the store would additionally be partitioned by a date derived
+    from the event time (``partition_cols``) so readers prune; the
+    dedup shuffle only touches partitions a batch actually wrote.
     """
 
     def __init__(
@@ -137,17 +151,45 @@ class UpsertTable:
         self.keys = list(keys)
         self.partition_cols = list(partition_cols)
 
+    # -- generation bookkeeping (Hadoop FS: works for any scheme) ----
+
+    def _fs(self):
+        jvm = self.spark.sparkContext._jvm
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        base = jvm.org.apache.hadoop.fs.Path(self.path)
+        return base.getFileSystem(conf), jvm
+
+    def _generation(self) -> int | None:
+        """Highest committed generation, or None before the first
+        append's commit marker lands."""
+        fs, jvm = self._fs()
+        base = jvm.org.apache.hadoop.fs.Path(self.path)
+        if not fs.exists(base):
+            return None
+        gens = []
+        for st in fs.listStatus(base):
+            name = st.getPath().getName()
+            if name.startswith("_committed_"):
+                gens.append(int(name[len("_committed_"):]))
+        return max(gens) if gens else None
+
+    def _commit_generation(self, n: int) -> None:
+        """THE atomic commit point: an empty marker file either exists
+        or it doesn't."""
+        fs, jvm = self._fs()
+        marker = jvm.org.apache.hadoop.fs.Path(f"{self.path}/_committed_{n}")
+        fs.create(marker, True).close()
+
+    def _gen_dir(self, n: int) -> str:
+        return f"{self.path}/gen={n}"
+
     def _exists(self) -> bool:
-        try:
-            self.spark.read.parquet(self.path).limit(0).collect()
-            return True
-        except Exception:
-            return False
+        return self._generation() is not None
 
     def _next_seq(self) -> int:
         if not self._exists():
             return 0
-        row = self.spark.read.parquet(self.path).agg(F.max(INGEST_SEQ)).first()
+        row = self.read_raw().agg(F.max(INGEST_SEQ)).first()
         return 0 if row[0] is None else int(row[0]) + 1
 
     def append_batch(self, batch: DataFrame, seq: int | None = None) -> int:
@@ -157,17 +199,25 @@ class UpsertTable:
         operators/observe.py) and exposed as ``self.last_metrics``."""
         from data_engineer_project_weather_analytics_spark.operators.observe import with_write_metrics
 
+        gen = self._generation()
         seq = self._next_seq() if seq is None else seq
         stamped, obs = with_write_metrics(stamp_batch(batch, seq))
         writer = stamped.write.mode("append")
         if self.partition_cols:
             writer = writer.partitionBy(*self.partition_cols)
-        writer.parquet(self.path)
+        writer.parquet(self._gen_dir(gen if gen is not None else 0))
+        if gen is None:
+            self._commit_generation(0)
         self.last_metrics = obs.get
         return seq
 
     def read_raw(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
+        gen = self._generation()
+        if gen is None:
+            raise FileNotFoundError(
+                f"upsert table has no committed generation: {self.path}"
+            )
+        return self.spark.read.parquet(self._gen_dir(gen))
 
     def read_latest(self) -> DataFrame:
         """The canonical view — what Postgres would contain after the
@@ -175,42 +225,36 @@ class UpsertTable:
         return latest_write_wins(self.read_raw(), self.keys)
 
     def compact(self) -> None:
-        """Materialize the canonical view in place (bounded read amp).
+        """Materialize the canonical view into the next generation
+        (bounded read amp), with a crash-atomic commit.
 
         The rewrite restarts sequences at 0; correctness is unaffected
         because the surviving rows are exactly the canonical set.
-
-        Not crash-atomic: a failure between the two overwrites can
-        leave the main path partial, recoverable from the temp
-        snapshot.  True atomic swap needs a transactional table format
-        (Delta/Iceberg MERGE+OPTIMIZE — ARCHITECTURE.md tradeoffs).
         """
+        cur = self._generation()
+        if cur is None:
+            return
         # sort by key within partitions so parquet row-group min/max
         # stats become selective — point lookups and key-range scans
         # prune row groups after compaction
         snapshot = stamp_batch(
             self.read_latest().sortWithinPartitions(*self.keys), 0
         )
-        tmp = self.path.rstrip("/") + ".compact.tmp"
+        new = cur + 1
         writer = snapshot.write.mode("overwrite")
         if self.partition_cols:
             writer = writer.partitionBy(*self.partition_cols)
-        writer.parquet(tmp)
-        # swap: overwrite main path from the materialized snapshot
-        reread = self.spark.read.parquet(tmp)
-        w2 = reread.write.mode("overwrite")
-        if self.partition_cols:
-            w2 = w2.partitionBy(*self.partition_cols)
-        w2.parquet(self.path)
-        self._delete_path(tmp)
+        writer.parquet(self._gen_dir(new))
+        self._commit_generation(new)  # readers switch here, atomically
+        # retired generation: cleanup is best-effort and unobservable
+        # (marker-max readers never look at it again)
+        self._delete_path(self._gen_dir(cur))
+        self._delete_path(f"{self.path}/_committed_{cur}")
 
     def _delete_path(self, path: str) -> None:
-        """Remove a temp directory via Hadoop FS (works for any scheme)."""
+        """Remove a retired directory via Hadoop FS (any scheme)."""
         try:
-            jvm = self.spark.sparkContext._jvm
-            jsc = self.spark.sparkContext._jsc
-            hpath = jvm.org.apache.hadoop.fs.Path(path)
-            fs = hpath.getFileSystem(jsc.hadoopConfiguration())
-            fs.delete(hpath, True)
+            fs, jvm = self._fs()
+            fs.delete(jvm.org.apache.hadoop.fs.Path(path), True)
         except Exception:
-            pass  # cleanup best-effort; stale tmp is harmless to reads
+            pass  # cleanup best-effort; stale dirs are harmless to reads

@@ -85,9 +85,39 @@ def test_insert_if_absent_first_write_wins(spark):
     assert _latest_dict(out) == {(1, 10): 20.0, (2, 10): 21.0}
 
 
-def test_compact_cleans_temp_dir(spark, table, tmp_path):
+def test_compact_retires_old_generation(spark, table):
     import os
 
     table.append_batch(_rows(spark, [(1, 10, 20.0)]))
     table.compact()
-    assert not os.path.exists(table.path.rstrip("/") + ".compact.tmp")
+    assert not os.path.exists(os.path.join(table.path, "gen=0"))
+    assert not os.path.exists(os.path.join(table.path, "_committed_0"))
+    assert os.path.exists(os.path.join(table.path, "_committed_1"))
+
+
+def test_compact_crash_before_commit_leaves_readers_whole(spark, table, monkeypatch):
+    """Kill the compaction at the worst moment — snapshot fully written
+    but the commit marker not yet created — and readers must still see
+    the complete pre-compaction canonical view; a retried compact then
+    succeeds over the debris."""
+    table.append_batch(_rows(spark, [(1, 10, 20.0), (2, 10, 21.0)]))
+    table.append_batch(_rows(spark, [(1, 10, 25.0)]))
+    before = _latest_dict(table.read_latest())
+
+    original = UpsertTable._commit_generation
+
+    def crash(self, n):
+        raise RuntimeError("simulated crash before commit marker")
+
+    monkeypatch.setattr(UpsertTable, "_commit_generation", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        table.compact()
+    # gen=1 data exists on disk but is uncommitted → invisible
+    assert _latest_dict(table.read_latest()) == before
+    assert table._generation() == 0
+
+    monkeypatch.setattr(UpsertTable, "_commit_generation", original)
+    table.compact()  # retry clobbers the debris and commits
+    assert _latest_dict(table.read_latest()) == before
+    assert table._generation() == 1
+    assert table.read_raw().count() == len(before)
