@@ -103,8 +103,11 @@ def jdbc_stage(
     a staging table + server-side ``INSERT … SELECT … ON CONFLICT`` for
     upsert semantics (JDBC itself has no keyed merge).
 
-    Untestable in this environment (no database, no JDBC driver jar) —
-    provided for deployments; see
+    Exercised end-to-end in tests/test_jdbc.py against Apache Derby
+    (the embedded JDBC database bundled with the Spark distribution):
+    stage + server-side MERGE replays the reference's ``ON CONFLICT
+    (city_id, dt) DO UPDATE`` (``dags/etl.py:83-121``) and matches the
+    engine's own last-write-wins view.  For Postgres deployments see
     :meth:`~data_engineer_project_weather_analytics_spark.sources.config.DbConfig.jdbc_url` /
     ``jdbc_properties`` for the credential plumbing."""
     df.write.option("batchsize", str(batchsize)).jdbc(
