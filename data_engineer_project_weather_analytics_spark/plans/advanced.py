@@ -356,7 +356,181 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: equi-join with a DISJUNCTIVE residual predicate
+    — three (brand, size-range, quantity-range) arms OR-ed together.
+    The join stays a hash equi-join on partkey (the planner must not
+    fall back to a nested loop); the brand/size disjunction prunes the
+    part side at the scan, the quantity arms filter post-join.
+    Simplification vs reference Q19 (PARITY.md): no p_container /
+    l_shipmode columns in the testdata, so those conjuncts are
+    dropped; shape and plan properties are the Q19 ones."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    part_f = part.filter(
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15))
+    )
+    j = li.join(maybe_broadcast(part_f), li["l_partkey"] == part_f["p_partkey"])
+    arms = (
+        ((F.col("p_brand") == "Brand#12") & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(arms).agg(
+        _money_sum(_revenue(), "revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: view-over-aggregate + scalar-max self-reference
+    — the quarter's revenue per supplier, keeping the top one(s).  The
+    per-supplier aggregate is computed ONCE and reused for both the
+    max (1-row broadcast) and the equality filter; the max comparison
+    runs on the exact decimal sum, so ties are engine-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_revenue()).alias("__rev"))
+    )
+    mx = rev.agg(F.max("__rev").alias("__mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("__rev") == F.col("__mx"))
+        .join(supplier, rev["l_suppkey"] == supplier["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("__rev").cast("double"), 2).alias("total_revenue"),
+        )
+    )
+
+
+def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per part attribute
+    group, with an excluded-supplier anti-join.  The testdata has no
+    partsupp table, so the part↔supplier relation is derived as the
+    DISTINCT (l_partkey, l_suppkey) pairs of lineitem (PARITY.md);
+    the reference's complaint-comment exclusion becomes a
+    negative-balance exclusion (no s_comment column)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    part_f = part.filter(
+        (F.col("p_brand") != "Brand#45")
+        & (~F.col("p_type").startswith("MEDIUM"))
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    bad = supplier.filter(F.col("s_acctbal") < 0.0).select("s_suppkey")
+    return (
+        ps.join(maybe_broadcast(part_f), ps["l_partkey"] == part_f["p_partkey"])
+        .join(bad, ps["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value for one nation's suppliers,
+    kept where the value exceeds a fraction of the nation-wide total
+    (scalar subquery threshold).  partsupp value is surrogated by
+    lineitem revenue (PARITY.md: no ps_supplycost/ps_availqty in the
+    testdata).  The per-part aggregate feeds both the total (1-row
+    broadcast) and the filter — one scan, one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    nat_supp = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == "NATION_7")),
+        supplier["s_nationkey"] == nation["n_nationkey"],
+    ).select("s_suppkey")
+    val = (
+        li.join(nat_supp, li["l_suppkey"] == nat_supp["s_suppkey"], "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(_revenue()).alias("__val"))
+    )
+    tot = val.agg(F.sum("__val").alias("__tot"))
+    return (
+        val.join(F.broadcast(tot))
+        .filter(
+            F.col("__val").cast("double")
+            > F.col("__tot").cast("double") * F.lit(0.001)
+        )
+        .select(
+            "l_partkey",
+            F.round(F.col("__val").cast("double"), 2).alias("part_value"),
+        )
+    )
+
+
 ORACLES_ADVANCED: dict[str, str] = {
+    "tpch_q19_disjunctive_join": """
+        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE), 2)
+                   AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "tpch_q15_top_supplier": """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * CAST(1 - l_discount AS DECIMAL(4,2))) AS r
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name,
+               round(CAST(r AS DOUBLE), 2) AS total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE r = (SELECT max(r) FROM rev)
+    """,
+    "tpch_q16_supplier_part_counts": """
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM ps
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#45'
+          AND p_type NOT LIKE 'MEDIUM%'
+          AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        GROUP BY p_brand, p_type, p_size
+    """,
+    "tpch_q11_important_parts": """
+        WITH val AS (
+            SELECT l_partkey,
+                   sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * CAST(1 - l_discount AS DECIMAL(4,2))) AS v
+            FROM lineitem
+            WHERE l_suppkey IN (
+                SELECT s_suppkey FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_7')
+            GROUP BY l_partkey
+        )
+        SELECT l_partkey, round(CAST(v AS DOUBLE), 2) AS part_value
+        FROM val
+        WHERE CAST(v AS DOUBLE) >
+              CAST((SELECT sum(v) FROM val) AS DOUBLE) * 0.001
+    """,
     "tpch_q7_volume_shipping": """
         SELECT supp_nation, cust_nation, l_year,
                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))

@@ -168,6 +168,8 @@ _BOUNDED_BROADCAST_QUERIES = {
     "x3e_ivf_topk",
     "x9_tfidf_keywords",
     "tpch_q22_dormant_customers",
+    "tpch_q15_top_supplier",   # 1-row max join
+    "tpch_q11_important_parts",  # 1-row total join
 }
 
 
