@@ -1,0 +1,215 @@
+#!/usr/bin/env python
+"""Scale-stress bench: does each plan survive a 10x data blow-up?
+
+There is no driver-generated sf1 testdata, so this harness builds a
+10x replica of $SPARK_GRAFT_SF_DIR (default sf0.1) in /tmp via DuckDB
+and times the scale-sensitive queries at 1x and 10x **in the same
+Spark session**, reporting the wall-clock ratio per query.
+
+Replication is key-remapped, not naive duplication:
+
+* fact/dimension keys are offset per copy (``key + r * (max+1)``) so
+  join fan-out and group-key cardinality grow 10x like real data —
+  nation/region stay fixed (they are constant-size in TPC-H);
+* document text gets a per-copy token suffix (``replace(' ', 'c<r> ')``)
+  so every token differs across copies: token/shingle counts per doc
+  are preserved while MinHash buckets don't collapse into one
+  10-deep duplicate cluster per doc;
+* embeddings get value-dependent per-copy noise
+  (``x + 0.05*r*sin(1000*x)``) so cosine directions differ across
+  copies (a uniform shift/scale would leave all 10 copies parallel and
+  turn every LSH bucket into a duplicate cluster).
+
+A query whose plan hides a scale cliff (forced broadcast of an
+SF-scaling table, un-capped hot bucket, quadratic candidate join)
+shows up here as a ratio far above ``10 * t1``; healthy plans land
+well under that because ~0.3-0.5 s of each 1x time is fixed
+plan/schedule overhead (BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": "scale10_ratio_max", "value": R, "unit": "x",
+   "queries": {name: {"t1": s, "t10": s, "ratio": r}, ...},
+   "replica_rows": {...}, "sf": "0.1x10"}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASE_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
+SCALE_DIR = os.environ.get(
+    "SPARK_GRAFT_SCALE_DIR", f"/tmp/spark_graft_scale{COPIES}"
+)
+
+#: Scale-sensitive headline subset: the joins/aggregations whose plans
+#: the 100x posture depends on (size-conditional broadcasts, pre-capped
+#: LSH buckets, union-scan as-of, shuffle TF-IDF join).
+QUERIES: tuple[str, ...] = (
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_volume",
+    "tpch_q18_top_customers",
+    "a3_latest_per_key",
+    "a5_latest_join_dim",
+    "j3_asof_join",
+    "t4_hourly_window",
+    "x1_exact_dedup",
+    "x2b_lsh_candidate_pairs",
+    "x2f_lsh_verified_neardup",
+    "x3b_embedding_neardup_auto",
+    "x7_decontamination",
+    "x9_tfidf_keywords",
+)
+
+
+def build_replica(base_dir: str, out_dir: str, copies: int) -> dict[str, int]:
+    """Materialize the key-remapped replica with DuckDB; idempotent."""
+    import duckdb
+
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            return json.load(fh)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {max(4, os.cpu_count() or 4)}")
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{base_dir}/{t}.parquet'"
+        )
+
+    def off(table: str, key: str) -> int:
+        return con.execute(f"SELECT max({key}) + 1 FROM {table}").fetchone()[0]
+
+    oc, os_, op = off("customer", "c_custkey"), off("supplier", "s_suppkey"), off("part", "p_partkey")
+    oo = off("orders", "o_orderkey")
+    oe, ou = off("events", "event_id"), off("events", "user_id")
+    od, ov = off("documents", "doc_id"), off("embeddings", "vec_id")
+
+    replicas = {
+        # constant-size dimensions: one copy
+        "region": "SELECT * FROM region",
+        "nation": "SELECT * FROM nation",
+        "customer": f"""SELECT c_custkey + r*{oc} AS c_custkey, c_name,
+                c_nationkey, c_acctbal, c_mktsegment
+            FROM customer, range({copies}) t(r)""",
+        "supplier": f"""SELECT s_suppkey + r*{os_} AS s_suppkey, s_name,
+                s_nationkey, s_acctbal
+            FROM supplier, range({copies}) t(r)""",
+        "part": f"""SELECT p_partkey + r*{op} AS p_partkey, p_name, p_brand,
+                p_type, p_size, p_retailprice
+            FROM part, range({copies}) t(r)""",
+        "orders": f"""SELECT o_orderkey + r*{oo} AS o_orderkey,
+                o_custkey + r*{oc} AS o_custkey, o_orderstatus,
+                o_totalprice, o_orderdate, o_orderpriority
+            FROM orders, range({copies}) t(r)""",
+        "lineitem": f"""SELECT l_orderkey + r*{oo} AS l_orderkey,
+                l_partkey + r*{op} AS l_partkey,
+                l_suppkey + r*{os_} AS l_suppkey,
+                l_linenumber, l_quantity, l_extendedprice, l_discount,
+                l_tax, l_returnflag, l_linestatus, l_shipdate
+            FROM lineitem, range({copies}) t(r)""",
+        "events": f"""SELECT event_id + r*{oe} AS event_id, ts,
+                user_id + r*{ou} AS user_id, event_type, value, props
+            FROM events, range({copies}) t(r)""",
+        # per-copy token suffix: token count preserved, tokens distinct
+        "documents": f"""SELECT doc_id + r*{od} AS doc_id,
+                CASE WHEN r = 0 THEN text
+                     ELSE replace(text, ' ', 'c' || r || ' ') END AS text,
+                lang, source, n_chars
+            FROM documents, range({copies}) t(r)""",
+        # value-dependent noise changes cosine direction per copy
+        "embeddings": f"""SELECT vec_id + r*{ov} AS vec_id,
+                CAST(list_transform(embedding,
+                     x -> x + 0.05 * r * sin(1000 * x)) AS FLOAT[])
+                    AS embedding,
+                label
+            FROM embeddings, range({copies}) t(r)""",
+    }
+    rows: dict[str, int] = {}
+    for t, sql in replicas.items():
+        con.execute(
+            f"COPY ({sql}) TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        rows[t] = con.execute(
+            f"SELECT count(*) FROM '{out_dir}/{t}.parquet'"
+        ).fetchone()[0]
+    con.close()
+    with open(marker, "w") as fh:
+        json.dump(rows, fh)
+    return rows
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from data_engineer_project_weather_analytics_spark.plans.registry import REGISTRY
+    from data_engineer_project_weather_analytics_spark.session import get_spark
+
+    rows = build_replica(BASE_DIR, SCALE_DIR, COPIES)
+
+    spark = get_spark(app_name="data_engineer_project_weather_analytics_spark-bench-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm JVM + file listing at both scales
+    spark.read.parquet(f"{BASE_DIR}/lineitem.parquet").count()
+    spark.read.parquet(f"{SCALE_DIR}/lineitem.parquet").count()
+
+    def x3b_auto(spark_, sf_dir):
+        # The registered x3b pins n_planes=6 so its DuckDB oracle can
+        # replay the hyperplanes as SQL literals; a scale deployment
+        # uses the corpus-sized default (n_planes=None), which is the
+        # configuration whose scaling this bench is meant to grade.
+        from data_engineer_project_weather_analytics_spark.operators import similarity
+        from data_engineer_project_weather_analytics_spark.plans.extensions import EMB_LSH_MAX_BUCKET
+        from data_engineer_project_weather_analytics_spark.sources.catalog import load_table
+
+        emb = load_table(spark_, sf_dir, "embeddings")
+        return similarity.embedding_neardup_lsh(
+            emb, "vec_id", "embedding", threshold=0.8, n_planes=None,
+            dim=64, seed=42, n_tables=4, max_bucket=EMB_LSH_MAX_BUCKET,
+        )
+
+    extra = {"x3b_embedding_neardup_auto": x3b_auto}
+
+    def run(name: str, sf_dir: str) -> float:
+        fn = extra.get(name) or REGISTRY[name].fn
+        df = fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.select(F.bit_xor(F.xxhash64(*df.columns)).alias("checksum")).collect()
+        return round(time.perf_counter() - t0, 3)
+
+    out: dict[str, dict[str, float]] = {}
+    for name in QUERIES:
+        t1 = run(name, BASE_DIR)
+        t10 = run(name, SCALE_DIR)
+        out[name] = {"t1": t1, "t10": t10, "ratio": round(t10 / max(t1, 1e-9), 2)}
+
+    worst = max(v["ratio"] for v in out.values())
+    print(
+        json.dumps(
+            {
+                "metric": "scale10_ratio_max",
+                "value": worst,
+                "unit": "x",
+                "queries": out,
+                "replica_rows": rows,
+                "sf": f"{BASE_DIR.rstrip('/').rsplit('sf', 1)[-1]}x{COPIES}",
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
