@@ -181,6 +181,86 @@ def lsh_ann_topk(
     )
 
 
+def cell_centroids(
+    vectors: DataFrame, cell_col: str, vec_col: str
+) -> DataFrame:
+    """``(cell, centroid array<double>)`` — the coarse-quantizer
+    codebook, assembled from :func:`label_centroids`-style µ-quantized
+    exact means: the centroid is order-independent and
+    engine-reproducible, which makes any RANKING over centroid
+    similarity deterministic — the property that lets the DuckDB
+    oracles replay the IVF and semantic-dedup paths."""
+    q_comp = F.floor(F.col("comp") * F.lit(1000000.0)).cast("long")
+    return (
+        vectors.select(F.col(cell_col).alias("cell"), _as_double(vec_col).alias("__v"))
+        .select("cell", F.posexplode("__v").alias("pos", "comp"))
+        .groupBy("cell", "pos")
+        .agg(
+            (
+                F.sum(q_comp).cast("double")
+                / (F.count(F.lit(1)) * F.lit(1000000).cast("long"))
+            ).alias("comp")
+        )
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "comp"))).alias("pc"))
+        .select("cell", F.transform("pc", lambda s: s.getField("comp")).alias("centroid"))
+    )
+
+
+def semantic_neardup(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: assign every
+    vector to its nearest coarse-quantizer centroid, then compute
+    pairwise cosine only WITHIN cells — the cluster-based complement
+    to the hyperplane-LSH path (:func:`embedding_neardup_lsh`).
+
+    Scale shape: the codebook (|cells| rows) is broadcast; assignment
+    is ``max_by`` over the scan-side vector×codebook product, which
+    partial-aggregates map-side — the n×|cells| scored rows collapse
+    to n before any shuffle (a ``row_number`` window here would
+    shuffle the full product).  The pair join shuffles by cell id
+    only; within-cell work is O(Σ cell²), the inverted-file trade —
+    cell count must grow with the corpus exactly like IVF's.
+
+    Tie-break: highest cosine, then lowest cell id — deterministic
+    cross-engine because centroids are µ-quantized exact means."""
+    cents = cell_centroids(vectors, cell_col, vec_col)
+    v = vectors.select(F.col(id_col).alias("__vid"), _as_double(vec_col).alias("__v"))
+    scored = (
+        v.crossJoin(F.broadcast(cents))
+        .select(
+            "__vid",
+            "__v",
+            "cell",
+            cosine(F.col("__v"), F.col("centroid")).alias("__csim"),
+        )
+    )
+    assigned = scored.groupBy("__vid").agg(
+        F.max_by("cell", F.struct(F.col("__csim"), (-F.col("cell")).alias("nc"))).alias(
+            "cell"
+        ),
+        F.first("__v").alias("__v"),
+    )
+    a = assigned.select(F.col("__vid").alias("id_a"), F.col("__v").alias("__va"), "cell")
+    b = assigned.select(F.col("__vid").alias("id_b"), F.col("__v").alias("__vb"), "cell")
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "cell",
+            sim_q(cosine(F.col("__va"), F.col("__vb"))).alias("sim"),
+        )
+        .filter(F.col("sim") >= int(round(threshold * 10000)))
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     id_col: str,
@@ -199,25 +279,7 @@ def ivf_topk(
     assignment is scan-side, and the candidate join shuffles only by
     cell id — the classic inverted-file trade of recall for a
     1/|cells| scan reduction."""
-    # µ-quantized exact mean per component (see label_centroids): the
-    # centroid is then order-independent and engine-reproducible, which
-    # makes the probe-cell RANKING deterministic — the property that
-    # lets the DuckDB oracle replay the whole IVF path.
-    q_comp = F.floor(F.col("comp") * F.lit(1000000.0)).cast("long")
-    cents = (
-        vectors.select(F.col(cell_col).alias("cell"), _as_double(vec_col).alias("__v"))
-        .select("cell", F.posexplode("__v").alias("pos", "comp"))
-        .groupBy("cell", "pos")
-        .agg(
-            (
-                F.sum(q_comp).cast("double")
-                / (F.count(F.lit(1)) * F.lit(1000000).cast("long"))
-            ).alias("comp")
-        )
-        .groupBy("cell")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "comp"))).alias("pc"))
-        .select("cell", F.transform("pc", lambda s: s.getField("comp")).alias("centroid"))
-    )
+    cents = cell_centroids(vectors, cell_col, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
     )

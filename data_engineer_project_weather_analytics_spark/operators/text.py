@@ -147,6 +147,31 @@ def pii_counts(text_col: str | Column) -> list[Column]:
     ]
 
 
+def max_sorted_run(arr: Column) -> Column:
+    """Most frequent element's occurrence count = longest equal-run
+    after ``array_sort`` — O(len·log len) per row, zero shuffles, and
+    bounded on pathological rows (the naive distinct×filter scan is
+    O(distinct × len)).  The fold carries (prev element, current run,
+    best run) through the row."""
+    run = lambda acc, x: F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(  # noqa: E731
+        F.lit(1)
+    )
+    return F.aggregate(
+        F.array_sort(arr),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run(acc, x).alias("run"),
+            F.greatest(acc["best"], run(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
 def gopher_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Gopher-style corpus-quality signals, per document — the
     repetition and well-formedness heuristics of the Gopher/MassiveText
@@ -177,25 +202,7 @@ def gopher_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     n_distinct = F.size(F.array_distinct(toks))
     chars = F.length(F.regexp_replace(F.col(text_col), " ", ""))
     alpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
-    # max token frequency = longest equal-run after array_sort; the
-    # fold carries (prev token, current run, best run) through the row
-    run = lambda acc, x: F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(  # noqa: E731
-        F.lit(1)
-    )
-    top = F.aggregate(
-        F.array_sort(toks),
-        F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            F.lit(0).alias("run"),
-            F.lit(0).alias("best"),
-        ),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            run(acc, x).alias("run"),
-            F.greatest(acc["best"], run(acc, x)).alias("best"),
-        ),
-        lambda acc: acc["best"],
-    )
+    top = max_sorted_run(toks)
     mean_word_len = chars.cast("double") / n
     alpha_ratio = alpha.cast("double") / n
     distinct_ratio = n_distinct.cast("double") / n
@@ -213,6 +220,84 @@ def gopher_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             & (distinct_ratio >= 0.2)
             & (top_ratio <= 0.2)
         ).alias("gopher_pass"),
+    )
+
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dup_bigram_ratio: float = 0.2,
+    max_dup_trigram_ratio: float = 0.18,
+    max_top_bigram_ratio: float = 0.1,
+) -> DataFrame:
+    """Gopher/MassiveText repetition filters, per document: the
+    duplicate-n-gram fractions that catch boilerplate and looped text
+    which single-token signals (``gopher_signals``) miss.
+
+    Signals (all int/int divisions of exact counts — bit-identical in
+    any engine; empty-gram docs coalesce to 0.0):
+
+    * ``dup_bigram_ratio``  — 1 - |distinct 2-grams| / |2-grams|;
+    * ``dup_trigram_ratio`` — 1 - |distinct 3-grams| / |3-grams|;
+    * ``top_bigram_ratio``  — most frequent 2-gram's share;
+    * ``rep_pass``          — the conjunction under the thresholds.
+
+    Plan shape: tokenize ONCE, n-gram arrays built once behind
+    projection boundaries (``zip_with`` over token-array slices — no
+    re-``split`` inside per-gram lambdas), every signal a higher-order
+    function over the row.  No shuffle anywhere: repetition scoring
+    stays embarrassingly parallel at corpus scale."""
+    toks = F.col("__toks")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    staged = df.select(
+        F.col(id_col), tokens(text_col).alias("__toks")
+    ).select(
+        F.col(id_col), F.col("__toks"), bigrams.alias("__bg")
+    )
+    bg = F.col("__bg")
+    m = F.size(bg)
+    tri_len = F.greatest(m - 1, F.lit(0))  # single-token doc: m = 0
+    trigrams = F.zip_with(
+        F.slice(bg, 1, tri_len),
+        F.slice(F.col("__toks"), 3, tri_len),
+        lambda g, t: F.concat_ws(" ", g, t),
+    )
+    staged = staged.select(
+        F.col(id_col), F.col("__bg"), trigrams.alias("__tg")
+    )
+    tg = F.col("__tg")
+
+    def dup_ratio(arr: Column) -> Column:
+        sz = F.size(arr)
+        return F.coalesce(
+            (sz - F.size(F.array_distinct(arr))).cast("double")
+            / F.nullif(sz, F.lit(0)).cast("double"),
+            F.lit(0.0),
+        )
+
+    top_bg = F.coalesce(
+        max_sorted_run(bg).cast("double")
+        / F.nullif(F.size(bg), F.lit(0)).cast("double"),
+        F.lit(0.0),
+    )
+    dup_bg, dup_tg = dup_ratio(bg), dup_ratio(tg)
+    return staged.select(
+        F.col(id_col),
+        F.size(bg).alias("n_bigrams"),
+        dup_bg.alias("dup_bigram_ratio"),
+        dup_tg.alias("dup_trigram_ratio"),
+        top_bg.alias("top_bigram_ratio"),
+        (
+            (dup_bg <= max_dup_bigram_ratio)
+            & (dup_tg <= max_dup_trigram_ratio)
+            & (top_bg <= max_top_bigram_ratio)
+        ).alias("rep_pass"),
     )
 
 

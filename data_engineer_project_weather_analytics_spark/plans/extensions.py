@@ -28,6 +28,35 @@ def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup_groups(docs, "doc_id", "text")
 
 
+def x1b_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: dedup an INCOMING batch against an EXISTING
+    corpus — the steady-state shape of a production ingestion pipeline
+    (the full-corpus re-dedup of ``x1`` is the bootstrap, this is every
+    day after).  The deterministic id-hash split stands in for the
+    corpus/batch boundary.
+
+    Plan: fingerprints on both sides (in-row md5), one ``left_anti``
+    equi-join on the fingerprint (drops anything already in the
+    corpus), then a hash-groupBy keeps the lowest-id copy within the
+    batch.  At 100 TB the corpus side is a parquet scan of ONE
+    fingerprint column (pruned at the reader) and the anti-join
+    shuffles only fingerprints — the text never moves."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        text.fingerprint("text").alias("fingerprint"),
+        text.deterministic_split("doc_id").alias("__split"),
+    )
+    corpus = fp.filter(F.col("__split") == "train").select("fingerprint")
+    incoming = fp.filter(F.col("__split") == "test")
+    return (
+        incoming.join(corpus, "fingerprint", "left_anti")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "fingerprint")
+    )
+
+
 # --------------------------------------------------------------------------
 # X2 — MinHash + LSH near-dup
 # --------------------------------------------------------------------------
@@ -113,6 +142,17 @@ def x3b_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_neardup_lsh(
         emb, "vec_id", "embedding", threshold=0.8, n_planes=6, dim=64,
         seed=42, n_tables=4, max_bucket=EMB_LSH_MAX_BUCKET,
+    )
+
+
+def x3f_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup: nearest-centroid assignment
+    (µ-quantized codebook over the label groups), pairwise cosine only
+    within assigned cells, ≥ 0.8.  The cluster-based counterpart to
+    the hyperplane-LSH x3b."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_neardup(
+        emb, "vec_id", "embedding", "label", threshold=0.8
     )
 
 
@@ -210,6 +250,14 @@ def x4f_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-row Catalyst expressions, zero shuffles."""
     docs = load_table(spark, sf_dir, "documents")
     return text.gopher_signals(docs, "doc_id", "text")
+
+
+def x4g_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters: duplicate 2-/3-gram fractions and the
+    top bigram's share, per document — in-row n-gram construction over
+    the materialized token array, zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_signals(docs, "doc_id", "text")
 
 
 def x8_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -335,6 +383,52 @@ STRATA_THRESHOLDS: tuple[tuple[str, str], ...] = (
     ("zh", "80"),
 )
 DEFAULT_STRATUM_THRESHOLD = "cd"
+
+
+def x15_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quantile quality gate: drop each language's bottom
+    20 % by distinct-token ratio — the relative (per-stratum) quality
+    cut that complements the absolute thresholds of x4c/x4f.
+
+    Scale shape: a naive ``cume_dist() OVER (PARTITION BY lang ORDER
+    BY quality)`` shuffles EVERY row of a language to one sort — with
+    a handful of languages over 100 TB that is a guaranteed skew
+    cliff.  Instead the cumulative distribution is computed on the
+    aggregated (lang, quality) value table (groupBy + running sum over
+    the distinct values — thousands of rows, not billions) and joined
+    back by (lang, quality), so the big table sees only one hash
+    aggregate and one equi-join.  ``pctile`` = exact #(rows ≤ q)/n —
+    an int/int division, bit-identical cross-engine; the DuckDB oracle
+    states the same thing with the window form."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = docs.select(
+        "doc_id", "lang", text.tokens("text").alias("__toks")
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.size(F.array_distinct(F.col("__toks"))).cast("double")
+            / F.size(F.col("__toks"))
+        ).alias("quality"),
+    )
+    by_val = sig.groupBy("lang", "quality").agg(F.count(F.lit(1)).alias("__c"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("quality")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = by_val.withColumn("__cum", F.sum("__c").over(w))
+    tot = by_val.groupBy("lang").agg(F.sum("__c").alias("__n"))
+    pct = cum.join(tot, "lang").select(
+        "lang",
+        "quality",
+        (F.col("__cum").cast("double") / F.col("__n")).alias("pctile"),
+    )
+    return (
+        sig.join(pct, ["lang", "quality"])
+        .filter(F.col("pctile") > 0.2)
+        .select("doc_id", "lang", "quality", "pctile")
+    )
 
 
 def x14_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -239,6 +239,20 @@ ORACLES_EXT: dict[str, str] = {
         FROM documents
         GROUP BY md5(text)
     """,
+    "x1b_incremental_dedup": """
+        WITH fp AS (
+            SELECT doc_id, md5(lower(text)) AS fingerprint,
+                   CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cd'
+                        THEN 'train' ELSE 'test' END AS split
+            FROM documents
+        )
+        SELECT min(doc_id) AS doc_id, fingerprint
+        FROM fp
+        WHERE split = 'test'
+          AND fingerprint NOT IN
+              (SELECT fingerprint FROM fp WHERE split = 'train')
+        GROUP BY fingerprint
+    """,
     "x2_minhash_signatures": _SIGNATURES,
     "x2b_lsh_candidate_pairs": f"""
         WITH sigs AS ({_SIGNATURES}),
@@ -390,6 +404,49 @@ ORACLES_EXT: dict[str, str] = {
         FROM scored
         QUALIFY rank <= 5
     """,
+    "x3f_semantic_neardup": """
+        WITH v AS (
+            SELECT vec_id, label AS cell, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings
+        ),
+        comp AS (
+            SELECT cell, u.pos AS pos,
+                   CAST(sum(CAST(floor(CAST(u.val AS DOUBLE) * 1000000.0)
+                                 AS BIGINT)) AS DOUBLE)
+                       / (count(*) * 1000000) AS comp
+            FROM (
+                SELECT cell,
+                       unnest(list_transform(
+                           generate_series(1, len(emb)),
+                           i -> {'pos': i, 'val': emb[i]})) AS u
+                FROM v
+            )
+            GROUP BY cell, u.pos
+        ),
+        cent AS (
+            SELECT cell, list(comp ORDER BY pos) AS centroid
+            FROM comp GROUP BY cell
+        ),
+        assigned AS (
+            SELECT vec_id, emb, cell FROM (
+                SELECT v.vec_id, v.emb, c.cell,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY list_cosine_similarity(v.emb, c.centroid)
+                                        DESC, c.cell) AS r
+                FROM v CROSS JOIN cent c
+            ) WHERE r = 1
+        )
+        SELECT id_a, id_b, cell, sim
+        FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell AS cell,
+                   CAST(floor(list_cosine_similarity(a.emb, b.emb) * 10000)
+                        AS BIGINT) AS sim
+            FROM assigned a
+            JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        )
+        WHERE sim >= 8000
+    """,
     "x2e_dup_clusters": f"""
         WITH RECURSIVE ds AS ({_SHINGLES}),
         sigs AS (
@@ -532,6 +589,58 @@ ORACLES_EXT: dict[str, str] = {
                 AND alpha_word_ratio >= 0.8
                 AND distinct_token_ratio >= 0.2
                 AND top_token_ratio <= 0.2) AS gopher_pass
+        FROM s
+    """,
+    "x15_quality_percentile_filter": """
+        WITH sig AS (
+            SELECT doc_id, lang,
+                   CAST(len(list_distinct(string_split(text, ' ')))
+                        AS DOUBLE)
+                       / len(string_split(text, ' ')) AS quality
+            FROM documents
+        )
+        SELECT doc_id, lang, quality, pctile
+        FROM (
+            SELECT doc_id, lang, quality,
+                   cume_dist() OVER (
+                       PARTITION BY lang ORDER BY quality) AS pctile
+            FROM sig
+        )
+        WHERE pctile > 0.2
+    """,
+    "x4g_repetition_signals": """
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   list_transform(
+                       list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+                       p -> p[1] || ' ' || p[2]) AS bg,
+                   list_transform(
+                       list_zip(toks[1:len(toks)-2], toks[2:len(toks)-1],
+                                toks[3:len(toks)]),
+                       p -> p[1] || ' ' || p[2] || ' ' || p[3]) AS tg
+            FROM t
+        ),
+        s AS (
+            SELECT doc_id,
+                   CAST(len(bg) AS INTEGER) AS n_bigrams,
+                   coalesce(CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE)
+                            / nullif(len(bg), 0), 0.0) AS dup_bigram_ratio,
+                   coalesce(CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE)
+                            / nullif(len(tg), 0), 0.0) AS dup_trigram_ratio,
+                   coalesce(CAST(list_max(list_transform(list_distinct(bg),
+                                g -> len(list_filter(bg, x -> x = g))))
+                            AS DOUBLE) / nullif(len(bg), 0), 0.0)
+                       AS top_bigram_ratio
+            FROM g
+        )
+        SELECT doc_id, n_bigrams, dup_bigram_ratio, dup_trigram_ratio,
+               top_bigram_ratio,
+               (dup_bigram_ratio <= 0.2 AND dup_trigram_ratio <= 0.18
+                AND top_bigram_ratio <= 0.1) AS rep_pass
         FROM s
     """,
     "x8_vocab_topk": """

@@ -320,3 +320,49 @@ def test_embedding_neardup_lsh_matches_brute_force_on_planted_dups(spark):
     # probability (deterministic: seeded planes + fixed data)
     planted = {(i, 100 + i) for i in range(5)}
     assert planted <= lsh
+
+
+def test_repetition_signals_exact_counts(spark):
+    df = spark.createDataFrame(
+        [
+            # bigrams: [a b, b a, a b, b a] -> dup 2/4; trigrams:
+            # [a b a, b a b, a b a] -> dup 1/3; top bigram 2/4
+            Row(doc_id=1, text="a b a b a"),
+            Row(doc_id=2, text="solo"),  # no n-grams at all
+            Row(doc_id=3, text="u v w x y z"),  # fully distinct
+        ]
+    )
+    out = {r.doc_id: r for r in text.repetition_signals(df, "doc_id", "text").collect()}
+    assert out[1].n_bigrams == 4
+    assert out[1].dup_bigram_ratio == 0.5
+    assert abs(out[1].dup_trigram_ratio - 1 / 3) < 1e-15
+    assert out[1].top_bigram_ratio == 0.5
+    assert out[1].rep_pass is False
+    assert out[2].n_bigrams == 0
+    assert out[2].dup_bigram_ratio == 0.0
+    assert out[2].top_bigram_ratio == 0.0
+    assert out[2].rep_pass is True
+    assert out[3].dup_bigram_ratio == 0.0
+    assert out[3].dup_trigram_ratio == 0.0
+
+
+def test_semantic_neardup_reassigns_to_nearest_centroid(spark):
+    # label-0 vectors point along e1, label-1 along e2; v5 carries
+    # label 1 but points along e1 -> nearest-centroid assignment must
+    # move it into cell 0 and pair it with the e1 group.
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 0.0], label=0),
+        Row(vec_id=2, embedding=[0.99, 0.1, 0.0, 0.0], label=0),
+        Row(vec_id=3, embedding=[0.0, 0.0, 1.0, 0.0], label=1),
+        Row(vec_id=4, embedding=[0.0, 0.1, 0.99, 0.0], label=1),
+        Row(vec_id=5, embedding=[1.0, 0.05, 0.0, 0.0], label=1),
+    ]
+    df = spark.createDataFrame(rows)
+    out = similarity.semantic_neardup(df, "vec_id", "embedding", "label", threshold=0.8)
+    pairs = {(r.id_a, r.id_b): r.cell for r in out.collect()}
+    assert (1, 5) in pairs and pairs[(1, 5)] == 0
+    assert (2, 5) in pairs and pairs[(2, 5)] == 0
+    assert (1, 2) in pairs
+    assert (3, 4) in pairs and pairs[(3, 4)] == 1
+    # no cross-cell pair can exist
+    assert (1, 3) not in pairs and (2, 4) not in pairs
