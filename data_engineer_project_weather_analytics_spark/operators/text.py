@@ -230,6 +230,7 @@ def repetition_signals(
     max_dup_bigram_ratio: float = 0.2,
     max_dup_trigram_ratio: float = 0.18,
     max_top_bigram_ratio: float = 0.1,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher/MassiveText repetition filters, per document: the
     duplicate-n-gram fractions that catch boilerplate and looped text
@@ -247,7 +248,11 @@ def repetition_signals(
     projection boundaries (``zip_with`` over token-array slices — no
     re-``split`` inside per-gram lambdas), every signal a higher-order
     function over the row.  No shuffle anywhere: repetition scoring
-    stays embarrassingly parallel at corpus scale."""
+    stays embarrassingly parallel at corpus scale.
+
+    ``keep`` columns pass through untouched (lets pipeline consumers
+    like the corpus-curation query stay single-scan)."""
+    kept = [F.col(c) for c in keep]
     toks = F.col("__toks")
     n = F.size(toks)
     bigrams = F.zip_with(
@@ -256,9 +261,9 @@ def repetition_signals(
         lambda a, b: F.concat_ws(" ", a, b),
     )
     staged = df.select(
-        F.col(id_col), tokens(text_col).alias("__toks")
+        F.col(id_col), *kept, tokens(text_col).alias("__toks")
     ).select(
-        F.col(id_col), F.col("__toks"), bigrams.alias("__bg")
+        F.col(id_col), *kept, F.col("__toks"), bigrams.alias("__bg")
     )
     bg = F.col("__bg")
     m = F.size(bg)
@@ -269,7 +274,7 @@ def repetition_signals(
         lambda g, t: F.concat_ws(" ", g, t),
     )
     staged = staged.select(
-        F.col(id_col), F.col("__bg"), trigrams.alias("__tg")
+        F.col(id_col), *kept, F.col("__bg"), trigrams.alias("__tg")
     )
     tg = F.col("__tg")
 
@@ -289,6 +294,7 @@ def repetition_signals(
     dup_bg, dup_tg = dup_ratio(bg), dup_ratio(tg)
     return staged.select(
         F.col(id_col),
+        *kept,
         F.size(bg).alias("n_bigrams"),
         dup_bg.alias("dup_bigram_ratio"),
         dup_tg.alias("dup_trigram_ratio"),

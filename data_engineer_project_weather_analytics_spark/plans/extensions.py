@@ -431,6 +431,35 @@ def x15_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def x16_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the composed production pass that
+    the x-family operators exist for:
+
+    1. in-row signals on ONE scan (repetition ratios carried with the
+       doc via ``repetition_signals(keep=...)`` + length/stopword
+       quality band);
+    2. filter to docs passing BOTH gates;
+    3. exact dedup of survivors (hash-groupBy on the fingerprint,
+       lowest id survives via ``min_by`` — deterministic, no sort);
+    4. reproducible train/test assignment on the way out.
+
+    Total plan cost at any scale: one scan + ONE shuffle (the dedup
+    aggregate) — signals, filters, and the split are all narrow."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = text.repetition_signals(docs, "doc_id", "text", keep=("lang", "text"))
+    kept = sig.filter(F.col("rep_pass") & text.quality_flag("text"))
+    deduped = (
+        kept.groupBy(text.fingerprint("text").alias("fingerprint"))
+        .agg(
+            F.min_by(F.struct("doc_id", "lang"), F.col("doc_id")).alias("__r")
+        )
+        .select(F.col("__r.doc_id").alias("doc_id"), F.col("__r.lang").alias("lang"))
+    )
+    return deduped.select(
+        "doc_id", "lang", text.deterministic_split("doc_id").alias("split")
+    )
+
+
 def x14_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding post-processing: unit-normalize, then matryoshka-style
     truncation to the first 16 dims with re-normalization — the

@@ -591,6 +591,52 @@ ORACLES_EXT: dict[str, str] = {
                 AND top_token_ratio <= 0.2) AS gopher_pass
         FROM s
     """,
+    "x16_curation_pipeline": """
+        WITH t AS (
+            SELECT doc_id, lang, text, string_split(text, ' ') AS toks
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, lang, text, toks,
+                   list_transform(
+                       list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+                       p -> p[1] || ' ' || p[2]) AS bg,
+                   list_transform(
+                       list_zip(toks[1:len(toks)-2], toks[2:len(toks)-1],
+                                toks[3:len(toks)]),
+                       p -> p[1] || ' ' || p[2] || ' ' || p[3]) AS tg
+            FROM t
+        ),
+        kept AS (
+            SELECT doc_id, lang, text
+            FROM g
+            WHERE coalesce(CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE)
+                           / nullif(len(bg), 0), 0.0) <= 0.2
+              AND coalesce(CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE)
+                           / nullif(len(tg), 0), 0.0) <= 0.18
+              AND coalesce(CAST(list_max(list_transform(list_distinct(bg),
+                               g2 -> len(list_filter(bg, x -> x = g2))))
+                           AS DOUBLE) / nullif(len(bg), 0), 0.0) <= 0.1
+              AND len(toks) BETWEEN 20 AND 1000
+              AND CAST(len(list_filter(toks, w -> w IN ('the', 'a')))
+                       AS DOUBLE) / len(toks) <= 0.5
+        ),
+        deduped AS (
+            SELECT doc_id, lang
+            FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY md5(lower(text))
+                           ORDER BY doc_id) AS rn
+                FROM kept
+            )
+            WHERE rn = 1
+        )
+        SELECT doc_id, lang,
+               CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cd'
+                    THEN 'train' ELSE 'test' END AS split
+        FROM deduped
+    """,
     "x15_quality_percentile_filter": """
         WITH sig AS (
             SELECT doc_id, lang,
