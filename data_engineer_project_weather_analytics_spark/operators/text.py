@@ -307,6 +307,51 @@ def repetition_signals(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_tokens: int = 50,
+    overlap: int = 10,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap —
+    the pre-tokenization chunking step of a training/RAG pipeline
+    (context-window packing consumes these; see sequence packing x10).
+
+    Chunk *i* covers tokens ``[i·stride + 1, i·stride + max_tokens]``
+    with ``stride = max_tokens - overlap``; the final chunk clips at
+    the document end, and a short document yields exactly one chunk.
+
+    Plan: tokenize once, then ``explode(sequence(...))`` over the
+    chunk indices and an O(max_tokens) ``slice`` per chunk — a narrow
+    rowwise expansion (output rows ≈ n_tokens/stride per doc), no
+    shuffle, no Python.  At 100 TB this runs entirely inside the scan
+    stage and parallelizes with the input partitioning."""
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be smaller than max_tokens")
+    stride = max_tokens - overlap
+    toks = F.col("__toks")
+    n = F.size(toks)
+    # number of EXTRA chunks beyond the first: ceil((n - max)/stride),
+    # via exact small-int arithmetic (truncating cast = floor here)
+    extra_tokens = F.greatest(n - F.lit(max_tokens), F.lit(0))
+    n_extra = ((extra_tokens + F.lit(stride - 1)) / F.lit(stride)).cast("int")
+    staged = df.select(F.col(id_col), tokens(text_col).alias("__toks")).select(
+        F.col(id_col),
+        F.col("__toks"),
+        F.explode(F.sequence(F.lit(0), n_extra)).alias("chunk_id"),
+    )
+    chunk = F.slice(
+        F.col("__toks"), F.col("chunk_id") * stride + 1, max_tokens
+    )
+    return staged.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).alias("n_chunk_tokens"),
+    )
+
+
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash over tokens.
 

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_engineer_project_weather_analytics_spark.operators import dedup, multimodal, similarity, text
+from data_engineer_project_weather_analytics_spark.plans.hints import maybe_broadcast
 from data_engineer_project_weather_analytics_spark.sources.catalog import load_table
 
 
@@ -428,6 +429,101 @@ def x15_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame
         sig.join(pct, ["lang", "quality"])
         .filter(F.col("pctile") > 0.2)
         .select("doc_id", "lang", "quality", "pctile")
+    )
+
+
+def x17_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window token chunking with overlap (50-token windows,
+    10-token overlap) — narrow rowwise expansion, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.chunk_documents(docs, "doc_id", "text", max_tokens=50, overlap=10)
+
+
+def x18_source_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level corpus filtering (the blocklist-by-measurement
+    shape): score every doc in-row, aggregate mean quality per SOURCE,
+    and keep only docs from above-average sources — how production
+    pipelines drop spammy domains wholesale rather than doc-by-doc.
+
+    Determinism: per-doc quality is an int/int division; the per-source
+    and global means floor-quantize the INPUT to ints and take exact
+    integer sums before one double division (order-independent, the
+    label_centroids rule), so the ≥-comparison of the two derived
+    doubles is engine-stable.  Scale: one scan, one groupBy(source),
+    a 1-row global broadcast, and a size-conditional broadcast of the
+    kept-source list back onto the fact — the source dimension is
+    bounded by the domain universe, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id", "source", text.tokens("text").alias("__toks")
+    ).select(
+        "doc_id",
+        "source",
+        F.floor(
+            F.size(F.array_distinct(F.col("__toks"))).cast("double")
+            / F.size(F.col("__toks"))
+            * F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("__q"),
+    )
+    per_source = q.groupBy("source").agg(
+        (
+            F.sum("__q").cast("double")
+            / (F.count(F.lit(1)) * F.lit(1000000).cast("long"))
+        ).alias("source_quality"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    global_mean = q.agg(
+        (
+            F.sum("__q").cast("double")
+            / (F.count(F.lit(1)) * F.lit(1000000).cast("long"))
+        ).alias("__g")
+    )
+    kept = (
+        per_source.join(F.broadcast(global_mean))
+        .filter(F.col("source_quality") >= F.col("__g"))
+        .select("source", "source_quality")
+    )
+    return q.join(maybe_broadcast(kept), "source").select(
+        "doc_id", "source", "source_quality"
+    )
+
+
+def x19_unigram_prob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: each document's mean corpus
+    unigram probability — the cheap KenLM-perplexity stand-in for
+    fluency/commonness filtering (rare-token gibberish scores low).
+
+    No ``ln()`` anywhere (libm last-ulp drift is not cross-engine
+    safe — repo rule): the score is ``Σ count(tok) / (n_doc · N)``,
+    exact BIGINT sums with ONE double division at the end.
+
+    Scale: term counts partial-aggregate map-side; the term join is a
+    plain shuffle join (vocabulary-sized side never broadcast — the
+    x9 lesson); N is a 1-row broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(text.tokens("text")).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("__c"))
+    n_total = toks.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        toks.join(vocab, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__c").alias("__s"),
+        )
+        .join(F.broadcast(n_total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("__s").cast("double")
+                / (F.col("n_tokens") * F.col("__n")).cast("double")
+            ).alias("mean_unigram_p"),
+        )
     )
 
 

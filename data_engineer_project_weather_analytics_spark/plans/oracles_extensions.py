@@ -591,6 +591,66 @@ ORACLES_EXT: dict[str, str] = {
                 AND top_token_ratio <= 0.2) AS gopher_pass
         FROM s
     """,
+    "x19_unigram_prob_score": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        vocab AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS c
+            FROM toks GROUP BY term
+        ),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM toks)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(CAST(sum(c) AS BIGINT) AS DOUBLE)
+                   / CAST(count(*) * total AS DOUBLE) AS mean_unigram_p
+        FROM toks JOIN vocab USING (term) CROSS JOIN n
+        GROUP BY doc_id, total
+    """,
+    "x18_source_quality_filter": """
+        WITH q AS (
+            SELECT doc_id, source,
+                   CAST(floor(CAST(len(list_distinct(string_split(text, ' ')))
+                                   AS DOUBLE)
+                              / len(string_split(text, ' ')) * 1000000.0)
+                        AS BIGINT) AS qi
+            FROM documents
+        ),
+        per_source AS (
+            SELECT source,
+                   CAST(sum(qi) AS DOUBLE) / (count(*) * 1000000)
+                       AS source_quality
+            FROM q GROUP BY source
+        ),
+        g AS (
+            SELECT CAST(sum(qi) AS DOUBLE) / (count(*) * 1000000) AS gm
+            FROM q
+        )
+        SELECT q.doc_id, q.source, s.source_quality
+        FROM q
+        JOIN per_source s ON q.source = s.source
+        CROSS JOIN g
+        WHERE s.source_quality >= g.gm
+    """,
+    "x17_document_chunking": """
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(0,
+                       (greatest(len(toks) - 50, 0) + 39) // 40)) AS chunk_id
+            FROM t
+        )
+        SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+               array_to_string(toks[chunk_id*40 + 1 : chunk_id*40 + 50], ' ')
+                   AS chunk_text,
+               CAST(len(toks[chunk_id*40 + 1 : chunk_id*40 + 50]) AS INTEGER)
+                   AS n_chunk_tokens
+        FROM c
+    """,
     "x16_curation_pipeline": """
         WITH t AS (
             SELECT doc_id, lang, text, string_split(text, ' ') AS toks

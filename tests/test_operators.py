@@ -366,3 +366,22 @@ def test_semantic_neardup_reassigns_to_nearest_centroid(spark):
     assert (3, 4) in pairs and pairs[(3, 4)] == 1
     # no cross-cell pair can exist
     assert (1, 3) not in pairs and (2, 4) not in pairs
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    long_text = " ".join(f"t{i}" for i in range(1, 121))  # 120 tokens
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=long_text), Row(doc_id=2, text="tiny doc")]
+    )
+    out = text.chunk_documents(df, "doc_id", "text", max_tokens=50, overlap=10)
+    rows = {(r.doc_id, r.chunk_id): r for r in out.collect()}
+    # 120 tokens, stride 40: chunks at offsets 0/40/80 -> 3 chunks
+    assert {cid for d, cid in rows if d == 1} == {0, 1, 2}
+    assert rows[(1, 0)].n_chunk_tokens == 50
+    assert rows[(1, 0)].chunk_text.startswith("t1 ") 
+    assert rows[(1, 1)].chunk_text.startswith("t41 ")  # overlap of 10
+    assert rows[(1, 2)].n_chunk_tokens == 40  # clipped final window
+    assert rows[(1, 2)].chunk_text.endswith(" t120")
+    # short doc: exactly one unclipped chunk
+    assert {cid for d, cid in rows if d == 2} == {0}
+    assert rows[(2, 0)].chunk_text == "tiny doc"

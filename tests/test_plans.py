@@ -171,6 +171,8 @@ _BOUNDED_BROADCAST_QUERIES = {
     "tpch_q22_dormant_customers",
     "tpch_q15_top_supplier",   # 1-row max join
     "tpch_q11_important_parts",  # 1-row total join
+    "x18_source_quality_filter",  # 1-row global-mean join
+    "x19_unigram_prob_score",  # 1-row corpus-total join
 }
 
 
