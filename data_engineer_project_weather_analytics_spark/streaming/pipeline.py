@@ -46,10 +46,18 @@ def stream_upsert(
     table: UpsertTable,
     checkpoint_dir: str,
     available_now: bool = True,
+    processing_time: str | None = None,
 ) -> StreamingQuery:
     """Micro-batch upsert: every batch appends with the next
     ``ingest_seq``; the canonical view stays correct under replays
-    because re-appending a batch only adds rows the LWW view ignores."""
+    because re-appending a batch only adds rows the LWW view ignores.
+
+    Trigger modes: ``available_now=True`` (scheduled-batch parity with
+    the reference's hourly cron — drain everything, stop) or
+    ``processing_time='1 hour'`` (live deployment cadence: the query
+    stays up and fires a micro-batch per interval)."""
+    if processing_time is not None and available_now:
+        raise ValueError("choose availableNow OR processingTime, not both")
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -61,7 +69,9 @@ def stream_upsert(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
-    if available_now:
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    elif available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
 

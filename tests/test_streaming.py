@@ -63,6 +63,53 @@ def test_stream_upsert_available_now(spark, tmp_path):
     assert got == {(1, 25.0), (2, 21.0), (3, 19.0)}
 
 
+def test_stream_upsert_processing_time_live_cadence(spark, tmp_path):
+    """The live-deployment trigger (reference cadence: hourly cron →
+    processingTime micro-batches): the query stays up across interval
+    firings and picks up files arriving BETWEEN batches."""
+    import time
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    table = UpsertTable(spark, str(tmp_path / "table"), keys=["city_id", "ts"])
+
+    _write_batch(spark, src, [(1, 0, 0, 20.0)])
+    q = stream_upsert(
+        file_stream(spark, src, SCHEMA),
+        table,
+        checkpoint_dir=ckpt,
+        available_now=False,
+        processing_time="1 second",
+    )
+    try:
+
+        def _wait_for(pred, timeout=60.0):
+            deadline = time.monotonic() + timeout
+            while time.monotonic() < deadline:
+                try:
+                    if pred():
+                        return True
+                except FileNotFoundError:
+                    pass  # no generation committed yet
+                time.sleep(0.5)
+            return False
+
+        assert _wait_for(
+            lambda: {r.city_id for r in table.read_latest().collect()} == {1}
+        ), "first interval batch never landed"
+        # a file arriving while the query is live must be picked up by
+        # a LATER interval firing — the property availableNow lacks
+        _write_batch(spark, src, [(1, 0, 0, 25.0), (2, 1, 0, 19.0)])
+        assert _wait_for(
+            lambda: {(r.city_id, r.temp) for r in table.read_latest().collect()}
+            == {(1, 25.0), (2, 19.0)}
+        ), "mid-stream file never landed"
+        assert q.isActive  # processingTime keeps the query up
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+
+
 def test_windowed_aggregate_with_watermark(spark, tmp_path):
     src = str(tmp_path / "wsrc")
     _write_batch(
