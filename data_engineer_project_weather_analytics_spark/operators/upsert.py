@@ -135,6 +135,12 @@ class UpsertTable:
     canonical view; the double-overwrite swap this replaces had a
     window where the main path held half a snapshot.
 
+    ``keep_generations`` > 1 retains that many committed generations
+    after each compaction; ``read_raw(generation=...)`` /
+    ``read_latest(generation=...)`` are snapshot (time-travel) reads
+    of a retained generation — ``VERSION AS OF`` with storage bounded
+    by the retention window.
+
     Single-writer, like the Postgres connection it models: appends
     during a compaction belong to the generation being retired.  At
     scale the store would additionally be partitioned by a date derived
@@ -148,11 +154,15 @@ class UpsertTable:
         path: str,
         keys: Sequence[str],
         partition_cols: Sequence[str] = (),
+        keep_generations: int = 1,
     ) -> None:
+        if keep_generations < 1:
+            raise ValueError("keep_generations must be >= 1")
         self.spark = spark
         self.path = path
         self.keys = list(keys)
         self.partition_cols = list(partition_cols)
+        self.keep_generations = keep_generations
 
     # -- generation bookkeeping (Hadoop FS: works for any scheme) ----
 
@@ -162,19 +172,26 @@ class UpsertTable:
         base = jvm.org.apache.hadoop.fs.Path(self.path)
         return base.getFileSystem(conf), jvm
 
-    def _generation(self) -> int | None:
-        """Highest committed generation, or None before the first
-        append's commit marker lands."""
+    def generations(self) -> list[int]:
+        """Committed generations still on disk, oldest first — the
+        readable snapshot history (length bounded by
+        ``keep_generations`` + the live one mid-compact)."""
         fs, jvm = self._fs()
         base = jvm.org.apache.hadoop.fs.Path(self.path)
         if not fs.exists(base):
-            return None
+            return []
         gens = []
         for st in fs.listStatus(base):
             name = st.getPath().getName()
             if name.startswith("_committed_"):
                 gens.append(int(name[len("_committed_"):]))
-        return max(gens) if gens else None
+        return sorted(gens)
+
+    def _generation(self) -> int | None:
+        """Highest committed generation, or None before the first
+        append's commit marker lands."""
+        gens = self.generations()
+        return gens[-1] if gens else None
 
     def _commit_generation(self, n: int) -> None:
         """THE atomic commit point: an empty marker file either exists
@@ -214,18 +231,32 @@ class UpsertTable:
         self.last_metrics = obs.get
         return seq
 
-    def read_raw(self) -> DataFrame:
-        gen = self._generation()
-        if gen is None:
+    def read_raw(self, generation: int | None = None) -> DataFrame:
+        """Raw appended rows of one generation (default: the live
+        one).  Passing a retained older generation is a SNAPSHOT read:
+        a generation freezes when a compaction retires it, so the
+        result is the table AS OF that compaction — Delta/Iceberg
+        ``VERSION AS OF`` at compaction granularity, with storage
+        bounded by ``keep_generations``."""
+        live = self._generation()
+        if live is None:
             raise FileNotFoundError(
                 f"upsert table has no committed generation: {self.path}"
             )
-        return self.spark.read.parquet(self._gen_dir(gen))
+        if generation is None:
+            generation = live
+        elif generation not in self.generations():
+            raise FileNotFoundError(
+                f"generation {generation} is not committed/retained "
+                f"(have {self.generations()}): {self.path}"
+            )
+        return self.spark.read.parquet(self._gen_dir(generation))
 
-    def read_latest(self) -> DataFrame:
+    def read_latest(self, generation: int | None = None) -> DataFrame:
         """The canonical view — what Postgres would contain after the
-        same sequence of upserts."""
-        return latest_write_wins(self.read_raw(), self.keys)
+        same sequence of upserts.  With ``generation``, the canonical
+        view AS OF that retained snapshot."""
+        return latest_write_wins(self.read_raw(generation), self.keys)
 
     def compact(self) -> None:
         """Materialize the canonical view into the next generation
@@ -249,10 +280,13 @@ class UpsertTable:
             writer = writer.partitionBy(*self.partition_cols)
         writer.parquet(self._gen_dir(new))
         self._commit_generation(new)  # readers switch here, atomically
-        # retired generation: cleanup is best-effort and unobservable
-        # (marker-max readers never look at it again)
-        self._delete_path(self._gen_dir(cur))
-        self._delete_path(f"{self.path}/_committed_{cur}")
+        # retire generations beyond the retention window: cleanup is
+        # best-effort and unobservable (marker-max readers never look
+        # at them by default; snapshot readers see only retained ones)
+        for old in self.generations():
+            if old <= new - self.keep_generations:
+                self._delete_path(f"{self.path}/_committed_{old}")
+                self._delete_path(self._gen_dir(old))
 
     def _delete_path(self, path: str) -> None:
         """Remove a retired directory via Hadoop FS (any scheme)."""

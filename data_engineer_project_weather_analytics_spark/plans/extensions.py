@@ -425,8 +425,12 @@ def x15_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame
         "quality",
         (F.col("__cum").cast("double") / F.col("__n")).alias("pctile"),
     )
+    # the value table is bounded by |langs| x |distinct ratios| (a
+    # function of doc-length combinatorics, not corpus row count) —
+    # size-conditional broadcast turns the join-back into a map-side
+    # lookup and leaves ONE aggregate shuffle in the whole plan
     return (
-        sig.join(pct, ["lang", "quality"])
+        sig.join(maybe_broadcast(pct), ["lang", "quality"])
         .filter(F.col("pctile") > 0.2)
         .select("doc_id", "lang", "quality", "pctile")
     )

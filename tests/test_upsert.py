@@ -121,3 +121,43 @@ def test_compact_crash_before_commit_leaves_readers_whole(spark, table, monkeypa
     assert _latest_dict(table.read_latest()) == before
     assert table._generation() == 1
     assert table.read_raw().count() == len(before)
+
+
+def test_time_travel_reads_retained_generations(spark, tmp_path):
+    """A generation freezes when a compaction retires it, so reading a
+    retained generation is 'the table as of that compaction' — appends
+    made afterwards live in the successor generation only."""
+    t = UpsertTable(
+        spark, str(tmp_path / "tt"), keys=["city_id", "dt"], keep_generations=2
+    )
+    t.append_batch(_rows(spark, [(1, 10, 20.0), (2, 10, 21.0)]))
+    t.compact()  # retires gen 0 (retained)
+    t.append_batch(_rows(spark, [(1, 10, 25.0), (3, 11, 19.0)]))
+    t.compact()  # retires gen 1 (retained), expires gen 0
+    t.append_batch(_rows(spark, [(1, 10, 30.0)]))  # post-snapshot write
+    assert t.generations() == [1, 2]
+
+    # live view vs snapshot AS OF the last compaction
+    assert _latest_dict(t.read_latest()) == {
+        (1, 10): 30.0,
+        (2, 10): 21.0,
+        (3, 11): 19.0,
+    }
+    assert _latest_dict(t.read_latest(generation=1)) == {
+        (1, 10): 25.0,
+        (2, 10): 21.0,
+        (3, 11): 19.0,
+    }
+
+    # expired and never-committed generations refuse loudly
+    with pytest.raises(FileNotFoundError, match="not committed/retained"):
+        t.read_raw(generation=0)
+    with pytest.raises(FileNotFoundError, match="not committed/retained"):
+        t.read_raw(generation=99)
+
+
+def test_default_retention_keeps_single_generation(spark, table):
+    table.append_batch(_rows(spark, [(1, 10, 20.0)]))
+    table.compact()
+    table.compact()
+    assert table.generations() == [2]
