@@ -65,6 +65,8 @@ QUERIES: tuple[str, ...] = (
     "x3b_embedding_neardup_auto",
     "x7_decontamination",
     "x9_tfidf_keywords",
+    "x16_curation_pipeline",
+    "x19_unigram_prob_score",
 )
 
 
