@@ -559,6 +559,51 @@ def j3_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_id", "ts", "value", "day_avg")
 
 
+def j4_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: range (interval) join — events matched to OVERLAPPING
+    9-hour observation windows on a 6-hour stride (every event falls
+    in 1-2 windows), then rolled up per window.
+
+    Executed as the bucket-explode equi-join
+    (operators/range_join.py) — a theta-join here would plan as a
+    BroadcastNestedLoopJoin, the O(|L|·|R|) shape that cannot scale;
+    the plan gate in tests/test_plans.py asserts it does not.  The
+    value rollup floor-quantizes to cents before the exact integer
+    sum (cross-engine determinism: no decimal cast of arbitrary
+    doubles, no round())."""
+    from data_engineer_project_weather_analytics_spark.operators.range_join import bucketed_range_join
+
+    events = load_table(spark, sf_dir, "events")
+    # 120 windows × 6 h stride cover the 30-day event span; width 9 h.
+    base = F.timestamp_seconds(
+        F.lit(1704067200) + F.col("window_id") * 21600
+    ).cast("timestamp_ntz")
+    windows = (
+        spark.range(120)
+        .select(F.col("id").alias("window_id"))
+        .select(
+            "window_id",
+            base.alias("win_start"),
+            (base + F.expr("INTERVAL 9 HOURS")).alias("win_end"),
+        )
+    )
+    joined = bucketed_range_join(
+        events.select("ts", "user_id", "value"),
+        windows,
+        left_ts="ts",
+        start_col="win_start",
+        end_col="win_end",
+        bucket_seconds=3 * 3600,
+    )
+    return joined.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias(
+            "value_cents"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # TPC-H-style volume queries (bench headliners)
 # --------------------------------------------------------------------------

@@ -189,6 +189,22 @@ ORACLES_CORE: dict[str, str] = {
         ASOF LEFT JOIN daily d
           ON e.user_id = d.user_id AND e.ts >= d.day_ts
     """,
+    "j4_range_join_windows": """
+        WITH windows AS (
+            SELECT w AS window_id,
+                   TIMESTAMP '2024-01-01 00:00:00' + to_hours(6 * w) AS win_start,
+                   TIMESTAMP '2024-01-01 00:00:00' + to_hours(6 * w + 9) AS win_end
+            FROM (SELECT unnest(generate_series(0, 119)) AS w)
+        )
+        SELECT w.window_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+               CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM events e
+        JOIN windows w
+          ON e.ts >= w.win_start AND e.ts < w.win_end
+        GROUP BY w.window_id
+    """,
     "w2_moving_avg": """
         SELECT
             user_id,

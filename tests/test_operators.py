@@ -385,3 +385,96 @@ def test_chunk_documents_windows_and_edges(spark):
     # short doc: exactly one unclipped chunk
     assert {cid for d, cid in rows if d == 2} == {0}
     assert rows[(2, 0)].chunk_text == "tiny doc"
+
+
+# ---------------------------------------------------------------------------
+# range (interval) join
+# ---------------------------------------------------------------------------
+
+def _rj_fixtures(spark):
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        StringType,
+        TimestampNTZType,
+    )
+
+    events = spark.createDataFrame(
+        [
+            Row(event_id=1, ts=_ts(0, 0)),   # == win A start (inclusive)
+            Row(event_id=2, ts=_ts(1, 30)),  # inside A only
+            Row(event_id=3, ts=_ts(2, 30)),  # overlap of A and B
+            Row(event_id=4, ts=_ts(3, 0)),   # == win A end (exclusive) → B only
+            Row(event_id=5, ts=_ts(9, 0)),   # outside every window
+        ],
+        schema=StructType(
+            [
+                StructField("event_id", LongType()),
+                StructField("ts", TimestampNTZType()),
+            ]
+        ),
+    )
+    windows = spark.createDataFrame(
+        [
+            Row(win="A", s=_ts(0, 0), e=_ts(3, 0)),
+            Row(win="B", s=_ts(2, 0), e=_ts(5, 0)),   # overlaps A
+            Row(win="E", s=_ts(6, 0), e=_ts(6, 0)),   # empty interval
+        ],
+        schema=StructType(
+            [
+                StructField("win", StringType()),
+                StructField("s", TimestampNTZType()),
+                StructField("e", TimestampNTZType()),
+            ]
+        ),
+    )
+    return events, windows
+
+
+def test_range_join_boundaries_and_overlap(spark):
+    from data_engineer_project_weather_analytics_spark.operators.range_join import bucketed_range_join
+
+    events, windows = _rj_fixtures(spark)
+    got = {
+        (r.event_id, r.win)
+        for r in bucketed_range_join(
+            events, windows, "ts", "s", "e", bucket_seconds=3600
+        ).collect()
+    }
+    assert got == {(1, "A"), (2, "A"), (3, "A"), (3, "B"), (4, "B")}
+
+
+def test_range_join_matches_theta_join(spark):
+    """The bucketed formulation is value-equal to the naive theta join
+    for every bucket width — each qualifying pair exactly once."""
+    from data_engineer_project_weather_analytics_spark.operators.range_join import bucketed_range_join
+
+    events, windows = _rj_fixtures(spark)
+    theta = {
+        (r.event_id, r.win)
+        for r in events.join(
+            windows,
+            (F.col("ts") >= F.col("s")) & (F.col("ts") < F.col("e")),
+        ).collect()
+    }
+    for width in (60, 1800, 3600, 7200, 86400):
+        got = bucketed_range_join(
+            events, windows, "ts", "s", "e", bucket_seconds=width
+        ).collect()
+        assert {(r.event_id, r.win) for r in got} == theta
+        assert len(got) == len(theta)  # no duplicate pairs
+
+
+def test_range_join_left_keeps_unmatched(spark):
+    from data_engineer_project_weather_analytics_spark.operators.range_join import bucketed_range_join
+
+    events, windows = _rj_fixtures(spark)
+    out = bucketed_range_join(
+        events, windows, "ts", "s", "e", bucket_seconds=3600, how="left"
+    )
+    by_event = {}
+    for r in out.collect():
+        by_event.setdefault(r.event_id, set()).add(r.win)
+    assert by_event[5] == {None}  # unmatched survives with NULL window
+    assert by_event[3] == {"A", "B"}
