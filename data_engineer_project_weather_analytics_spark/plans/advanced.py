@@ -471,7 +471,151 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — the 8-table join
+    (part, lineitem, supplier, orders, customer, nation ×2, region),
+    yearly share of one supplier-nation's revenue inside one region's
+    ECONOMY-part market.
+
+    Fully expressible on the testdata schema (no partsupp needed).
+    Scale shape: the two constant tables (nation, region) force-
+    broadcast; SF-scaling part/customer/supplier go through
+    ``maybe_broadcast`` (size-conditional); lineitem→orders is the one
+    unconditional fact shuffle.  The share is
+    ``coalesce(cast(exact_sum_num as double),0) / cast(exact_sum_den
+    as double)`` — exact decimal sums, one double division, unrounded
+    (cross-engine float rule)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+
+    # customer-side nation restricted to the AMERICA region
+    n1 = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "AMERICA")),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .select(F.col("n_nationkey").alias("__cn_key"))
+    )
+    # supplier-side nation provides the share subject
+    n2 = nation.select(
+        F.col("n_nationkey").alias("__sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    part_f = part.filter(F.col("p_type") == "ECONOMY")
+    orders_f = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    joined = (
+        li.join(maybe_broadcast(part_f), li["l_partkey"] == part_f["p_partkey"], "left_semi")
+        .join(orders_f, li["l_orderkey"] == orders_f["o_orderkey"])
+        .join(maybe_broadcast(customer), orders_f["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("__cn_key"), "left_semi")
+        .join(maybe_broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("__sn_key"))
+    )
+    vol = _revenue()
+    return joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("supp_nation") == "NATION_11", vol)).cast("double"),
+                F.lit(0.0),
+            )
+            / F.sum(vol).cast("double")
+        ).alias("mkt_share"),
+        _money_sum(vol, "total_volume"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-type profit by nation and year.  The
+    testdata has no partsupp, so ``ps_supplycost`` is surrogated as
+    ``0.5 * p_retailprice`` (PARITY.md); profit =
+    ``l_extendedprice*(1-l_discount) - 0.5*p_retailprice*l_quantity``,
+    computed entirely in exact decimal (l_quantity is integral,
+    p_retailprice is 2-dp — both decimal-cast-safe) and summed exactly
+    before the one double cast.
+
+    Scale shape: part is filtered (name predicate) then
+    size-conditionally broadcast; nation (constant) force-broadcast;
+    lineitem→orders is the fact shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+
+    part_f = part.filter(F.col("p_name").contains("red")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supply_cost = (
+        _dec2("p_retailprice") * F.lit("0.5").cast("decimal(2,1)") * _dec2("l_quantity")
+    )
+    amount = _revenue() - supply_cost
+    joined = (
+        li.join(maybe_broadcast(part_f), li["l_partkey"] == part_f["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(maybe_broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        .join(F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"])
+    )
+    return joined.groupBy(
+        F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+    ).agg(_money_sum(amount, "sum_profit"), F.count(F.lit(1)).alias("n_lines"))
+
+
 ORACLES_ADVANCED: dict[str, str] = {
+    "tpch_q8_market_share": """
+        WITH flat AS (
+            SELECT year(o_orderdate) AS o_year,
+                   CAST(l_extendedprice AS DECIMAL(12,2))
+                       * CAST(1 - l_discount AS DECIMAL(4,2)) AS volume,
+                   n2.n_name AS supp_nation
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'AMERICA'
+              AND p_type = 'ECONOMY'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        )
+        SELECT CAST(o_year AS INTEGER) AS o_year,
+               coalesce(CAST(sum(CASE WHEN supp_nation = 'NATION_11'
+                                      THEN volume END) AS DOUBLE), 0.0)
+                   / CAST(sum(volume) AS DOUBLE) AS mkt_share,
+               round(CAST(sum(volume) AS DOUBLE), 2) AS total_volume,
+               count(*) AS n_lines
+        FROM flat
+        GROUP BY o_year
+    """,
+    "tpch_q9_product_type_profit": """
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               round(CAST(sum(
+                   CAST(l_extendedprice AS DECIMAL(12,2))
+                       * CAST(1 - l_discount AS DECIMAL(4,2))
+                   - CAST(p_retailprice AS DECIMAL(12,2))
+                       * CAST(0.5 AS DECIMAL(2,1))
+                       * CAST(l_quantity AS DECIMAL(12,2))
+               ) AS DOUBLE), 2) AS sum_profit,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY n_name, o_year
+    """,
     "tpch_q19_disjunctive_join": """
         SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
                               * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE), 2)
