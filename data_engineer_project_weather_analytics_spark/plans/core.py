@@ -574,22 +574,9 @@ def j4_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_engineer_project_weather_analytics_spark.operators.range_join import bucketed_range_join
 
     events = load_table(spark, sf_dir, "events")
-    # 120 windows × 6 h stride cover the 30-day event span; width 9 h.
-    base = F.timestamp_seconds(
-        F.lit(1704067200) + F.col("window_id") * 21600
-    ).cast("timestamp_ntz")
-    windows = (
-        spark.range(120)
-        .select(F.col("id").alias("window_id"))
-        .select(
-            "window_id",
-            base.alias("win_start"),
-            (base + F.expr("INTERVAL 9 HOURS")).alias("win_end"),
-        )
-    )
     joined = bucketed_range_join(
         events.select("ts", "user_id", "value"),
-        windows,
+        _obs_windows(spark),
         left_ts="ts",
         start_col="win_start",
         end_col="win_end",
@@ -601,6 +588,59 @@ def j4_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias(
             "value_cents"
         ),
+    )
+
+
+def _obs_windows(spark: SparkSession) -> DataFrame:
+    """120 observation windows on a 6-hour stride, each 9 hours wide —
+    consecutive windows OVERLAP by 3 hours, covering the 30-day event
+    span (shared by j4/j5; oracle mirror: generate_series)."""
+    base = F.timestamp_seconds(
+        F.lit(1704067200) + F.col("window_id") * 21600
+    ).cast("timestamp_ntz")
+    return (
+        spark.range(120)
+        .select(F.col("id").alias("window_id"))
+        .select(
+            "window_id",
+            base.alias("win_start"),
+            (base + F.expr("INTERVAL 9 HOURS")).alias("win_end"),
+        )
+    )
+
+
+def j5_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: interval×interval overlap join — per-user daily activity
+    spans ``[min(ts), max(ts)+1s)`` matched to every OVERLAPPING
+    observation window, rolled up per window.
+
+    Executed by the canonical-bucket overlap join
+    (operators/range_join.py:interval_overlap_join): both interval
+    sides explode into 6-hour buckets and equi-join, with each
+    qualifying pair emitted exactly once from the bucket containing
+    the first instant of its overlap — no theta-join, no post-join
+    distinct.  The plan gate asserts no BroadcastNestedLoopJoin."""
+    from data_engineer_project_weather_analytics_spark.operators.range_join import interval_overlap_join
+
+    events = load_table(spark, sf_dir, "events")
+    spans = events.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.min("ts").alias("span_start"),
+        (F.max("ts") + F.expr("INTERVAL 1 SECOND")).alias("span_end"),
+    )
+    joined = interval_overlap_join(
+        spans,
+        _obs_windows(spark),
+        left_start="span_start",
+        left_end="span_end",
+        right_start="win_start",
+        right_end="win_end",
+        bucket_seconds=6 * 3600,
+    )
+    return joined.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.count_distinct("user_id").alias("n_users"),
     )
 
 

@@ -205,6 +205,28 @@ ORACLES_CORE: dict[str, str] = {
           ON e.ts >= w.win_start AND e.ts < w.win_end
         GROUP BY w.window_id
     """,
+    "j5_interval_overlap": """
+        WITH windows AS (
+            SELECT w AS window_id,
+                   TIMESTAMP '2024-01-01 00:00:00' + to_hours(6 * w) AS win_start,
+                   TIMESTAMP '2024-01-01 00:00:00' + to_hours(6 * w + 9) AS win_end
+            FROM (SELECT unnest(generate_series(0, 119)) AS w)
+        ),
+        spans AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   min(ts) AS span_start,
+                   max(ts) + INTERVAL 1 SECOND AS span_end
+            FROM events
+            GROUP BY user_id, CAST(ts AS DATE)
+        )
+        SELECT w.window_id,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(count(DISTINCT s.user_id) AS BIGINT) AS n_users
+        FROM spans s
+        JOIN windows w
+          ON s.span_start < w.win_end AND w.win_start < s.span_end
+        GROUP BY w.window_id
+    """,
     "w2_moving_avg": """
         SELECT
             user_id,

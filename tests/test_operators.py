@@ -466,6 +466,116 @@ def test_range_join_matches_theta_join(spark):
         assert len(got) == len(theta)  # no duplicate pairs
 
 
+def _io_fixtures(spark):
+    from pyspark.sql.types import (
+        StringType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+    )
+
+    schema = lambda name: StructType(  # noqa: E731
+        [
+            StructField(name, StringType()),
+            StructField(f"{name[0]}s", TimestampNTZType()),
+            StructField(f"{name[0]}e", TimestampNTZType()),
+        ]
+    )
+    left = spark.createDataFrame(
+        [
+            Row(li="L1", ls=_ts(0, 0), le=_ts(2, 0)),
+            Row(li="L2", ls=_ts(1, 0), le=_ts(5, 0)),   # long: spans many buckets
+            Row(li="L3", ls=_ts(6, 0), le=_ts(6, 0)),   # empty interval
+            Row(li="L4", ls=_ts(7, 0), le=_ts(8, 0)),   # overlaps nothing
+        ],
+        schema=schema("li"),
+    )
+    right = spark.createDataFrame(
+        [
+            Row(ri="R1", rs=_ts(1, 30), re=_ts(3, 0)),  # hits L1 and L2
+            Row(ri="R2", rs=_ts(2, 0), re=_ts(2, 30)),  # inside L2; meets L1 end (no)
+            Row(ri="R3", rs=_ts(4, 59), re=_ts(9, 0)),  # long; hits L2, L4
+            Row(ri="R4", rs=_ts(6, 0), re=_ts(6, 30)),  # would touch L3 were it non-empty
+        ],
+        schema=schema("ri"),
+    )
+    return left, right
+
+
+def test_interval_overlap_matches_theta_join(spark):
+    """Canonical-bucket emission is value-equal to the naive overlap
+    theta-join at every bucket width, each pair exactly once."""
+    from data_engineer_project_weather_analytics_spark.operators.range_join import interval_overlap_join
+
+    left, right = _io_fixtures(spark)
+    # naive overlap test, restricted to NON-EMPTY intervals — the
+    # documented semantics (an empty [t, t) interval overlaps nothing,
+    # whereas the bare half-open predicate would treat it as a point)
+    theta = {
+        (r.li, r.ri)
+        for r in left.join(
+            right,
+            (F.col("ls") < F.col("re"))
+            & (F.col("rs") < F.col("le"))
+            & (F.col("ls") < F.col("le"))
+            & (F.col("rs") < F.col("re")),
+        ).collect()
+    }
+    # sanity on the fixture itself: known overlap set, L3 empty → absent
+    assert theta == {("L1", "R1"), ("L2", "R1"), ("L2", "R2"), ("L2", "R3"), ("L4", "R3")}
+    for width in (60, 1800, 3600, 7200, 86400):
+        got = interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bucket_seconds=width
+        ).collect()
+        assert {(r.li, r.ri) for r in got} == theta, f"width={width}"
+        assert len(got) == len(theta), f"duplicate pairs at width={width}"
+
+
+def test_interval_overlap_subsecond_boundary(spark):
+    """An overlap that lies ENTIRELY inside a fractional second at a
+    bucket boundary must still be found — the sf0.01 regression:
+    whole-second bucket math dropped a span ending 0.4 s past a
+    window start."""
+    from pyspark.sql.types import (
+        StringType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+    )
+    from data_engineer_project_weather_analytics_spark.operators.range_join import interval_overlap_join
+
+    us = lambda h, m, s, micro: datetime.datetime(  # noqa: E731
+        2025, 12, 1, h, m, s, micro
+    )
+    left = spark.createDataFrame(
+        [Row(li="span", ls=us(2, 12, 7, 250), le=us(3, 0, 0, 407119))],
+        schema=StructType(
+            [
+                StructField("li", StringType()),
+                StructField("ls", TimestampNTZType()),
+                StructField("le", TimestampNTZType()),
+            ]
+        ),
+    )
+    right = spark.createDataFrame(
+        [Row(ri="win", rs=us(3, 0, 0, 0), re=us(9, 0, 0, 0))],
+        schema=StructType(
+            [
+                StructField("ri", StringType()),
+                StructField("rs", TimestampNTZType()),
+                StructField("re", TimestampNTZType()),
+            ]
+        ),
+    )
+    # overlap = [03:00:00.000000, 03:00:00.407119) — 0.4 s wide, fully
+    # inside the bucket starting at 03:00:00 for every width below
+    for width in (60, 3600, 10800):
+        got = interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bucket_seconds=width
+        ).collect()
+        assert [(r.li, r.ri) for r in got] == [("span", "win")], f"width={width}"
+
+
 def test_range_join_left_keeps_unmatched(spark):
     from data_engineer_project_weather_analytics_spark.operators.range_join import bucketed_range_join
 
