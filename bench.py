@@ -39,6 +39,8 @@ HEADLINE: dict[str, str] = {
     "k2_upsert_lww": "checksum",
     "j1_dim_join_agg": "collect",
     "j3_asof_join": "checksum",
+    "j4_range_join_windows": "collect",
+    "j5_interval_overlap": "collect",
     "w2_moving_avg": "checksum",
     "t4_hourly_window": "collect",
     "tpch_q1_pricing_summary": "collect",

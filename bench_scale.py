@@ -58,6 +58,8 @@ QUERIES: tuple[str, ...] = (
     "a3_latest_per_key",
     "a5_latest_join_dim",
     "j3_asof_join",
+    "j4_range_join_windows",
+    "j5_interval_overlap",
     "t4_hourly_window",
     "x1_exact_dedup",
     "x2b_lsh_candidate_pairs",
