@@ -576,6 +576,88 @@ def test_interval_overlap_subsecond_boundary(spark):
         assert [(r.li, r.ri) for r in got] == [("span", "win")], f"width={width}"
 
 
+def test_temporal_joins_randomized_theta_equivalence(spark):
+    """Seeded fuzz: 300 random microsecond-precision points/intervals,
+    bucketed formulations vs the naive theta joins — exact pair-set
+    equality at awkward bucket widths (primes, sub-second)."""
+    import random
+
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+    )
+    from data_engineer_project_weather_analytics_spark.operators.range_join import (
+        bucketed_range_join,
+        interval_overlap_join,
+    )
+
+    rng = random.Random(0xC0FFEE)
+    base = datetime.datetime(2025, 12, 1)
+    span_us = 3 * 86400 * 1_000_000  # 3 days
+
+    def rand_ts():
+        return base + datetime.timedelta(microseconds=rng.randrange(span_us))
+
+    def rand_interval():
+        s = rand_ts()
+        # mix of empty, sub-second, and multi-hour intervals
+        width = rng.choice([0, rng.randrange(1_000_000), rng.randrange(6 * 3600 * 1_000_000)])
+        return s, s + datetime.timedelta(microseconds=width)
+
+    points = [(i, rand_ts()) for i in range(300)]
+    ivals_r = [(i, *rand_interval()) for i in range(150)]
+    ivals_l = [(i, *rand_interval()) for i in range(150)]
+
+    pts = spark.createDataFrame(
+        points,
+        StructType([StructField("pid", LongType()), StructField("ts", TimestampNTZType())]),
+    )
+    right = spark.createDataFrame(
+        ivals_r,
+        StructType(
+            [
+                StructField("rid", LongType()),
+                StructField("rs", TimestampNTZType()),
+                StructField("re", TimestampNTZType()),
+            ]
+        ),
+    )
+    left = spark.createDataFrame(
+        ivals_l,
+        StructType(
+            [
+                StructField("lid", LongType()),
+                StructField("ls", TimestampNTZType()),
+                StructField("le", TimestampNTZType()),
+            ]
+        ),
+    )
+
+    range_theta = {
+        (p, r)
+        for p, t in points
+        for r, s, e in ivals_r
+        if s <= t < e
+    }
+    overlap_theta = {
+        (l, r)
+        for l, ls, le in ivals_l
+        for r, rs, re in ivals_r
+        if ls < re and rs < le and ls < le and rs < re
+    }
+    for width in (1, 7, 97, 3600, 50000):
+        got_r = bucketed_range_join(pts, right, "ts", "rs", "re", bucket_seconds=width).collect()
+        assert {(r.pid, r.rid) for r in got_r} == range_theta, f"range width={width}"
+        assert len(got_r) == len(range_theta), f"range dups width={width}"
+        got_o = interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bucket_seconds=width
+        ).collect()
+        assert {(r.lid, r.rid) for r in got_o} == overlap_theta, f"overlap width={width}"
+        assert len(got_o) == len(overlap_theta), f"overlap dups width={width}"
+
+
 def test_range_join_left_keeps_unmatched(spark):
     from data_engineer_project_weather_analytics_spark.operators.range_join import bucketed_range_join
 
