@@ -314,6 +314,50 @@ def x9_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x20_boilerplate_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection (CCNet/RefinedWeb-style): shingles that
+    recur across ≥1% of the corpus are boilerplate (headers, footers,
+    navigation chrome); emit each document's boilerplate fraction so a
+    downstream filter can drop template-heavy pages.
+
+    Plan: tokenize-once distinct shingles (``doc_shingles``), one
+    partial-agg shuffle on ``shingle`` for document frequency, then the
+    df table joins BACK to the shingle stream on ``shingle`` — a
+    shuffle join, never a broadcast (the df side is vocabulary-sized;
+    the x9 lesson), and it reuses the groupBy's exchange on the df
+    side.  The 1-row corpus count broadcasts.  Final rollup shuffles
+    on ``doc_id``.  Three keyed shuffles total, each partial-aggregated
+    — the shape survives any corpus size.
+
+    Cross-engine: the boilerplate test is exact integers
+    (``df × 100 ≥ n_docs``); the fraction is ONE unrounded double
+    division (the x2c rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ds = dedup.doc_shingles(docs, "doc_id", "text")
+    df_ = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    nd = docs.agg(F.count(F.lit(1)).alias("__n_docs"))
+    is_boiler = F.when(
+        F.col("__df") * 100 >= F.col("__n_docs"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        ds.join(df_, "shingle")
+        .join(F.broadcast(nd))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(is_boiler).alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_boiler",
+            (F.col("n_boiler").cast("double") / F.col("n_shingles")).alias(
+                "boiler_frac"
+            ),
+        )
+    )
+
+
 def x4e_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     fp = text.fingerprint("text")

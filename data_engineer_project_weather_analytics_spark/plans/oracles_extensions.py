@@ -780,6 +780,20 @@ ORACLES_EXT: dict[str, str] = {
         )
         WHERE rank <= 3
     """,
+    "x20_boilerplate_detect": f"""
+        WITH ds AS ({_SHINGLES}),
+        df AS (SELECT shingle, count(*) AS df FROM ds GROUP BY shingle),
+        nd AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id,
+               count(*) AS n_shingles,
+               CAST(sum(CASE WHEN df.df * 100 >= nd.n_docs
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+               CAST(sum(CASE WHEN df.df * 100 >= nd.n_docs
+                             THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+                   AS boiler_frac
+        FROM ds JOIN df USING (shingle) CROSS JOIN nd
+        GROUP BY doc_id
+    """,
     "x4e_fingerprint": """
         SELECT doc_id,
                md5(lower(text)) AS fingerprint,

@@ -47,13 +47,20 @@ def _collect() -> dict[str, QuerySpec]:
 
     add(core, ORACLES_CORE)
 
-    from data_engineer_project_weather_analytics_spark.plans import advanced, extensions, scalars, weather
+    from data_engineer_project_weather_analytics_spark.plans import (
+        advanced,
+        analytics,
+        extensions,
+        scalars,
+        weather,
+    )
     from data_engineer_project_weather_analytics_spark.plans.oracles_extensions import ORACLES_EXT
 
     add(extensions, ORACLES_EXT)
     add(weather, weather.ORACLES_WEATHER)
     add(scalars, scalars.ORACLES_SCALARS)
     add(advanced, advanced.ORACLES_ADVANCED)
+    add(analytics, analytics.ORACLES_ANALYTICS)
 
     return specs
 

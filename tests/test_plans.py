@@ -173,6 +173,7 @@ _BOUNDED_BROADCAST_QUERIES = {
     "tpch_q11_important_parts",  # 1-row total join
     "x18_source_quality_filter",  # 1-row global-mean join
     "x19_unigram_prob_score",  # 1-row corpus-total join
+    "x20_boilerplate_detect",  # 1-row corpus-count join
 }
 
 
