@@ -53,6 +53,9 @@ HEADLINE: dict[str, str] = {
     "x4c_quality_score": "checksum",
     "x7_decontamination": "checksum",
     "w_ingest_current": "checksum",
+    "scd2_user_state": "checksum",
+    "cdc_snapshot_diff": "checksum",
+    "x20_boilerplate_detect": "checksum",
 }
 
 

@@ -257,6 +257,75 @@ def a17_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w5_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: densify each user's daily series to
+    every calendar day between their first and last activity, then
+    forward-fill the metric across the gaps (the standard prep step
+    before charting or joining a sparse series).
+
+    The day scaffold comes from ``explode(sequence(d0, d1))`` on the
+    per-user span — fan-out bounded by calendar span, not data volume —
+    and the fill is ``last(value, ignorenulls)`` over an unbounded-
+    preceding window.  Everything keys on ``user_id``: the span agg,
+    the scaffold join, and the fill window share one partitioning.
+    Metric is exact integer cents (sum per day), so fill values are
+    bit-identical cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    daily = (
+        ev.select("user_id", F.to_date("ts").alias("day"), cents.alias("__c"))
+        .groupBy("user_id", "day")
+        .agg(F.sum("__c").alias("day_cents"))
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("__d0"), F.max("day").alias("__d1")
+    )
+    scaffold = span.select(
+        "user_id", F.explode(F.sequence("__d0", "__d1")).alias("day")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        scaffold.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.last("day_cents", ignorenulls=True).over(w).alias("filled_cents"),
+            F.col("day_cents").isNull().cast("bigint").alias("was_gap"),
+        )
+    )
+
+
+def a18_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day.
+
+    A sliding COUNT(DISTINCT) has no window-function form in Spark (and
+    a naive self-join is O(days²) scans); the scalable shape is the
+    contribution explode: each (user, active-day) row contributes to
+    exactly 7 target days, so one explode (×7, bounded) + one
+    distinct-count shuffle computes every day's trailing distinct in a
+    single pass.  Target days are semi-joined back to observed days so
+    the output domain matches the data."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    contrib = days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("on_day"),
+    )
+    observed = days.select(F.col("day").alias("on_day")).distinct()
+    return (
+        contrib.join(observed, "on_day", "left_semi")
+        .groupBy("on_day")
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+        .select(F.col("on_day").alias("day"), "active_7d")
+    )
+
+
 # --------------------------------------------------------------------------
 # CDC — snapshot diff
 # --------------------------------------------------------------------------
@@ -431,6 +500,50 @@ ORACLES_ANALYTICS: dict[str, str] = {
         WHERE n_window >= 10
           AND (n_window * x - s) * (n_window * x - s)
               > 9 * (n_window * ss - s * s)
+    """,
+    "w5_gap_fill_ffill": """
+        WITH daily AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                                 AS BIGINT)) AS BIGINT) AS day_cents
+            FROM events
+            GROUP BY 1, 2
+        ),
+        span AS (
+            SELECT user_id, min(day) AS d0, max(day) AS d1
+            FROM daily GROUP BY user_id
+        ),
+        scaffold AS (
+            SELECT user_id,
+                   CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                        AS DATE) AS day
+            FROM span
+        )
+        SELECT s.user_id, s.day,
+               last_value(d.day_cents IGNORE NULLS) OVER (
+                   PARTITION BY s.user_id ORDER BY s.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS filled_cents,
+               CAST((d.day_cents IS NULL) AS BIGINT) AS was_gap
+        FROM scaffold s
+        LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    """,
+    "a18_rolling_distinct": """
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        contrib AS (
+            SELECT user_id,
+                   CAST(unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                               INTERVAL 1 DAY)) AS DATE)
+                       AS on_day
+            FROM days
+        ),
+        observed AS (SELECT DISTINCT day AS on_day FROM days)
+        SELECT on_day AS day, count(DISTINCT user_id) AS active_7d
+        FROM contrib
+        WHERE on_day IN (SELECT on_day FROM observed)
+        GROUP BY on_day
     """,
     "cdc_snapshot_diff": """
         WITH old_snap AS (

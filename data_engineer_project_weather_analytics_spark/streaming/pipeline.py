@@ -105,6 +105,44 @@ def windowed_aggregate(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_ts: str,
+    right_ts: str,
+    watermark_delay: str = "1 hour",
+    max_lag: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream INNER join: a right-side event matches
+    a left-side event with the same key arriving in
+    ``(left_ts, left_ts + max_lag]`` — the impression→click attribution
+    shape.
+
+    Both inputs carry watermarks and the join condition bounds the
+    event-time distance, so the state store retains each side only for
+    ``watermark_delay + max_lag`` of event time — the two requirements
+    Spark needs to expire join state instead of buffering both streams
+    forever.  The join itself shuffles both sides by the key exactly
+    like its batch twin; at scale the state size is arrival-rate ×
+    horizon, independent of stream lifetime.
+
+    Deliberately inner: outer stream-stream joins emit null-extended
+    rows only once the watermark passes the join horizon, which an
+    ``availableNow`` drain may never reach after the final batch —
+    attribution pipelines that need "unmatched impressions" compute
+    them batch-side against the sink table instead."""
+    l = left.withWatermark(left_ts, watermark_delay)
+    r = right.withWatermark(right_ts, watermark_delay)
+    cond = (
+        (l[left_on] == r[right_on])
+        & (F.col(right_ts) > F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_lag}"))
+    )
+    return l.join(r, cond, "inner")
+
+
 def dedup_stream(
     stream: DataFrame,
     key_cols: list[str],

@@ -324,3 +324,89 @@ def test_stream_static_dim_join(spark, tmp_path):
     }
     # inner join: the city with no dimension row (7) is dropped
     assert got == {(1, "Hanoi", 20.0), (2, "Hue", 30.0)}
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream inner join (impression→click
+    attribution) over availableNow equals the identical batch join —
+    and respects the (0, 10 min] event-time lag bound."""
+    import datetime as dt
+
+    from pyspark.sql.types import StructField, StructType
+
+    from data_engineer_project_weather_analytics_spark.streaming.pipeline import stream_stream_join
+
+    imp_schema = StructType(
+        [
+            StructField("ad_id", LongType()),
+            StructField("imp_id", LongType()),
+            StructField("imp_ts", TimestampType()),
+        ]
+    )
+    clk_schema = StructType(
+        [
+            StructField("ad_id", LongType()),
+            StructField("click_id", LongType()),
+            StructField("click_ts", TimestampType()),
+        ]
+    )
+
+    def t(h, m):
+        return dt.datetime(2025, 12, 1, h, m)
+
+    imps = [
+        (1, 100, t(10, 0)),
+        (1, 101, t(10, 30)),   # second impression for the same ad
+        (2, 200, t(10, 0)),
+        (3, 300, t(10, 0)),    # never clicked
+    ]
+    clicks = [
+        (1, 900, t(10, 5)),    # matches imp 100 (lag 5 min)
+        (1, 901, t(10, 35)),   # matches imp 101 only (100 is >10 min away)
+        (2, 902, t(10, 0)),    # lag 0 — excluded (strict lower bound)
+        (2, 903, t(10, 11)),   # lag 11 min — excluded
+    ]
+
+    imp_dir, clk_dir = str(tmp_path / "imps"), str(tmp_path / "clicks")
+    spark.createDataFrame(
+        [Row(ad_id=a, imp_id=i, imp_ts=ts) for a, i, ts in imps], imp_schema
+    ).coalesce(1).write.mode("append").parquet(imp_dir)
+    spark.createDataFrame(
+        [Row(ad_id=a, click_id=c, click_ts=ts) for a, c, ts in clicks], clk_schema
+    ).coalesce(1).write.mode("append").parquet(clk_dir)
+
+    joined = stream_stream_join(
+        file_stream(spark, imp_dir, imp_schema),
+        file_stream(spark, clk_dir, clk_schema),
+        left_on="ad_id",
+        right_on="ad_id",
+        left_ts="imp_ts",
+        right_ts="click_ts",
+        watermark_delay="30 minutes",
+        max_lag="10 minutes",
+    ).select("imp_id", "click_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attributed")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.imp_id, r.click_id)
+        for r in spark.sql("SELECT * FROM attributed").collect()
+    }
+    assert got == {(100, 900), (101, 901)}
+
+    # batch twin over the same parquet: identical result
+    batch = stream_stream_join(
+        spark.read.schema(imp_schema).parquet(imp_dir),
+        spark.read.schema(clk_schema).parquet(clk_dir),
+        left_on="ad_id",
+        right_on="ad_id",
+        left_ts="imp_ts",
+        right_ts="click_ts",
+    ).select("imp_id", "click_id")
+    assert {(r.imp_id, r.click_id) for r in batch.collect()} == got
