@@ -21,6 +21,51 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def replicated_skew_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the big side, replicate the small
+    side across every salt, join on ``(key, salt)``.
+
+    AQE's skew splitting only rebalances *sort-merge* partitions after
+    the fact; when the key space itself is tiny or pathologically hot
+    (3 distinct ``l_returnflag`` values over the whole fact table), the
+    structural fix is to widen the key: each big-side row picks one of
+    ``n_salts`` pseudo-random salts, the small side is exploded
+    ``n_salts``× (bounded — small side is dim-sized by contract), and
+    the join key becomes ``(key, salt)`` with ``keys × n_salts``
+    distinct values.  Result rows are identical to the plain join —
+    every big row still meets exactly its matching small rows, once.
+
+    The join is hinted ``shuffle_hash``: this operator exists for dims
+    that are too big (or too remote) to broadcast — with a broadcast
+    there is no shuffle and hence no skew to fix.  Salt distribution
+    uses ``xxhash64(monotonically_increasing_id())`` — any distribution
+    is correct (the salt never reaches the output), uniform is fastest.
+    """
+    salted_big = big.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)).cast(
+            "int"
+        ),
+    )
+    salted_small = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).hint("shuffle_hash")
+    return (
+        salted_big.join(
+            salted_small,
+            (salted_big[big_key] == salted_small[small_key])
+            & (salted_big["__salt"] == salted_small["__salt"]),
+        )
+        .drop("__salt", small_key)
+    )
+
+
 def salted_sum_count(
     df: DataFrame,
     keys: Sequence[str],

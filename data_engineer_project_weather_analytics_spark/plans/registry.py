@@ -51,6 +51,7 @@ def _collect() -> dict[str, QuerySpec]:
         advanced,
         analytics,
         extensions,
+        operational,
         scalars,
         weather,
     )
@@ -61,6 +62,7 @@ def _collect() -> dict[str, QuerySpec]:
     add(scalars, scalars.ORACLES_SCALARS)
     add(advanced, advanced.ORACLES_ADVANCED)
     add(analytics, analytics.ORACLES_ANALYTICS)
+    add(operational, operational.ORACLES_OPERATIONAL)
 
     return specs
 

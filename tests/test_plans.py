@@ -325,3 +325,51 @@ def test_lsh_bucket_cap_precedes_collect(spark):
     assert "LeftSemi" in plan, plan
     # the width pre-count is a plain long-state aggregate, present once
     assert "count(1)" in plan, plan
+
+
+def test_salted_skew_join_shuffles_on_widened_key(spark):
+    """j7's whole point: the 3-key returnflag join must NOT broadcast
+    (that would hide the skew pattern) — it plans a ShuffledHashJoin on
+    the salted (key, salt) pair, with the small side exploded n_salts×
+    (a Generate node) so every salt partition finds its dim rows."""
+    plan = _formatted_plan(spark, "j7_salted_skew_join")
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    # the Generate node and its explode() argument print on separate lines
+    assert "Generate" in plan and "explode(" in plan, plan
+
+
+@pytest.mark.parametrize("name", ["o3_topk_per_group", "x21_minwise_sample"])
+def test_rank_filter_plans_window_group_limit(spark, name):
+    """row_number() ≤ k must hit Spark's WindowGroupLimit rewrite: each
+    partition forwards only its local top-k per group to the shuffle —
+    the distributed-heap shape that makes per-group top-k O(groups×k)
+    exchanged rows instead of O(rows)."""
+    plan = _formatted_plan(spark, name)
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_unpivot_plans_single_expand_no_extra_shuffle(spark):
+    """u3's melt is an Expand (bounded ×4 replication) feeding one
+    aggregate exchange — a UNION-of-four-scans shape would read the
+    fact table four times."""
+    plan = _formatted_plan(spark, "u3_unpivot_metrics")
+    assert "Expand" in plan, plan
+    exchanges = [
+        l for l in plan.splitlines() if l.strip().startswith("(") and "Exchange" in l
+    ]
+    assert len(exchanges) <= 1, exchanges
+    # one scan node = one "(n) Scan parquet" detail header (the bare node
+    # name also appears once in the tree rendering)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_incremental_merge_is_partial_agg_union(spark):
+    """mv1 merges two partial aggregates: the plan must show the
+    union of two aggregated slices feeding a final re-aggregate (3+
+    HashAggregate pairs), not a join or a recompute-after-union."""
+    plan = _formatted_plan(spark, "mv1_incremental_agg_merge")
+    assert "Union" in plan, plan
+    assert plan.count("HashAggregate") >= 6, plan
