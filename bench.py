@@ -56,6 +56,9 @@ HEADLINE: dict[str, str] = {
     "scd2_user_state": "checksum",
     "cdc_snapshot_diff": "checksum",
     "x20_boilerplate_detect": "checksum",
+    "mv1_incremental_agg_merge": "collect",
+    "j7_salted_skew_join": "collect",
+    "u3_unpivot_metrics": "collect",
 }
 
 

@@ -52,6 +52,7 @@ def _collect() -> dict[str, QuerySpec]:
         analytics,
         extensions,
         operational,
+        quality,
         scalars,
         weather,
     )
@@ -63,6 +64,7 @@ def _collect() -> dict[str, QuerySpec]:
     add(advanced, advanced.ORACLES_ADVANCED)
     add(analytics, analytics.ORACLES_ANALYTICS)
     add(operational, operational.ORACLES_OPERATIONAL)
+    add(quality, quality.ORACLES_QUALITY)
 
     return specs
 

@@ -174,6 +174,7 @@ _BOUNDED_BROADCAST_QUERIES = {
     "x18_source_quality_filter",  # 1-row global-mean join
     "x19_unigram_prob_score",  # 1-row corpus-total join
     "x20_boilerplate_detect",  # 1-row corpus-count join
+    "x22_bigram_pmi",  # 1-row corpus-token-count join
 }
 
 
@@ -373,3 +374,33 @@ def test_incremental_merge_is_partial_agg_union(spark):
     plan = _formatted_plan(spark, "mv1_incremental_agg_merge")
     assert "Union" in plan, plan
     assert plan.count("HashAggregate") >= 6, plan
+
+
+def test_bigram_pmi_never_broadcasts_vocabulary(spark):
+    """x22's unigram-count table is vocabulary-sized (unbounded on a
+    real corpus): both count joins must shuffle (SortMergeJoin); the
+    only broadcast is the whitelisted 1-row corpus total."""
+    plan = _formatted_plan(spark, "x22_bigram_pmi")
+    assert "SortMergeJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_dq_scalar_rules_share_one_scan(spark):
+    """dq1's four scalar rules fold into one conditional aggregation:
+    exactly two orders scans in the whole plan (rules + FK anti-join),
+    never one scan per rule."""
+    import re
+
+    plan = _formatted_plan(spark, "dq1_expectations")
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 3, plan  # orders x2 + customer x1
+
+
+def test_ewma_single_window_per_key(spark):
+    """w7's eight lag taps must collapse into ONE Window node over one
+    sort (all share the same (flag, day) spec) — eight separate window
+    exchanges would be the naive shape."""
+    import re
+
+    plan = _formatted_plan(spark, "w7_ewma")
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
