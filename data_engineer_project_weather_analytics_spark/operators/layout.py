@@ -23,6 +23,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_partitioned(
@@ -43,6 +44,47 @@ def write_partitioned(
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(path)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x: str,
+    y: str,
+    bits: int = 8,
+    n_files: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` clustered along the Z-order curve of ``(x, y)``:
+    every output file covers a small rectangle of the two-dimensional
+    space, so parquet min/max statistics prune files for predicates on
+    EITHER or BOTH columns (single-column sorting prunes only its own
+    column — see tests/test_layout.py for the measured difference).
+
+    ``repartitionByRange`` on the key assigns each task one contiguous
+    curve segment (one shuffle, same cost as any global sort-write);
+    the in-file sort makes row-group stats monotone within files.  The
+    key itself is dropped — it is derivable, and layouts must not leak
+    helper columns into the table schema.
+    """
+    from data_engineer_project_weather_analytics_spark.functions.zorder import zorder_key
+
+    mask = (1 << bits) - 1
+    keyed = df.withColumn(
+        "__zkey",
+        zorder_key(
+            F.col(x).bitwiseAND(F.lit(mask)),
+            F.col(y).bitwiseAND(F.lit(mask)),
+            bits=bits,
+        ),
+    )
+    (
+        keyed.repartitionByRange(n_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )
 
 
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:

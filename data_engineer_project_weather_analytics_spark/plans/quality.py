@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from data_engineer_project_weather_analytics_spark.functions.zorder import zorder_key_sql
 from data_engineer_project_weather_analytics_spark.sources.catalog import load_table
 
 
@@ -205,6 +206,43 @@ def x22_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# ZO1 — Z-order curve histogram (layout-key verification)
+# --------------------------------------------------------------------------
+
+def zo1_zorder_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of events along the Z-order curve of
+    ``(user_id, minute_of_day)`` — 256 curve segments with row counts
+    and key ranges.
+
+    This is the *verification query* for the layout primitive
+    (``operators/layout.write_zordered``): the interleave runs over
+    every event through the paired Spark/SQL builders
+    (``functions/zorder``), so a single bit-position error anywhere in
+    the key breaks the hash check.  All arithmetic is integer
+    shift/and/or inside whole-stage codegen; the histogram is one
+    partial-agg shuffle over ≤256 groups.
+    """
+    from data_engineer_project_weather_analytics_spark.functions.zorder import zorder_key
+
+    events = load_table(spark, sf_dir, "events")
+    keyed = events.select(
+        zorder_key(
+            F.col("user_id").bitwiseAND(F.lit(255)),
+            (F.hour("ts") * 60 + F.minute("ts")).bitwiseAND(F.lit(255)),
+            bits=8,
+        ).alias("zkey")
+    )
+    return (
+        keyed.groupBy(F.shiftright("zkey", 8).alias("z_segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("zkey").alias("zkey_min"),
+            F.max("zkey").alias("zkey_max"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # W7 — exponentially weighted moving average, exact dyadic weights
 # --------------------------------------------------------------------------
 
@@ -250,7 +288,24 @@ def w7_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the oracle replays the SAME interleave term list the Spark key uses —
+# generated by the paired builder, never hand-transcribed
+_ZKEY_SQL = zorder_key_sql(
+    "(user_id & 255)", "((hour(ts) * 60 + minute(ts)) & 255)", bits=8
+)
+
 ORACLES_QUALITY: dict[str, str] = {
+    "zo1_zorder_histogram": f"""
+        WITH keyed AS (
+            SELECT ({_ZKEY_SQL}) AS zkey FROM events
+        )
+        SELECT zkey >> 8 AS z_segment,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(min(zkey) AS BIGINT) AS zkey_min,
+               CAST(max(zkey) AS BIGINT) AS zkey_max
+        FROM keyed
+        GROUP BY zkey >> 8
+    """,
     "a19_markov_transitions": """
         WITH seq AS (
             SELECT event_type AS next_type,
