@@ -568,6 +568,125 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(_money_sum(amount, "sum_profit"), F.count(F.lit(1)).alias("n_lines"))
 
 
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who kept orders waiting — the
+    correlated EXISTS / NOT-EXISTS pair over lineitems of the same
+    order.  The testdata has no receipt/commit dates (PARITY.md), so
+    "late" is surrogated as ``l_shipdate > o_orderdate + 90 days``; a
+    supplier blocks a finalized multi-supplier order when it is the
+    ONLY late supplier on it.
+
+    Scale shape: the EXISTS/NOT-EXISTS pair is re-expressed as ONE
+    per-order aggregate (distinct-supplier and distinct-late-supplier
+    counts) joined back to the late lines — both sides shuffle on
+    ``l_orderkey``, so the second join reuses the first exchange
+    instead of the reference's two correlated self-scans; supplier is
+    size-conditionally broadcast, nation (25 rows, scale-constant)
+    force-broadcast.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    lo = li.join(
+        orders.filter(F.col("o_orderstatus") == "F").select(
+            "o_orderkey", "o_orderdate"
+        ),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+        ).cast("int").alias("is_late"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    blockers = (
+        lo.filter(F.col("is_late") == 1)
+        .join(
+            per_order.filter(
+                (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+            ),
+            "l_orderkey",
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        blockers.join(
+            maybe_broadcast(supplier), blockers["l_suppkey"] == supplier["s_suppkey"]
+        )
+        .join(
+            F.broadcast(nation.filter(F.col("n_name") == "NATION_11")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+def tpch_q20_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers sitting on excess supply of a named
+    part family.  The testdata has no partsupp (PARITY.md), so
+    availability is surrogated from lineitem itself: per
+    (supplier, part), all-time shipped quantity stands in for
+    ``ps_availqty`` and 1995 shipments for the year's demand; a pair
+    qualifies when supply > 2 × demand with nonzero demand, mirroring
+    Q20's ``availqty > 0.5 * sum(qty)`` inner subquery.
+
+    Scale shape: ONE partial-agg shuffle on (suppkey, partkey) builds
+    both totals (the reference's nested IN subqueries would scan
+    lineitem twice); the part-name filter prunes before the join and
+    is size-conditionally broadcast; the supplier probe is a semi-join
+    (no row multiplication).  Quantities sum in exact decimal.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    in_1995 = (
+        F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz")
+    ) & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+    ps = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(_dec2("l_quantity")).alias("supply_qty"),
+        F.sum(
+            F.when(in_1995, _dec2("l_quantity")).otherwise(
+                F.lit("0").cast("decimal(12,2)")
+            )
+        ).alias("demand_qty"),
+    )
+    part_f = part.filter(F.col("p_name").startswith("blue")).select("p_partkey")
+    excess = (
+        ps.join(maybe_broadcast(part_f), ps["l_partkey"] == part_f["p_partkey"])
+        .filter(
+            (F.col("demand_qty") > 0)
+            & (F.col("supply_qty") > F.col("demand_qty") * 2)
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(
+            excess, supplier["s_suppkey"] == excess["l_suppkey"], "left_semi"
+        )
+        .join(
+            F.broadcast(nation.filter(F.col("n_name") == "NATION_3")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
 ORACLES_ADVANCED: dict[str, str] = {
     "tpch_q8_market_share": """
         WITH flat AS (
@@ -884,5 +1003,61 @@ ORACLES_ADVANCED: dict[str, str] = {
         JOIN customer ON o_custkey = c_custkey
         ORDER BY total_qty DESC, o_orderkey ASC
         LIMIT 20
+    """,
+    "tpch_q21_waiting_suppliers": """
+        WITH lo AS (
+            SELECT l_orderkey, l_suppkey,
+                   CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                        THEN 1 ELSE 0 END AS is_late
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+        ),
+        po AS (
+            SELECT l_orderkey,
+                   count(DISTINCT l_suppkey) AS n_supp,
+                   count(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END)
+                       AS n_late_supp
+            FROM lo GROUP BY l_orderkey
+        ),
+        blockers AS (
+            SELECT DISTINCT lo.l_orderkey, lo.l_suppkey
+            FROM lo JOIN po USING (l_orderkey)
+            WHERE lo.is_late = 1 AND po.n_supp > 1 AND po.n_late_supp = 1
+        )
+        SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM blockers
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_11'
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+    """,
+    "tpch_q20_excess_supply": """
+        WITH ps AS (
+            SELECT l_suppkey, l_partkey,
+                   sum(CAST(l_quantity AS DECIMAL(12,2))) AS supply_qty,
+                   sum(CASE WHEN l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+                             AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+                            THEN CAST(l_quantity AS DECIMAL(12,2))
+                            ELSE CAST(0 AS DECIMAL(12,2)) END) AS demand_qty
+            FROM lineitem
+            GROUP BY l_suppkey, l_partkey
+        ),
+        excess AS (
+            SELECT DISTINCT l_suppkey
+            FROM ps
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE 'blue%'
+              AND demand_qty > 0
+              AND supply_qty > demand_qty * 2
+        )
+        SELECT s_suppkey, s_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+          AND EXISTS (SELECT 1 FROM excess e WHERE e.l_suppkey = s_suppkey)
+        ORDER BY s_suppkey
     """,
 }
