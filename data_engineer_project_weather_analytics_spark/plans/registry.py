@@ -51,6 +51,7 @@ def _collect() -> dict[str, QuerySpec]:
         advanced,
         analytics,
         extensions,
+        lakeops,
         operational,
         quality,
         scalars,
@@ -65,6 +66,7 @@ def _collect() -> dict[str, QuerySpec]:
     add(analytics, analytics.ORACLES_ANALYTICS)
     add(operational, operational.ORACLES_OPERATIONAL)
     add(quality, quality.ORACLES_QUALITY)
+    add(lakeops, lakeops.ORACLES_LAKEOPS)
 
     return specs
 

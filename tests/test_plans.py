@@ -175,6 +175,7 @@ _BOUNDED_BROADCAST_QUERIES = {
     "x19_unigram_prob_score",  # 1-row corpus-total join
     "x20_boilerplate_detect",  # 1-row corpus-count join
     "x22_bigram_pmi",  # 1-row corpus-token-count join
+    "x23_sq8_topk",  # 1-row quantizer-scale join + fixed query-vector set
 }
 
 
@@ -404,3 +405,58 @@ def test_ewma_single_window_per_key(spark):
 
     plan = _formatted_plan(spark, "w7_ewma")
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+
+
+def test_grid_spatial_join_is_equijoin_with_exploded_probes(spark):
+    """geo1's radius search must plan as a hash/merge EQUI-join on the
+    grid-cell key with the 3x3 neighborhood exploded on the center
+    side — the direct distance theta-join would be a nested loop over
+    |points| x |centers|."""
+    import re
+
+    plan = _formatted_plan(spark, "geo1_grid_join")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert re.search(r"\(\d+\) Generate", plan), "probe side not exploded to cells"
+    assert any(
+        j in plan
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    ), "cell join is not an equi-join"
+
+
+def test_nearest_event_join_single_window_shuffle(spark):
+    """j8 carries both as-of directions through ONE window over one
+    per-user exchange — a second sort or a self-join would double the
+    shuffled bytes."""
+    import re
+
+    plan = _formatted_plan(spark, "j8_nearest_event_join")
+    exchanges = [
+        l
+        for l in plan.splitlines()
+        if l.strip().startswith("(") and "Exchange" in l and "Reused" not in l
+    ]
+    assert len(exchanges) <= 1, exchanges
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+
+
+def test_sq8_rescore_is_candidate_bounded(spark):
+    """x23's exact rescore must sit above the quantized top-20 filter
+    (row_number <= 20), so only |queries| x 20 float dot products run —
+    rescoring the whole scored product would void the quantization."""
+    plan = _formatted_plan(spark, "x23_sq8_topk")
+    assert plan.count("RunningWindowFunction") >= 1 or plan.count("Window") >= 2, plan
+    # candidate cap present as a filter on the first window's rank
+    assert "<= 20" in plan, "no top-20 candidate cap before rescore"
+
+
+def test_compaction_plan_aggregates_inventory_before_window(spark):
+    """c1's cumsum must run over the (type, hour) file inventory (one
+    partial-agg shuffle of inventory-sized rows), never over raw
+    events."""
+    import re
+
+    plan = _formatted_plan(spark, "c1_compaction_plan")
+    agg_ids = [m.start() for m in re.finditer(r"\(\d+\) HashAggregate", plan)]
+    win_ids = [m.start() for m in re.finditer(r"\(\d+\) Window", plan)]
+    assert agg_ids and win_ids, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
