@@ -59,6 +59,10 @@ HEADLINE: dict[str, str] = {
     "mv1_incremental_agg_merge": "collect",
     "j7_salted_skew_join": "collect",
     "u3_unpivot_metrics": "collect",
+    "j8_nearest_event_join": "checksum",
+    "x23_sq8_topk": "collect",
+    "geo1_grid_join": "collect",
+    "c1_compaction_plan": "collect",
 }
 
 
