@@ -402,6 +402,200 @@ def x23_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# X24 — count-min sketch heavy hitters
+# --------------------------------------------------------------------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 512
+
+
+def _cms_bucket(col: Column, row: int) -> Column:
+    """Row-``row`` CMS bucket of a token: first 8 md5 hex chars → int,
+    mod width.  md5 is the one keyed hash both engines share (the
+    MinHash lesson); ``conv(hex)`` here ≡ DuckDB's ``('0x'||hex)::BIGINT``."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{row}#"), col)), 1, 8), 16, 10
+        ).cast("bigint")
+        % _CMS_WIDTH
+    )
+
+
+def x24_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min estimates for the corpus's 30 most frequent tokens,
+    reported against their exact counts.
+
+    The bounded-memory frequency sketch: d×w counters (4×512 int64s
+    here) replace the unbounded per-token hash table — at 100 TB the
+    sketch aggregation state is 16 KB per task no matter how large the
+    vocabulary grows, and sketches from different partitions merge by
+    addition (classic CMS mergeability), which IS Spark's partial
+    aggregation.  ``est(w) = min over rows of counter[row][h_row(w)]``
+    upper-bounds the true count (only overestimates, by hash-collision
+    mass).  The exact top-30 (a TakeOrdered over the token counts) is
+    computed only to *grade* the sketch — a pure-sketch deployment
+    skips it.  All counts exact int64; md5 bucketing is engine-portable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    tagged = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("row"), _cms_bucket(F.col("w"), d).alias("bucket")
+                    )
+                    for d in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("rb")
+    )
+    sketch = (
+        tagged.select("rb.row", "rb.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    heavy = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), "w")
+        .limit(30)
+    )
+    probes = heavy.select(
+        "w",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("row"), _cms_bucket(F.col("w"), d).alias("bucket")
+                    )
+                    for d in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("rb"),
+    ).select("w", "n_exact", "rb.row", "rb.bucket")
+    return (
+        probes.join(sketch, ["row", "bucket"])
+        .groupBy(F.col("w").alias("token"), "n_exact")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MB1 — market-basket co-occurrence (frequent pairs)
+# --------------------------------------------------------------------------
+
+def mb1_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 part pairs co-purchased in the same order (frequent-
+    itemset support counts — the recommendation/association primitive).
+
+    Scale shape: distinct (order, part) items shuffle ONCE on the
+    order key; the pair self-join reuses that exchange on both sides
+    (ReuseExchange), so pair emission is map-side within each order's
+    partition.  Mega-baskets are excluded BEFORE pair emission
+    (2 ≤ items ≤ 10) — an uncapped basket of n items emits n²/2 pairs,
+    the same hot-key blowup the LSH bucket cap guards against; the
+    cap keeps per-order fan-out ≤ 45 pairs.  Top-20 is
+    TakeOrderedAndProject with a total-order tiebreak.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    sizes = items.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
+    eligible = items.join(
+        sizes.filter(F.col("n_items").between(2, 10)), "l_orderkey"
+    ).select("l_orderkey", "l_partkey")
+    a = eligible.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = eligible.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "p1", "p2")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# W9 — resample to a fixed grid with linear interpolation
+# --------------------------------------------------------------------------
+
+def w9_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's daily value series resampled onto the full 30-day
+    January grid, gaps filled by linear interpolation between the
+    nearest observed days (edges stay NULL) — the timeseries-cleanup
+    step before any windowed model sees the data.
+
+    Scale shape: the observed series is a partial-agg shuffle; the
+    grid is |users| × 30 rows (dimension-sized); prev/next observed
+    day and value ride ONE window per user (four ignore-nulls
+    expressions share the same spec → a single sort).  Interpolation
+    is exact int64 cents/day arithmetic with ONE closing double
+    division, so the fill is bit-identical cross-engine.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+                "grid_day"
+            ),
+        )
+        .agg(F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("cents"))
+    )
+    grid = (
+        events.select("user_id")
+        .distinct()
+        .select("user_id", F.explode(F.sequence(F.lit(0), F.lit(29))).alias("grid_day"))
+    )
+    g = grid.join(daily, ["user_id", "grid_day"], "left")
+    w = Window.partitionBy("user_id").orderBy("grid_day")
+    obs_day = F.when(F.col("cents").isNotNull(), F.col("grid_day"))
+    obs_val = F.when(F.col("cents").isNotNull(), F.col("cents"))
+    filled_in = g.select(
+        "user_id",
+        "grid_day",
+        "cents",
+        F.last(obs_day, ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("prev_d"),
+        F.last(obs_val, ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("prev_v"),
+        F.first(obs_day, ignorenulls=True)
+        .over(w.rowsBetween(1, Window.unboundedFollowing))
+        .alias("next_d"),
+        F.first(obs_val, ignorenulls=True)
+        .over(w.rowsBetween(1, Window.unboundedFollowing))
+        .alias("next_v"),
+    )
+    num = F.col("prev_v") * (F.col("next_d") - F.col("grid_day")) + F.col(
+        "next_v"
+    ) * (F.col("grid_day") - F.col("prev_d"))
+    den = F.col("next_d") - F.col("prev_d")
+    filled = (
+        F.when(F.col("cents").isNotNull(), F.col("cents").cast("double"))
+        .when(
+            F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
+            num.cast("double") / den.cast("double"),
+        )
+        .otherwise(F.lit(None).cast("double"))
+    )
+    src = (
+        F.when(F.col("cents").isNotNull(), F.lit("obs"))
+        .when(F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(), F.lit("interp"))
+        .otherwise(F.lit("edge"))
+    )
+    return filled_in.select(
+        "user_id",
+        "grid_day",
+        filled.alias("filled_cents"),
+        src.alias("src"),
+    )
+
+
 ORACLES_LAKEOPS: dict[str, str] = {
     "c1_compaction_plan": f"""
         WITH files AS (
@@ -563,6 +757,122 @@ ORACLES_LAKEOPS: dict[str, str] = {
                END AS VARCHAR) AS direction
         FROM seq
         WHERE NOT is_click
+    """,
+    "x24_countmin_heavy_hitters": f"""
+        WITH toks AS (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        rows_ AS (SELECT unnest([0, 1, 2, 3]) AS row),
+        tagged AS (
+            SELECT r.row,
+                   ('0x' || substr(md5(CAST(r.row AS VARCHAR) || '#' || w), 1, 8))
+                       ::BIGINT % {_CMS_WIDTH} AS bucket
+            FROM toks CROSS JOIN rows_ r
+        ),
+        sketch AS (
+            SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt
+            FROM tagged GROUP BY row, bucket
+        ),
+        heavy AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS n_exact
+            FROM toks GROUP BY w
+            ORDER BY n_exact DESC, w LIMIT 30
+        ),
+        probes AS (
+            SELECT h.w, h.n_exact, r.row,
+                   ('0x' || substr(md5(CAST(r.row AS VARCHAR) || '#' || h.w), 1, 8))
+                       ::BIGINT % {_CMS_WIDTH} AS bucket
+            FROM heavy h CROSS JOIN rows_ r
+        )
+        SELECT p.w AS token, p.n_exact,
+               CAST(min(s.cnt) AS BIGINT) AS cms_est
+        FROM probes p
+        JOIN sketch s ON s.row = p.row AND s.bucket = p.bucket
+        GROUP BY p.w, p.n_exact
+    """,
+    "mb1_market_basket": """
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        sizes AS (
+            SELECT l_orderkey, count(*) AS n_items
+            FROM items GROUP BY l_orderkey
+        ),
+        eligible AS (
+            SELECT i.l_orderkey, i.l_partkey
+            FROM items i JOIN sizes s USING (l_orderkey)
+            WHERE s.n_items BETWEEN 2 AND 10
+        )
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM eligible a
+        JOIN eligible b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        ORDER BY n_orders DESC, p1, p2
+        LIMIT 20
+    """,
+    "w9_resample_interpolate": """
+        WITH daily AS (
+            SELECT user_id,
+                   date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                       AS grid_day,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events
+            GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT u.user_id, d.grid_day
+            FROM (SELECT DISTINCT user_id FROM events) u
+            CROSS JOIN (SELECT unnest(list_transform(
+                            generate_series(0, 29), x -> x)) AS grid_day) d
+        ),
+        g AS (
+            SELECT grid.user_id, grid.grid_day, daily.cents
+            FROM grid LEFT JOIN daily USING (user_id, grid_day)
+        ),
+        seq AS (
+            SELECT user_id, grid_day, cents,
+                   last_value(CASE WHEN cents IS NOT NULL THEN grid_day END
+                              IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY grid_day
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_d,
+                   last_value(CASE WHEN cents IS NOT NULL THEN cents END
+                              IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY grid_day
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_v,
+                   first_value(CASE WHEN cents IS NOT NULL THEN grid_day END
+                               IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY grid_day
+                             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                       AS next_d,
+                   first_value(CASE WHEN cents IS NOT NULL THEN cents END
+                               IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY grid_day
+                             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                       AS next_v
+            FROM g
+        )
+        SELECT user_id,
+               CAST(grid_day AS INTEGER) AS grid_day,
+               CASE
+                   WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+                   WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+                       CAST(prev_v * (next_d - grid_day)
+                            + next_v * (grid_day - prev_d) AS DOUBLE)
+                           / CAST(next_d - prev_d AS DOUBLE)
+                   ELSE NULL
+               END AS filled_cents,
+               CASE
+                   WHEN cents IS NOT NULL THEN 'obs'
+                   WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                       THEN 'interp'
+                   ELSE 'edge'
+               END AS src
+        FROM seq
     """,
     "x23_sq8_topk": """
         WITH v AS (

@@ -460,3 +460,34 @@ def test_compaction_plan_aggregates_inventory_before_window(spark):
     win_ids = [m.start() for m in re.finditer(r"\(\d+\) Window", plan)]
     assert agg_ids and win_ids, plan
     assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_market_basket_self_join_reuses_exchange(spark):
+    """mb1's pair self-join must reuse the single (order, part) items
+    exchange on both sides — two independent scans+shuffles of
+    lineitem would double the dominant cost — and the top-20 must be
+    TakeOrderedAndProject, not a global sort."""
+    static = _formatted_plan(spark, "mb1_market_basket")
+    assert "TakeOrderedAndProject" in static, static
+    # exchange reuse is an AQE runtime decision — inspect the executed plan
+    df = REGISTRY["mb1_market_basket"].fn(spark, SF_DIR)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed, "items exchange not shared across the self-join"
+
+
+def test_resample_interpolation_single_window(spark):
+    """w9's four ignore-nulls carries (prev/next day and value) must
+    collapse into ONE Window node over one per-user sort."""
+    import re
+
+    plan = _formatted_plan(spark, "w9_resample_interpolate")
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+
+
+def test_countmin_sketch_has_mapside_partials(spark):
+    """x24's sketch counters must partial-aggregate map-side (CMS
+    mergeability IS Spark partial aggregation) — the shuffle then
+    carries at most d*w rows per task, not the token stream."""
+    plan = _formatted_plan(spark, "x24_countmin_heavy_hitters")
+    assert "partial_count" in plan, plan
