@@ -596,6 +596,168 @@ def w9_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# J9 — bloom-filter semi-join reduction
+# --------------------------------------------------------------------------
+
+_BLOOM_BITS = 1 << 16  # 65536-bit filter = 2048 32-bit words
+_BLOOM_K = 3
+
+
+def _bloom_pos(key: Column, i: int) -> Column:
+    """Hash-``i`` bit position of a key (md5-portable, like CMS)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}#"), key)), 1, 8), 16, 10
+        ).cast("bigint")
+        % _BLOOM_BITS
+    )
+
+
+def j9_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction via a bloom filter: how many lineitem rows
+    survive a 64 Kbit / 3-hash bloom of the filtered part keys, versus
+    the exact semi-join count — the fact-side pre-filter that cuts
+    shuffle volume before a big join.
+
+    The 100 TB pattern: the dimension's join keys compress into a
+    scale-CONSTANT bitmap (2048 words regardless of key count — built
+    by one ``bit_or`` partial aggregation, which is how bloom filters
+    merge), broadcast to every fact scan task; fact rows failing any
+    of the k membership probes never enter the join exchange.  False
+    positives (reported here) only cost wasted shuffle rows, never
+    correctness — the exact join still runs behind the filter.  Word
+    size 32 keeps every shift strictly inside a positive int64 in both
+    engines.  Probes are joins against the 2048-row bitmap (bounded
+    broadcast), bit tests are codegen shift/AND.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+
+    keys = part.filter(F.col("p_name").startswith("blue")).select(
+        "p_partkey", F.col("p_partkey").cast("string").alias("k")
+    )
+    positions = keys.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col("k"), i) for i in range(_BLOOM_K)])
+        ).alias("pos")
+    )
+    bloom = positions.select(
+        F.expr("pos DIV 32").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("b"),
+    ).groupBy("word").agg(F.expr("bit_or(b)").alias("bits"))
+
+    probe = li.select(F.col("l_partkey").cast("string").alias("k"), "l_partkey")
+    for i in range(_BLOOM_K):
+        probe = probe.withColumn(f"pos{i}", _bloom_pos(F.col("k"), i))
+        bl = bloom.select(
+            F.col("word").alias(f"word{i}"), F.col("bits").alias(f"bits{i}")
+        )
+        probe = probe.join(
+            F.broadcast(bl), F.expr(f"pos{i} DIV 32") == F.col(f"word{i}"), "left"
+        )
+    passed = probe.filter(
+        " AND ".join(
+            f"(bits{i} IS NOT NULL AND "
+            f"(shiftright(bits{i}, CAST(pos{i} % 32 AS INT)) & 1) = 1)"
+            for i in range(_BLOOM_K)
+        )
+    )
+    n_pass = passed.agg(F.count(F.lit(1)).alias("n_bloom_pass"))
+    n_true = (
+        li.join(keys, li["l_partkey"] == keys["p_partkey"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+    )
+    return n_pass.join(F.broadcast(n_true)).select(
+        "n_bloom_pass",
+        "n_true",
+        (F.col("n_bloom_pass") - F.col("n_true")).alias("n_false_pos"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A21 — histogram-sketch quantiles vs exact rank statistics
+# --------------------------------------------------------------------------
+
+_HQ_WIDTH = 64  # cents per histogram bucket
+
+
+def a21_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95/p99 of event value per event_type, twice: exact
+    (rank-based order statistic) and from a fixed 64-cent-bucket
+    histogram sketch (the bucket's lower bound).
+
+    The bounded-memory quantile path: the histogram is ≤ |range|/width
+    counters per group regardless of row count — it merges by
+    addition (partial agg), while the exact path needs a full sort of
+    every group.  Rank math is pure int64: the p-th rank is
+    ``(p·n + 99) div 100`` and the sketch answer is the first bucket
+    whose cumulative count reaches it (a window over ≤ 1024 bucket
+    rows, never over the data).  Reporting both quantifies the
+    sketch's resolution error instead of hiding it.
+    """
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        "event_id",
+    )
+    n_tbl = base.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+    wq = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    ranked = base.select(
+        "event_type", "cents", F.row_number().over(wq).alias("rn")
+    ).join(n_tbl, "event_type")
+    exact = ranked.groupBy("event_type", "n").agg(
+        *[
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr(f"({p} * n + 99) DIV 100"), F.col("cents")
+                )
+            ).alias(f"p{p}_exact")
+            for p in (50, 95, 99)
+        ]
+    )
+
+    hist = (
+        base.select("event_type", F.expr(f"cents DIV {_HQ_WIDTH}").alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wh = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "event_type", "bucket", F.sum("cnt").over(wh).alias("cum")
+    ).join(n_tbl, "event_type")
+    est = cum.groupBy("event_type").agg(
+        *[
+            (
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.expr(f"({p} * n + 99) DIV 100"),
+                        F.col("bucket"),
+                    )
+                )
+                * _HQ_WIDTH
+            ).alias(f"p{p}_est")
+            for p in (50, 95, 99)
+        ]
+    )
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "n",
+        "p50_exact",
+        "p95_exact",
+        "p99_exact",
+        "p50_est",
+        "p95_est",
+        "p99_est",
+    )
+
+
 ORACLES_LAKEOPS: dict[str, str] = {
     "c1_compaction_plan": f"""
         WITH files AS (
@@ -757,6 +919,119 @@ ORACLES_LAKEOPS: dict[str, str] = {
                END AS VARCHAR) AS direction
         FROM seq
         WHERE NOT is_click
+    """,
+    "j9_bloom_prune_join": f"""
+        WITH keys AS (
+            SELECT p_partkey, CAST(p_partkey AS VARCHAR) AS k
+            FROM part WHERE p_name LIKE 'blue%'
+        ),
+        pos AS (
+            SELECT ('0x' || substr(md5(CAST(i.i AS VARCHAR) || '#' || keys.k),
+                                   1, 8))::BIGINT % {_BLOOM_BITS} AS pos
+            FROM keys CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) i
+        ),
+        bloom AS (
+            SELECT pos // 32 AS word,
+                   bit_or(1::BIGINT << CAST(pos % 32 AS INTEGER)) AS bits
+            FROM pos GROUP BY pos // 32
+        ),
+        pp AS (
+            SELECT l_partkey,
+                   ('0x' || substr(md5('0#' || CAST(l_partkey AS VARCHAR)),
+                                   1, 8))::BIGINT % {_BLOOM_BITS} AS pos0,
+                   ('0x' || substr(md5('1#' || CAST(l_partkey AS VARCHAR)),
+                                   1, 8))::BIGINT % {_BLOOM_BITS} AS pos1,
+                   ('0x' || substr(md5('2#' || CAST(l_partkey AS VARCHAR)),
+                                   1, 8))::BIGINT % {_BLOOM_BITS} AS pos2
+            FROM lineitem
+        ),
+        checked AS (
+            SELECT CASE WHEN b0.bits IS NOT NULL
+                         AND ((b0.bits >> CAST(p.pos0 % 32 AS INTEGER)) & 1) = 1
+                        THEN 1 ELSE 0 END AS c0,
+                   CASE WHEN b1.bits IS NOT NULL
+                         AND ((b1.bits >> CAST(p.pos1 % 32 AS INTEGER)) & 1) = 1
+                        THEN 1 ELSE 0 END AS c1,
+                   CASE WHEN b2.bits IS NOT NULL
+                         AND ((b2.bits >> CAST(p.pos2 % 32 AS INTEGER)) & 1) = 1
+                        THEN 1 ELSE 0 END AS c2
+            FROM pp p
+            LEFT JOIN bloom b0 ON b0.word = p.pos0 // 32
+            LEFT JOIN bloom b1 ON b1.word = p.pos1 // 32
+            LEFT JOIN bloom b2 ON b2.word = p.pos2 // 32
+        ),
+        agg AS (
+            SELECT CAST(count(*) FILTER (WHERE c0 = 1 AND c1 = 1 AND c2 = 1)
+                        AS BIGINT) AS n_bloom_pass
+            FROM checked
+        ),
+        tr AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_true
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM keys)
+        )
+        SELECT n_bloom_pass, n_true,
+               n_bloom_pass - n_true AS n_false_pos
+        FROM agg CROSS JOIN tr
+    """,
+    "a21_hist_quantiles": f"""
+        WITH base AS (
+            SELECT event_type,
+                   CAST(floor(value * 100) AS BIGINT) AS cents,
+                   event_id
+            FROM events
+        ),
+        n_tbl AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n
+            FROM base GROUP BY event_type
+        ),
+        ranked AS (
+            SELECT b.event_type, b.cents, n.n,
+                   row_number() OVER (
+                       PARTITION BY b.event_type ORDER BY b.cents, b.event_id
+                   ) AS rn
+            FROM base b JOIN n_tbl n USING (event_type)
+        ),
+        exact AS (
+            SELECT event_type, n,
+                   max(CASE WHEN rn = (50 * n + 99) // 100 THEN cents END)
+                       AS p50_exact,
+                   max(CASE WHEN rn = (95 * n + 99) // 100 THEN cents END)
+                       AS p95_exact,
+                   max(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END)
+                       AS p99_exact
+            FROM ranked GROUP BY event_type, n
+        ),
+        hist AS (
+            SELECT event_type, cents // {_HQ_WIDTH} AS bucket,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM base GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT h.event_type, h.bucket, n.n,
+                   sum(h.cnt) OVER (
+                       PARTITION BY h.event_type ORDER BY h.bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum
+            FROM hist h JOIN n_tbl n USING (event_type)
+        ),
+        est AS (
+            SELECT event_type,
+                   CAST(min(CASE WHEN cum >= (50 * n + 99) // 100
+                                 THEN bucket END) * {_HQ_WIDTH} AS BIGINT)
+                       AS p50_est,
+                   CAST(min(CASE WHEN cum >= (95 * n + 99) // 100
+                                 THEN bucket END) * {_HQ_WIDTH} AS BIGINT)
+                       AS p95_est,
+                   CAST(min(CASE WHEN cum >= (99 * n + 99) // 100
+                                 THEN bucket END) * {_HQ_WIDTH} AS BIGINT)
+                       AS p99_est
+            FROM cum GROUP BY event_type
+        )
+        SELECT e.event_type, e.n,
+               e.p50_exact, e.p95_exact, e.p99_exact,
+               s.p50_est, s.p95_est, s.p99_est
+        FROM exact e JOIN est s USING (event_type)
     """,
     "x24_countmin_heavy_hitters": f"""
         WITH toks AS (
