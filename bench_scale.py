@@ -69,6 +69,17 @@ QUERIES: tuple[str, ...] = (
     "x9_tfidf_keywords",
     "x16_curation_pipeline",
     "x19_unigram_prob_score",
+    "tpch_q20_excess_supply",
+    "tpch_q21_waiting_suppliers",
+    "j8_nearest_event_join",
+    "j9_bloom_prune_join",
+    "x23_sq8_topk",
+    "x24_countmin_heavy_hitters",
+    "mb1_market_basket",
+    "geo1_grid_join",
+    "w9_resample_interpolate",
+    "c1_compaction_plan",
+    "a21_hist_quantiles",
 )
 
 

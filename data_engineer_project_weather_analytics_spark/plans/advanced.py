@@ -687,7 +687,101 @@ def tpch_q20_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: minimum-cost supplier per part in one region —
+    the correlated scalar-min subquery against partsupp.  The testdata
+    has no partsupp or ps_supplycost (PARITY.md), so supply pairs are
+    surrogated from distinct lineitem (supplier, part) and the cost by
+    a deterministic key-derived pseudo-cost
+    ``(s·31 + p·17) mod 10000`` — preserving the query's shape (the
+    per-part min can tie, and ties all survive, exactly as in Q2).
+
+    Scale shape: the correlated subquery de-correlates into ONE window
+    min over the region-filtered supply table partitioned by part key
+    — a single shuffle instead of the reference's per-part rescan.
+    The part filter joins BEFORE the window (a partkey-level predicate
+    commutes with a partkey-partitioned min), so the window sorts only
+    qualifying parts' rows; nation/region (scale-constant) are forced
+    broadcasts, the supplier side is size-conditional.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    ps = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            ((F.col("l_suppkey") * 31 + F.col("l_partkey") * 17) % 10000).alias(
+                "supply_cost"
+            ),
+        )
+    )
+    eu_suppliers = (
+        supplier.join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part_f = part.filter(
+        (F.col("p_type") == "ECONOMY") & F.col("p_size").between(1, 15)
+    ).select("p_partkey")
+    regional = ps.join(
+        maybe_broadcast(eu_suppliers),
+        ps["l_suppkey"] == F.col("s_suppkey"),
+    ).join(maybe_broadcast(part_f), ps["l_partkey"] == F.col("p_partkey"))
+    w = Window.partitionBy("l_partkey")
+    return (
+        regional.withColumn("min_cost", F.min("supply_cost").over(w))
+        .filter(F.col("supply_cost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "supply_cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
 ORACLES_ADVANCED: dict[str, str] = {
+    "tpch_q2_min_cost_supplier": """
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey,
+                   (l_suppkey * 31 + l_partkey * 17) % 10000 AS supply_cost
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        ),
+        eu AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        ),
+        regional AS (
+            SELECT ps.l_partkey, ps.supply_cost,
+                   eu.s_name, eu.s_acctbal, eu.n_name
+            FROM ps
+            JOIN eu ON ps.l_suppkey = eu.s_suppkey
+            JOIN part ON ps.l_partkey = p_partkey
+            WHERE p_type = 'ECONOMY' AND p_size BETWEEN 1 AND 15
+        )
+        SELECT s_acctbal, s_name, n_name,
+               l_partkey AS p_partkey,
+               CAST(supply_cost AS BIGINT) AS supply_cost
+        FROM (
+            SELECT *, min(supply_cost) OVER (PARTITION BY l_partkey)
+                       AS min_cost
+            FROM regional
+        )
+        WHERE supply_cost = min_cost
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
     "tpch_q8_market_share": """
         WITH flat AS (
             SELECT year(o_orderdate) AS o_year,
