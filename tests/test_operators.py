@@ -670,3 +670,147 @@ def test_range_join_left_keeps_unmatched(spark):
         by_event.setdefault(r.event_id, set()).add(r.win)
     assert by_event[5] == {None}  # unmatched survives with NULL window
     assert by_event[3] == {"A", "B"}
+
+
+def _write_events_fixture(spark, path, rows):
+    """Materialize a synthetic events table a plans/ query can read
+    through sources/catalog.load_table (same columns as testdata)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampNTZType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/events.parquet")
+
+
+def test_nearest_event_join_randomized_reference(spark, tmp_path):
+    """Seeded fuzz: j8's windowed bidirectional as-of vs a pure-Python
+    per-row nearest scan — exact gap/direction equality, including
+    same-microsecond ties (event_id tiebreak) and no-click users."""
+    import random
+
+    from data_engineer_project_weather_analytics_spark.plans.lakeops import j8_nearest_event_join
+
+    rng = random.Random(0xBEEF)
+    base = datetime.datetime(2024, 1, 5)
+    rows = []
+    for eid in range(400):
+        ts = base + datetime.timedelta(
+            # coarse grid on purpose: ~8% same-timestamp collisions
+            microseconds=rng.randrange(0, 2 * 86400) * 500_000
+        )
+        rows.append(
+            (
+                eid,
+                ts,
+                rng.randrange(12),
+                rng.choice(["purchase", "click", "click", "view"]),
+                1.0,
+                None,
+            )
+        )
+    _write_events_fixture(spark, str(tmp_path), rows)
+
+    got = {
+        r.event_id: (r.gap_us, r.direction)
+        for r in j8_nearest_event_join(spark, str(tmp_path)).collect()
+    }
+
+    by_user: dict[int, list] = {}
+    for eid, ts, uid, et, _v, _p in rows:
+        if et in ("purchase", "click"):
+            by_user.setdefault(uid, []).append((int(ts.timestamp() * 1e6), eid, et))
+    want = {}
+    for uid, evs in by_user.items():
+        evs.sort()  # (ts_us, event_id) — the window's order
+        for i, (ts_us, eid, et) in enumerate(evs):
+            if et != "purchase":
+                continue
+            prev = next(
+                (t for t, _e, k in reversed(evs[:i]) if k == "click"), None
+            )
+            nxt = next((t for t, _e, k in evs[i + 1 :] if k == "click"), None)
+            if prev is None and nxt is None:
+                want[eid] = (None, None)
+            elif nxt is None or (prev is not None and ts_us - prev <= nxt - ts_us):
+                want[eid] = (ts_us - prev, "back")
+            else:
+                want[eid] = (nxt - ts_us, "fwd")
+    assert got == want
+
+
+def test_resample_interpolate_randomized_reference(spark, tmp_path):
+    """Seeded fuzz: w9's windowed interpolation vs a pure-Python
+    day-grid fill — exact equality of the filled series (observed,
+    interpolated, and edge rows), sparse users included."""
+    import random
+
+    from data_engineer_project_weather_analytics_spark.plans.lakeops import w9_resample_interpolate
+
+    rng = random.Random(0xFEED)
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for uid in range(8):
+        # sparse: 1-12 observations scattered over the month
+        for _ in range(rng.randrange(1, 13)):
+            day = rng.randrange(30)
+            ts = base + datetime.timedelta(
+                days=day, seconds=rng.randrange(86400)
+            )
+            rows.append((eid, ts, uid, "view", rng.uniform(0.01, 400.0), None))
+            eid += 1
+    _write_events_fixture(spark, str(tmp_path), rows)
+
+    got = {
+        (r.user_id, r.grid_day): (r.filled_cents, r.src)
+        for r in w9_resample_interpolate(spark, str(tmp_path)).collect()
+    }
+
+    import math
+
+    daily: dict[tuple, int] = {}
+    for _eid, ts, uid, _et, value, _p in rows:
+        day = (ts - base).days
+        daily[(uid, day)] = daily.get((uid, day), 0) + int(math.floor(value * 100))
+    want = {}
+    for uid in {u for u, _d in daily}:
+        obs_days = sorted(d for u, d in daily if u == uid)
+        for d in range(30):
+            if (uid, d) in daily:
+                want[(uid, d)] = (float(daily[(uid, d)]), "obs")
+                continue
+            prev = max((x for x in obs_days if x < d), default=None)
+            nxt = min((x for x in obs_days if x > d), default=None)
+            if prev is None or nxt is None:
+                want[(uid, d)] = (None, "edge")
+            else:
+                v0, v1 = daily[(uid, prev)], daily[(uid, nxt)]
+                want[(uid, d)] = (
+                    float(v0 * (nxt - d) + v1 * (d - prev)) / float(nxt - prev),
+                    "interp",
+                )
+    assert set(got) == set(want)
+    for k in want:
+        gv, gs = got[k]
+        wv, ws = want[k]
+        assert gs == ws, (k, got[k], want[k])
+        assert (gv is None) == (wv is None), (k, got[k], want[k])
+        if gv is not None:
+            assert gv == wv, (k, got[k], want[k])
