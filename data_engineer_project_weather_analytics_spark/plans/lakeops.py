@@ -758,7 +758,124 @@ def a21_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# G1 — triangle counting with degree orientation
+# --------------------------------------------------------------------------
+
+def g1_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the co-purchase graph (parts as nodes, same-order
+    co-occurrence as edges) — the clustering/community primitive.
+
+    The distributed-graph trick that makes this scale: orient every
+    undirected edge from its lower-(degree, id) endpoint to the higher
+    one.  Out-degrees are then bounded by O(√m) even on power-law
+    graphs, so the wedge self-join (out-neighbor pairs per source)
+    cannot explode on hub nodes — the unoriented formulation generates
+    deg² wedges per hub.  Each triangle is counted exactly once: only
+    its orientation-minimal vertex owns both out-edges.  Shape: edge
+    list (basket-capped, as mb1) → degree partial-agg → oriented
+    self-join on the source → closing-edge semi-probe.  All counts
+    int64.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    sizes = items.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
+    eligible = items.join(
+        sizes.filter(F.col("n_items").between(2, 10)), "l_orderkey"
+    ).select("l_orderkey", "l_partkey")
+    a = eligible.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = eligible.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .select("p1", "p2")
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("p1").alias("node"))
+        .unionAll(edges.select(F.col("p2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("p1"), F.col("deg").alias("d1"))
+    dv = deg.select(F.col("node").alias("p2"), F.col("deg").alias("d2"))
+    lower_first = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("p1") < F.col("p2"))
+    )
+    oriented = (
+        edges.join(du, "p1")
+        .join(dv, "p2")
+        .select(
+            F.when(lower_first, F.col("p1")).otherwise(F.col("p2")).alias("src"),
+            F.when(lower_first, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
+        )
+    )
+    wa = oriented.select("src", F.col("dst").alias("v"))
+    wb = oriented.select("src", F.col("dst").alias("w"))
+    wedges = wa.join(wb, "src").filter(F.col("v") < F.col("w"))
+    tri = wedges.join(
+        edges,
+        (F.col("v") == edges["p1"]) & (F.col("w") == edges["p2"]),
+        "left_semi",
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_wedges = wedges.agg(F.count(F.lit(1)).alias("n_wedges"))
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        n_edges.join(F.broadcast(n_wedges))
+        .join(F.broadcast(n_tri))
+        .select("n_edges", "n_wedges", "n_triangles")
+    )
+
+
 ORACLES_LAKEOPS: dict[str, str] = {
+    "g1_triangle_count": """
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        sizes AS (
+            SELECT l_orderkey, count(*) AS n_items
+            FROM items GROUP BY l_orderkey
+        ),
+        eligible AS (
+            SELECT i.l_orderkey, i.l_partkey
+            FROM items i JOIN sizes s USING (l_orderkey)
+            WHERE s.n_items BETWEEN 2 AND 10
+        ),
+        edges AS (
+            SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+            FROM eligible a
+            JOIN eligible b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        deg AS (
+            SELECT node, count(*) AS deg FROM (
+                SELECT p1 AS node FROM edges
+                UNION ALL SELECT p2 FROM edges
+            ) GROUP BY node
+        ),
+        oriented AS (
+            SELECT CASE WHEN (du.deg < dv.deg)
+                          OR (du.deg = dv.deg AND e.p1 < e.p2)
+                        THEN e.p1 ELSE e.p2 END AS src,
+                   CASE WHEN (du.deg < dv.deg)
+                          OR (du.deg = dv.deg AND e.p1 < e.p2)
+                        THEN e.p2 ELSE e.p1 END AS dst
+            FROM edges e
+            JOIN deg du ON du.node = e.p1
+            JOIN deg dv ON dv.node = e.p2
+        ),
+        wedges AS (
+            SELECT a.src, a.dst AS v, b.dst AS w
+            FROM oriented a
+            JOIN oriented b ON a.src = b.src AND a.dst < b.dst
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+               (SELECT CAST(count(*) AS BIGINT) FROM wedges) AS n_wedges,
+               (SELECT CAST(count(*) AS BIGINT) FROM wedges
+                WHERE EXISTS (SELECT 1 FROM edges e
+                              WHERE e.p1 = v AND e.p2 = w)) AS n_triangles
+    """,
     "c1_compaction_plan": f"""
         WITH files AS (
             SELECT event_type,

@@ -177,6 +177,7 @@ _BOUNDED_BROADCAST_QUERIES = {
     "x22_bigram_pmi",  # 1-row corpus-token-count join
     "x23_sq8_topk",  # 1-row quantizer-scale join + fixed query-vector set
     "j9_bloom_prune_join",  # 2048-word bloom bitmap + 1-row count join
+    "g1_triangle_count",  # 1-row count joins
 }
 
 
