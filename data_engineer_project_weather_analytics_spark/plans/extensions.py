@@ -748,6 +748,40 @@ def x2e_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_clusters(pairs, max_iterations=8)
 
 
+def x25_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: collapse each duplicate cluster
+    (x2e connected components over LSH pairs) to its best member —
+    longest text wins, lowest doc_id breaks ties — with singletons
+    passing through as their own clusters.  This is the step that
+    turns dedup *detection* into an actionable keep-list.
+
+    Scale shape: the cluster map is |docs| rows; the left join back to
+    the corpus and the per-cluster ranking window shuffle on
+    cluster_id once.  Selection metadata only (ids + lengths) flows
+    through the window — never document text.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = x2e_dup_clusters(spark, sf_dir)
+    full = (
+        docs.select("doc_id", "n_chars")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = full.select(
+        "cluster_id", "doc_id", "n_chars", F.row_number().over(w).alias("rn")
+    )
+    return ranked.groupBy("cluster_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("kept_doc_id"),
+        F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).alias("kept_chars"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
 def x3e_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: label column as the coarse quantizer cell, probing the
     2 nearest cells per query.  Centroids are µ-quantized exact means,

@@ -480,6 +480,60 @@ ORACLES_EXT: dict[str, str] = {
         FROM reach
         GROUP BY src
     """,
+    "x25_cluster_representatives": f"""
+        WITH RECURSIVE ds AS ({_SHINGLES}),
+        sigs AS (
+            SELECT doc_id, CAST(band AS INTEGER) AS band,
+                   min(substr(md5(shingle) || md5(shingle || '#'),
+                              8 * band + 1, 8)) AS minhash
+            FROM ds CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band) b
+            GROUP BY doc_id, band
+        ),
+        ok_buckets AS ({_OK_BUCKETS}),
+        candidates AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sigs a
+            JOIN sigs b ON a.band = b.band AND a.minhash = b.minhash
+            JOIN ok_buckets ob ON ob.band = a.band AND ob.minhash = a.minhash
+            WHERE a.doc_id < b.doc_id
+        ),
+        sym AS (
+            SELECT id_a AS src, id_b AS dst FROM candidates
+            UNION ALL
+            SELECT id_b, id_a FROM candidates
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM sym
+            UNION
+            SELECT src, src FROM sym
+            UNION
+            SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+        ),
+        cl AS (
+            SELECT src AS doc_id, min(dst) AS cluster_id
+            FROM reach GROUP BY src
+        ),
+        allc AS (
+            SELECT d.doc_id, d.n_chars,
+                   coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN cl USING (doc_id)
+        ),
+        ranked AS (
+            SELECT cluster_id, doc_id, n_chars,
+                   row_number() OVER (
+                       PARTITION BY cluster_id
+                       ORDER BY n_chars DESC, doc_id) AS rn
+            FROM allc
+        )
+        SELECT cluster_id,
+               CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+                   AS kept_doc_id,
+               CAST(max(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT)
+                   AS kept_chars,
+               CAST(count(*) AS BIGINT) AS n_members
+        FROM ranked
+        GROUP BY cluster_id
+    """,
     "x3c_label_centroids": """
         WITH t AS (
             SELECT label,

@@ -814,3 +814,42 @@ def test_resample_interpolate_randomized_reference(spark, tmp_path):
         assert (gv is None) == (wv is None), (k, got[k], want[k])
         if gv is not None:
             assert gv == wv, (k, got[k], want[k])
+
+
+def test_countmin_never_underestimates(spark):
+    """CMS guarantee: est(w) >= true(w) for every graded token (the
+    sketch only overestimates, by collision mass)."""
+    from data_engineer_project_weather_analytics_spark.plans.lakeops import x24_countmin_heavy_hitters
+
+    rows = x24_countmin_heavy_hitters(spark, SF_DIR).collect()
+    assert rows, "no heavy hitters graded"
+    assert all(r.cms_est >= r.n_exact for r in rows), [
+        (r.token, r.n_exact, r.cms_est) for r in rows if r.cms_est < r.n_exact
+    ]
+
+
+def test_bloom_has_no_false_negatives(spark):
+    """Bloom guarantee: every true member passes (n_bloom_pass >=
+    n_true, n_false_pos >= 0) — a false negative would mean the
+    pre-filter silently drops join matches."""
+    from data_engineer_project_weather_analytics_spark.plans.lakeops import j9_bloom_prune_join
+
+    row = j9_bloom_prune_join(spark, SF_DIR).collect()[0]
+    assert row.n_true > 0, "degenerate fixture: no true matches"
+    assert row.n_bloom_pass >= row.n_true
+    assert row.n_false_pos >= 0
+
+
+def test_hist_quantile_bounds_exact(spark):
+    """Histogram-sketch guarantee: the estimated bucket's range covers
+    the exact order statistic (est <= exact < est + width)."""
+    from data_engineer_project_weather_analytics_spark.plans.lakeops import (
+        _HQ_WIDTH,
+        a21_hist_quantiles,
+    )
+
+    for r in a21_hist_quantiles(spark, SF_DIR).collect():
+        for p in (50, 95, 99):
+            est = r[f"p{p}_est"]
+            exact = r[f"p{p}_exact"]
+            assert est <= exact < est + _HQ_WIDTH, (r.event_type, p, est, exact)
