@@ -88,6 +88,15 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # the frozen BASELINE.md set (round 1, 16 queries, 21.192 s): the
+    # like-for-like subtotal as the headline set widens round over round
+    baseline16 = (
+        "a1_scorecard a2_daily_timeseries a3_latest_per_key "
+        "a5_latest_join_dim k2_upsert_lww j1_dim_join_agg j3_asof_join "
+        "w2_moving_avg t4_hourly_window tpch_q1_pricing_summary "
+        "tpch_q3_shipping_priority tpch_q5_local_volume x1_exact_dedup "
+        "x2b_lsh_candidate_pairs x3_cosine_topk x4c_quality_score"
+    ).split()
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -97,6 +106,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
+                "baseline16_total": round(
+                    sum(timings[n] for n in baseline16 if n in timings), 3
+                ),
             }
         )
     )

@@ -410,3 +410,81 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
         right_ts="click_ts",
     ).select("imp_id", "click_id")
     assert {(r.imp_id, r.click_id) for r in batch.collect()} == got
+
+
+def test_streaming_countmin_sketch_merges_by_addition(spark, tmp_path):
+    """Sketch mergeability end-to-end in streaming: per-micro-batch
+    count-min counters folded into a state table by ADDITION through
+    foreachBatch must equal the sketch computed over the whole corpus
+    in one batch — the property that lets 100 TB of history and a live
+    stream share one 16 KB sketch."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    from data_engineer_project_weather_analytics_spark.plans.lakeops import _CMS_DEPTH, _cms_bucket
+    from data_engineer_project_weather_analytics_spark.streaming.pipeline import file_stream
+
+    schema = StructType([StructField("w", StringType())])
+    src = str(tmp_path / "src")
+    state_path = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+
+    words1 = ["the", "cat", "sat", "the", "mat", "the"]
+    words2 = ["cat", "dog", "the", "dog", "run"]
+    spark.createDataFrame([Row(w=w) for w in words1], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame([Row(w=w) for w in words2], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def sketch_of(df):
+        tagged = df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("row"),
+                            _cms_bucket(F.col("w"), d).alias("bucket"),
+                        )
+                        for d in range(_CMS_DEPTH)
+                    ]
+                )
+            ).alias("rb")
+        )
+        return (
+            tagged.select("rb.row", "rb.bucket")
+            .groupBy("row", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    def merge_batch(batch_df, _bid):
+        delta = sketch_of(batch_df)
+        if os.path.exists(state_path):
+            prev = batch_df.sparkSession.read.parquet(state_path)
+            merged = (
+                prev.unionByName(delta)
+                .groupBy("row", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        else:
+            merged = delta
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)
+
+    q = (
+        file_stream(spark, src, schema)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointDirectory", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        (r.row, r.bucket): r.cnt for r in spark.read.parquet(state_path).collect()
+    }
+    full = spark.createDataFrame([Row(w=w) for w in words1 + words2], schema)
+    batch = {(r.row, r.bucket): r.cnt for r in sketch_of(full).collect()}
+    assert streamed == batch
