@@ -759,6 +759,44 @@ def a21_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# A23 — event-time RANGE-frame trailing window
+# --------------------------------------------------------------------------
+
+def a23_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: the count and value mass of the SAME user's activity
+    in the trailing hour — a RANGE frame over event-time microseconds,
+    not a ROWS frame.
+
+    The distinction matters for correctness at scale: a ROWS frame
+    counts a fixed number of neighbors regardless of how sparse or
+    bursty the stream is, and splits same-timestamp peers
+    arbitrarily; the RANGE frame is defined by the *time* interval
+    ``[t − 1 h, t]`` and includes ALL equal-timestamp peers in both
+    engines — deterministic under ties where a ROWS frame is not.
+    One shuffle on user_id, frame bounds in exact integer
+    microseconds (the temporal-join rule), cents exact int64.
+    """
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return base.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("trail_cnt"),
+        F.sum("cents").over(w).alias("trail_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
 # A22 — portable deterministic HyperLogLog
 # --------------------------------------------------------------------------
 
@@ -908,6 +946,22 @@ def g1_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES_LAKEOPS: dict[str, str] = {
+    "a23_trailing_range_window": """
+        WITH base AS (
+            SELECT user_id, event_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                   CAST(floor(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT user_id, event_id,
+               CAST(count(*) OVER w AS BIGINT) AS trail_cnt,
+               CAST(sum(cents) OVER w AS BIGINT) AS trail_cents
+        FROM base
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY ts_us
+            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+        )
+    """,
     "a22_hll_distinct": f"""
         WITH h AS (
             SELECT md5(CAST(event_id AS VARCHAR)) AS h FROM events
