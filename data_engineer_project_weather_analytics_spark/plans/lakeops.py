@@ -1,33 +1,30 @@
-"""Lake-operations + advanced-analytics query set (round 3, batch 4):
-the table-maintenance and feature-engineering workload a 100 TB
-deployment runs beside the dashboard queries.
+"""Lake-operations + advanced-analytics query set (round 3, batches
+4-7): the table-maintenance, sketching, and feature-engineering
+workload a 100 TB deployment runs beside the dashboard queries.
 
-* ``c1``  — small-file compaction planner: greedy contiguous
-  bin-packing of per-partition file lists via a window cumsum — the
-  planning half of an OPTIMIZE/rewrite job (the execute half is
-  ``operators/upsert.UpsertTable.compact``);
-* ``dq2`` — snapshot drift detection: per-segment count / distinct /
-  value-mass deltas between a baseline and a current time slice in ONE
-  conditional-aggregation scan (schema-stable inputs; the column-stats
-  analogue of dq1's row contracts);
-* ``geo1`` — grid-bucketed spatial radius join: the cell-hash
-  equi-join that replaces the O(|L|·|R|) theta distance join (same
-  bucket-explode trick as the temporal range join, in 2-D);
-* ``a20`` — Pearson correlation + OLS slope from one pass of exact
-  integer moments (the sufficient-statistics pattern: no second scan,
-  no ``corr()`` builtin whose internal accumulation order is
-  engine-specific);
-* ``j8``  — nearest-event join (both directions): as-of backward AND
-  forward in a single union-scan window, picking the closer side —
-  the attribution primitive ("which click caused this purchase");
-* ``x23`` — int8 scalar-quantized similarity search with exact
-  rescoring: the memory-bound ANN path (4× smaller vectors, integer
-  dot products) that brute-force scans the quantized corpus and
-  rescores only the candidate set at full precision.
+Maintenance / operations: ``c1`` compaction planner (window-cumsum
+bin-packing over the file inventory), ``dq2`` snapshot column-drift
+detection (one conditional-agg scan).
+
+Joins: ``geo1`` grid-bucketed spatial radius join (2-D bucket-explode
+equi-join), ``j8`` nearest-event bidirectional as-of (one union-scan
+window), ``j9`` bloom-filter semi-join reduction (scale-constant
+bitmap, measured false positives).
+
+Sketches (all mergeable via partial aggregation): ``x24`` count-min
+heavy hitters, ``a21`` histogram quantiles vs exact rank statistics,
+``a22`` portable HyperLogLog (oracle-checked bit-for-bit).
+
+Analytics: ``a20`` correlation/OLS from one-pass exact moments,
+``a23`` event-time RANGE-frame trailing window, ``w9`` daily-grid
+resampling with linear interpolation, ``mb1`` market-basket frequent
+pairs, ``g1`` degree-oriented triangle counting, ``x23`` int8
+scalar-quantized ANN with exact rescoring.
 
 Cross-engine determinism per CLAUDE.md: integer arithmetic up to the
 last operation, floor-quantized float outputs, no round(), no libm
-except IEEE-correctly-rounded sqrt/division.
+except IEEE-correctly-rounded sqrt/division; portable md5 bucketing
+via conv(hex) ≡ ('0x'||hex)::BIGINT.
 """
 
 from __future__ import annotations
@@ -797,6 +794,75 @@ def a23_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# W10 — CUSUM change-point detection (recurrence → prefix closed form)
+# --------------------------------------------------------------------------
+
+#: flag when the one-sided CUSUM exceeds this many baseline-scaled cents
+_CUSUM_H_CENTS = 2_000_000
+
+
+def w10_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detector on each event_type's daily value
+    series: flag the days where cumulative upward deviation from the
+    first-15-day baseline mean exceeds a threshold.
+
+    The CUSUM recurrence ``S_t = max(0, S_{t−1} + (x_t − μ))`` looks
+    sequential — a driver loop — but has the exact closed form
+    ``S_t = P_t − min_{j≤t} P_j`` over prefix sums ``P`` of the
+    deviations, so it is two window expressions over ONE per-key sort
+    (the same de-recursion trick as w7's EWMA truncation).  All
+    arithmetic is integer: deviations are scaled by the baseline day
+    count (``x·n − Σx`` instead of ``x − Σx/n``), so no division ever
+    happens and the flag threshold is exact.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+                "day"
+            ),
+        )
+        .agg(F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("cents"))
+    )
+    base = daily.filter(F.col("day") < 15).groupBy("event_type").agg(
+        F.sum("cents").alias("base_sum"),
+        F.count(F.lit(1)).alias("base_days"),
+    )
+    dev = daily.join(base, "event_type").select(
+        "event_type",
+        "day",
+        "cents",
+        # (x − μ) scaled by base_days: exact int64
+        (F.col("cents") * F.col("base_days") - F.col("base_sum")).alias("d"),
+        "base_days",
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prefixed = dev.select(
+        "event_type",
+        "day",
+        "cents",
+        "base_days",
+        F.sum("d").over(wp).alias("p"),
+    )
+    cusum = (
+        F.col("p")
+        - F.least(F.min("p").over(wp), F.lit(0))
+    )
+    return prefixed.select(
+        "event_type",
+        "day",
+        "cents",
+        cusum.alias("cusum_scaled"),
+        (cusum > F.col("base_days") * F.lit(_CUSUM_H_CENTS)).alias("flagged"),
+    )
+
+
+# --------------------------------------------------------------------------
 # A22 — portable deterministic HyperLogLog
 # --------------------------------------------------------------------------
 
@@ -946,6 +1012,50 @@ def g1_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES_LAKEOPS: dict[str, str] = {
+    "w10_cusum_changepoint": f"""
+        WITH daily AS (
+            SELECT event_type,
+                   date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                       AS day,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events
+            GROUP BY 1, 2
+        ),
+        base AS (
+            SELECT event_type,
+                   CAST(sum(cents) AS BIGINT) AS base_sum,
+                   CAST(count(*) AS BIGINT) AS base_days
+            FROM daily WHERE day < 15
+            GROUP BY event_type
+        ),
+        dev AS (
+            SELECT d.event_type, d.day, d.cents, b.base_days,
+                   d.cents * b.base_days - b.base_sum AS dd
+            FROM daily d JOIN base b USING (event_type)
+        ),
+        psum AS (
+            SELECT event_type, day, cents, base_days,
+                   CAST(sum(dd) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS p
+            FROM dev
+        ),
+        prefixed AS (
+            SELECT event_type, day, cents, base_days, p,
+                   CAST(min(p) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS minp
+            FROM psum
+        )
+        SELECT event_type, CAST(day AS INTEGER) AS day, cents,
+               CAST(p - least(minp, 0) AS BIGINT) AS cusum_scaled,
+               (p - least(minp, 0)) > base_days * {_CUSUM_H_CENTS}
+                   AS flagged
+        FROM prefixed
+    """,
     "a23_trailing_range_window": """
         WITH base AS (
             SELECT user_id, event_id,

@@ -853,3 +853,26 @@ def test_hist_quantile_bounds_exact(spark):
             est = r[f"p{p}_est"]
             exact = r[f"p{p}_exact"]
             assert est <= exact < est + _HQ_WIDTH, (r.event_type, p, est, exact)
+
+
+def test_cusum_flags_planted_level_shift(spark, tmp_path):
+    """A planted +50%-per-day level shift from day 20 must trip the
+    CUSUM flag after the shift and never before it."""
+    import random
+
+    from data_engineer_project_weather_analytics_spark.plans.lakeops import w10_cusum_changepoint
+
+    rng = random.Random(0xD81F7)
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for day in range(30):
+        level = 200.0 if day < 20 else 300.0
+        for _ in range(40):
+            ts = base + datetime.timedelta(days=day, seconds=rng.randrange(86400))
+            rows.append((eid, ts, rng.randrange(10), "view", level + rng.uniform(-5, 5), None))
+            eid += 1
+    _write_events_fixture(spark, str(tmp_path), rows)
+
+    got = {r.day: r.flagged for r in w10_cusum_changepoint(spark, str(tmp_path)).collect()}
+    assert not any(got[d] for d in range(20)), "flagged before the shift"
+    assert any(got[d] for d in range(20, 30)), "shift never flagged"
