@@ -863,6 +863,54 @@ def w10_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# W11 — rolling median (order statistic over a moving frame)
+# --------------------------------------------------------------------------
+
+def w11_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day median of daily revenue per return flag — the
+    robust-smoothing counterpart to w2's moving average (a single
+    outlier day shifts the mean but not the median).
+
+    No engine has a native moving median; the frame is materialized as
+    a sorted array (≤ 7 int64 cents — bounded, in-row, codegen) and
+    the LOWER median ``sorted[(k+1) div 2]`` is picked by index: pure
+    integer selection, no averaging of middle pairs, so the result is
+    engine-exact.  Input is the usual daily partial-agg shuffle; the
+    window is ONE sort per flag.  The frame array is bounded by the
+    frame length — this never materializes a group, only a window.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.select(
+            "l_returnflag",
+            F.to_date("l_shipdate").alias("day"),
+            (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .alias("__c"),
+        )
+        .groupBy("l_returnflag", "day")
+        .agg(F.sum("__c").alias("cents"))
+    )
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    frame = F.sort_array(F.collect_list("cents").over(w))
+    return (
+        daily.select("l_returnflag", "day", "cents", frame.alias("__f"))
+        .select(
+            "l_returnflag",
+            "day",
+            "cents",
+            F.expr(
+                "element_at(__f, CAST((size(__f) + 1) DIV 2 AS INT))"
+            ).alias("med7"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # A22 — portable deterministic HyperLogLog
 # --------------------------------------------------------------------------
 
@@ -1012,6 +1060,26 @@ def g1_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES_LAKEOPS: dict[str, str] = {
+    "w11_rolling_median": """
+        WITH daily AS (
+            SELECT l_returnflag, CAST(l_shipdate AS DATE) AS day,
+                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                                 * 100 AS BIGINT)) AS BIGINT) AS cents
+            FROM lineitem
+            GROUP BY l_returnflag, CAST(l_shipdate AS DATE)
+        ),
+        framed AS (
+            SELECT l_returnflag, day, cents,
+                   list(cents) OVER (
+                       PARTITION BY l_returnflag ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+                   ) AS f
+            FROM daily
+        )
+        SELECT l_returnflag, day, cents,
+               CAST(list_sort(f)[(len(f) + 1) // 2] AS BIGINT) AS med7
+        FROM framed
+    """,
     "w10_cusum_changepoint": f"""
         WITH daily AS (
             SELECT event_type,
