@@ -863,6 +863,120 @@ def w10_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# W12 — debounce (burst dedup: keep the first event of each burst)
+# --------------------------------------------------------------------------
+
+def w12_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensor-style debounce: within each (user, event_type) stream,
+    keep only the FIRST event of every burst, where a burst extends
+    while consecutive events are ≤ 60 s apart.
+
+    "Keep first, then measure the gap from the kept one" looks
+    stateful-sequential, but bursts are exactly the segments between
+    >60 s gaps: a lag-gap flag and a running sum assign burst ids in
+    ONE window pass (the streak/sessionize de-recursion, w6), and the
+    burst's first row is rank 1 — no driver loop, no
+    applyInPandasWithState needed for the batch form.  Gap math in
+    exact integer microseconds (temporal rule).  Emits per kept event
+    the burst size it represents, so downstream aggregation can weight
+    by suppressed volume.
+    """
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    flagged = base.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts_us",
+        F.when(
+            F.col("ts_us") - F.lag("ts_us").over(w) <= 60_000_000, F.lit(0)
+        )
+        .otherwise(F.lit(1))
+        .alias("is_new_burst"),
+    )
+    wb = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bursts = flagged.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts_us",
+        F.sum("is_new_burst").over(wb).alias("burst_id"),
+    )
+    return (
+        bursts.groupBy("user_id", "event_type", "burst_id")
+        .agg(
+            F.min(F.struct("ts_us", "event_id")).alias("first"),
+            F.count(F.lit(1)).alias("burst_size"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            "burst_id",
+            F.col("first.event_id").alias("kept_event_id"),
+            "burst_size",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# X26 — balanced downsampling (exact-integer data-derived rates)
+# --------------------------------------------------------------------------
+
+def x26_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus across languages by downsampling every
+    language toward the minority class, with a DATA-DERIVED sampling
+    rate applied as an exact integer comparison — no float thresholds
+    anywhere, so the kept set is bit-identical in any engine and
+    stable under re-partitioning.
+
+    The trick: keeping a doc with probability ``n_min / n_lang``
+    is ``md5_u32(doc) · n_lang < n_min · 2³²`` — cross-multiplied
+    int64 arithmetic on a per-doc hash (the same partition-order-free
+    selection as x6's fixed split, upgraded to rates computed FROM the
+    data: two broadcast-joined aggregate rows per language).  Reports
+    per language the before/after counts; kept counts land within
+    O(√n) of ``n_min`` (hash noise), never above ``n_lang``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    n_min = counts.agg(F.min("n_lang").alias("n_min"))
+    hashed = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+            " AS BIGINT)"
+        ).alias("h32"),
+    )
+    kept = (
+        hashed.join(F.broadcast(counts), "lang")
+        .join(F.broadcast(n_min))
+        .filter(
+            F.col("h32") * F.col("n_lang")
+            < F.col("n_min") * F.lit(4294967296)
+        )
+    )
+    return (
+        counts.join(
+            kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept")),
+            "lang",
+            "left",
+        )
+        .select(
+            "lang",
+            "n_lang",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # W11 — rolling median (order statistic over a moving frame)
 # --------------------------------------------------------------------------
 
@@ -1060,6 +1174,70 @@ def g1_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES_LAKEOPS: dict[str, str] = {
+    "w12_debounce": """
+        WITH base AS (
+            SELECT user_id, event_type, event_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, event_type, event_id, ts_us,
+                   CASE WHEN ts_us - lag(ts_us) OVER (
+                            PARTITION BY user_id, event_type
+                            ORDER BY ts_us, event_id
+                        ) <= 60000000
+                        THEN 0 ELSE 1 END AS is_new_burst
+            FROM base
+        ),
+        bursts AS (
+            SELECT user_id, event_type, event_id, ts_us,
+                   CAST(sum(is_new_burst) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS burst_id
+            FROM flagged
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY user_id, event_type, burst_id
+                       ORDER BY ts_us, event_id) AS rn
+            FROM bursts
+        )
+        SELECT user_id, event_type, burst_id,
+               CAST(max(CASE WHEN rn = 1 THEN event_id END) AS BIGINT)
+                   AS kept_event_id,
+               CAST(count(*) AS BIGINT) AS burst_size
+        FROM ranked
+        GROUP BY user_id, event_type, burst_id
+    """,
+    "x26_balanced_downsample": """
+        WITH counts AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+            FROM documents GROUP BY lang
+        ),
+        nm AS (SELECT min(n_lang) AS n_min FROM counts),
+        hashed AS (
+            SELECT doc_id, lang,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       ::BIGINT AS h32
+            FROM documents
+        ),
+        kept AS (
+            SELECT h.lang
+            FROM hashed h
+            JOIN counts c USING (lang)
+            CROSS JOIN nm
+            WHERE h.h32 * c.n_lang < nm.n_min * 4294967296
+        ),
+        k2 AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
+            FROM kept GROUP BY lang
+        )
+        SELECT c.lang, c.n_lang,
+               CAST(coalesce(k2.n_kept, 0) AS BIGINT) AS n_kept
+        FROM counts c LEFT JOIN k2 USING (lang)
+    """,
     "w11_rolling_median": """
         WITH daily AS (
             SELECT l_returnflag, CAST(l_shipdate AS DATE) AS day,

@@ -179,6 +179,7 @@ _BOUNDED_BROADCAST_QUERIES = {
     "j9_bloom_prune_join",  # 2048-word bloom bitmap + 1-row count join
     "g1_triangle_count",  # 1-row count joins
     "a22_hll_distinct",  # 1-row sketch-total x 1-row exact-count join
+    "x26_balanced_downsample",  # |languages|-row counts + 1-row min join
 }
 
 
