@@ -863,6 +863,128 @@ def w10_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# MV2 — incremental join-view repair (late-arriving dimension updates)
+# --------------------------------------------------------------------------
+
+def mv2_delta_join_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain a materialized orders⋈customer view under a dimension
+    update (every 50th customer's balance changes) WITHOUT recomputing
+    the join: delete the affected rows from the old view, re-join only
+    the affected facts against the updated dimension rows, union.
+    The query emits the repaired view's per-nation aggregates NEXT TO
+    a from-scratch recompute and a consistency flag — self-verifying.
+
+    The 100 TB point: the repair's join input is |affected facts| ×
+    |updated dims| (the delta), not |all facts| × |all dims| — with
+    2% of dims updated, ~98% of the view is untouched and never
+    shuffles.  The "delete" is a predicate on the view's own dim key
+    (at scale: partition pruning on the view layout).  Exact decimal
+    money sums; the flag compares exact decimals, never floats.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    is_updated = F.col("c_custkey") % 50 == 0
+    new_bal = F.when(
+        is_updated, _dec2_local("c_acctbal") + F.lit("100").cast("decimal(12,2)")
+    ).otherwise(_dec2_local("c_acctbal"))
+    dim_old = customer.select(
+        "c_custkey", "c_nationkey", _dec2_local("c_acctbal").alias("bal")
+    )
+    dim_new = customer.select(
+        "c_custkey", "c_nationkey", new_bal.alias("bal")
+    )
+    dim_delta = dim_new.filter(is_updated)
+
+    view_old = orders.join(
+        dim_old, orders["o_custkey"] == dim_old["c_custkey"]
+    ).select("o_orderkey", "c_custkey", "c_nationkey", "bal")
+    repaired = view_old.filter(~(F.col("c_custkey") % 50 == 0)).unionByName(
+        orders.join(
+            dim_delta, orders["o_custkey"] == dim_delta["c_custkey"]
+        ).select("o_orderkey", "c_custkey", "c_nationkey", "bal")
+    )
+    recomputed = orders.join(
+        dim_new, orders["o_custkey"] == dim_new["c_custkey"]
+    ).select("o_orderkey", "c_custkey", "c_nationkey", "bal")
+
+    def roll(df: DataFrame, prefix: str) -> DataFrame:
+        return df.groupBy("c_nationkey").agg(
+            F.count(F.lit(1)).alias(f"{prefix}_orders"),
+            F.sum("bal").alias(f"__{prefix}_bal"),
+        )
+    a = roll(repaired, "rep")
+    b = roll(recomputed, "rec")
+    return (
+        a.join(b, "c_nationkey")
+        .select(
+            "c_nationkey",
+            "rep_orders",
+            "rec_orders",
+            F.col("__rep_bal").cast("double").alias("rep_bal"),
+            (
+                (F.col("rep_orders") == F.col("rec_orders"))
+                & (F.col("__rep_bal") == F.col("__rec_bal"))
+            ).alias("consistent"),
+        )
+    )
+
+
+def _dec2_local(col: str) -> Column:
+    return F.col(col).cast("decimal(12,2)")
+
+
+# --------------------------------------------------------------------------
+# X27 — corpus-adaptive stopword stripping (apply-step of boilerplate)
+# --------------------------------------------------------------------------
+
+def x27_adaptive_stopword_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strip corpus-adaptive stopwords — tokens appearing in ≥ 60% of
+    documents — from every document, preserving token order: the
+    APPLY step downstream of boilerplate *detection* (x20 flags, this
+    rewrites).
+
+    Scale shape: the document-frequency table is built from distinct
+    (token, doc) pairs by partial-agg shuffle and joined back to the
+    positional token stream with a forced MERGE hint — it is
+    vocabulary-sized and must never broadcast (the x9 lesson); the
+    1-row corpus count does broadcast.  Order restoration is
+    sort_array over in-row (pos, token) structs — per-document,
+    bounded, codegen — then one rollup shuffle on doc_id.  The
+    stopword test is exact integers (df·100 ≥ 60·n_docs).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    df_ = (
+        toks.select("doc_id", "w")
+        .distinct()
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    nd = docs.agg(F.count(F.lit(1)).alias("__n_docs"))
+    kept = (
+        toks.join(df_.hint("merge"), "w")
+        .join(F.broadcast(nd))
+        .filter(F.col("__df") * 100 < 60 * F.col("__n_docs"))
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("cleaned"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # W12 — debounce (burst dedup: keep the first event of each burst)
 # --------------------------------------------------------------------------
 
@@ -1174,6 +1296,80 @@ def g1_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES_LAKEOPS: dict[str, str] = {
+    "mv2_delta_join_repair": """
+        WITH dim_old AS (
+            SELECT c_custkey, c_nationkey,
+                   CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+            FROM customer
+        ),
+        dim_new AS (
+            SELECT c_custkey, c_nationkey,
+                   CASE WHEN c_custkey % 50 = 0
+                        THEN CAST(c_acctbal AS DECIMAL(12,2))
+                             + CAST(100 AS DECIMAL(12,2))
+                        ELSE CAST(c_acctbal AS DECIMAL(12,2)) END AS bal
+            FROM customer
+        ),
+        view_old AS (
+            SELECT o_orderkey, c_custkey, c_nationkey, bal
+            FROM orders JOIN dim_old ON o_custkey = c_custkey
+        ),
+        repaired AS (
+            SELECT * FROM view_old WHERE NOT (c_custkey % 50 = 0)
+            UNION ALL
+            SELECT o_orderkey, d.c_custkey, d.c_nationkey, d.bal
+            FROM orders JOIN dim_new d ON o_custkey = d.c_custkey
+            WHERE d.c_custkey % 50 = 0
+        ),
+        recomputed AS (
+            SELECT o_orderkey, c_custkey, c_nationkey, bal
+            FROM orders JOIN dim_new ON o_custkey = c_custkey
+        ),
+        a AS (
+            SELECT c_nationkey, CAST(count(*) AS BIGINT) AS rep_orders,
+                   sum(bal) AS rb
+            FROM repaired GROUP BY c_nationkey
+        ),
+        b AS (
+            SELECT c_nationkey, CAST(count(*) AS BIGINT) AS rec_orders,
+                   sum(bal) AS cb
+            FROM recomputed GROUP BY c_nationkey
+        )
+        SELECT a.c_nationkey, rep_orders, rec_orders,
+               CAST(rb AS DOUBLE) AS rep_bal,
+               (rep_orders = rec_orders AND rb = cb) AS consistent
+        FROM a JOIN b USING (c_nationkey)
+    """,
+    "x27_adaptive_stopword_strip": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(t)),
+                       i -> struct_pack(pos := i, w := t[i]))) AS u
+            FROM (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents)
+        ),
+        flat AS (SELECT doc_id, u.pos AS pos, u.w AS w FROM toks),
+        df_ AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS df
+            FROM (SELECT DISTINCT doc_id, w FROM flat)
+            GROUP BY w
+        ),
+        nd AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+        ),
+        kept AS (
+            SELECT f.doc_id, f.pos, f.w
+            FROM flat f
+            JOIN df_ USING (w)
+            CROSS JOIN nd
+            WHERE df * 100 < 60 * n_docs
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               array_to_string(list(w ORDER BY pos), ' ') AS cleaned
+        FROM kept
+        GROUP BY doc_id
+    """,
     "w12_debounce": """
         WITH base AS (
             SELECT user_id, event_type, event_id,
