@@ -61,7 +61,96 @@ def f_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def f_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type surface: build a per-user ``map<event_type, count>``
+    with ``map_from_entries``, rewrite values with
+    ``transform_values``, prune entries with ``map_filter``, measure
+    with ``size``, and flatten back with ``explode`` — the full
+    map-column lifecycle, all JVM-side higher-order functions.
+
+    The ORACLE stays relational (DuckDB's MAP has no comparable
+    hash-canonical form): the exploded output rows are the contract,
+    so map iteration order never matters (the compare is
+    order-insensitive).  Counts exact int64.
+    """
+    events = load_table(spark, sf_dir, "events")
+    per_type = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mapped = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    doubled = F.map_filter(
+        F.transform_values("m", lambda _k, v: v * 2), lambda _k, v: v >= 6
+    )
+    return mapped.select(
+        "user_id",
+        F.size("m").cast("int").alias("n_types"),
+        F.explode(doubled).alias("event_type", "n2"),
+    )
+
+
+def u4_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union across schema versions: a legacy extract without
+    ``o_orderpriority`` unions with the current schema via
+    ``unionByName(allowMissingColumns=True)`` — missing columns fill
+    with NULL instead of failing or silently binding by position (the
+    classic schema-evolution hazard of plain UNION).  Legacy rows
+    surface as the NULL-priority group in the rollup.  Money sums in
+    exact decimal (repo rule)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1995-01-01 00:00:00").cast("timestamp_ntz")
+    v1 = orders.filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    v2 = orders.filter(F.col("o_orderdate") >= cutoff).select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+        "o_orderpriority",
+    )
+    merged = v1.unionByName(v2, allowMissingColumns=True)
+    return merged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price").cast("double").alias("total_price"),
+    )
+
+
 ORACLES_SCALARS: dict[str, str] = {
+    "f_map_functions": """
+        WITH c AS (
+            SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY user_id, event_type
+        ),
+        t AS (
+            SELECT user_id, CAST(count(*) AS INTEGER) AS n_types
+            FROM c GROUP BY user_id
+        )
+        SELECT c.user_id, t.n_types, c.event_type, c.n * 2 AS n2
+        FROM c JOIN t USING (user_id)
+        WHERE c.n * 2 >= 6
+    """,
+    "u4_schema_evolution_union": """
+        WITH v1 AS (
+            SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+            FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+        ),
+        v2 AS (
+            SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+                   o_orderpriority
+            FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        ),
+        merged AS (
+            SELECT * FROM v1 UNION ALL BY NAME SELECT * FROM v2
+        )
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(price) AS DOUBLE) AS total_price
+        FROM merged
+        GROUP BY o_orderpriority
+    """,
     "f_math_scalars": """
         SELECT event_id,
                abs(value - 100.0) AS abs_dev,

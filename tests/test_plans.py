@@ -495,3 +495,11 @@ def test_countmin_sketch_has_mapside_partials(spark):
     carries at most d*w rows per task, not the token stream."""
     plan = _formatted_plan(spark, "x24_countmin_heavy_hitters")
     assert "partial_count" in plan, plan
+
+
+def test_stopword_strip_never_broadcasts_vocabulary(spark):
+    """x27's document-frequency table is vocabulary-sized: the token
+    join must shuffle (SortMergeJoin); only the 1-row corpus count may
+    broadcast."""
+    plan = _formatted_plan(spark, "x27_adaptive_stopword_strip")
+    assert "SortMergeJoin" in plan, plan
