@@ -863,6 +863,115 @@ def w10_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# A24 — winsorization (clip at group rank-percentiles)
+# --------------------------------------------------------------------------
+
+def a24_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorize event values per event_type at the p1/p99 rank
+    statistics: clip the tails instead of dropping them — the
+    outlier-robust preprocessing step before any mean-based feature.
+
+    Scale shape: the clip bounds are ONE windowed rank pass per group
+    (reusing the a21 exact-rank machinery: bound = value at rank
+    ``(p·n+99) div 100``), reduced to a 2-column per-group bounds
+    table that joins back — bounded by |groups|, chosen by AQE.  The
+    clip itself is in-row ``greatest/least``; all arithmetic int64
+    cents, and the clipped-mass report makes the transform auditable.
+    """
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    wq = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    ranked = base.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wq).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    bounds = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(1 * n + 99) DIV 100"), F.col("cents"))
+        ).alias("lo"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(99 * n + 99) DIV 100"), F.col("cents"))
+        ).alias("hi"),
+    )
+    clipped = base.join(bounds, "event_type").select(
+        "event_type",
+        "cents",
+        "lo",
+        "hi",
+        F.greatest(F.least(F.col("cents"), F.col("hi")), F.col("lo")).alias(
+            "w_cents"
+        ),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("cents") < F.col("lo"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped_low"),
+        F.sum(F.when(F.col("cents") > F.col("hi"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped_high"),
+        F.sum("w_cents").alias("winsorized_cents"),
+        F.min("lo").alias("lo_cents"),
+        F.min("hi").alias("hi_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X28 — leave-one-out target encoding
+# --------------------------------------------------------------------------
+
+def x28_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of the supplier key by line
+    revenue: each row's feature is the mean of its group's target
+    EXCLUDING the row itself — ``(Σ − x) / (n − 1)`` — the standard
+    leakage-free categorical encoding for tree/linear models.
+
+    Scale shape: one partial-agg shuffle builds the per-key (Σ, n)
+    table; it joins back to the fact by key (AQE sizes the join) and
+    the LOO arithmetic is in-row: exact int64 numerator, ONE double
+    division (repo determinism rule — never round()).  Singleton
+    groups (n=1) yield NULL via try_divide rather than a fabricated
+    prior.  Output quantized for the hash check.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("__p"),
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        (F.col("__p") * 100).cast("bigint").alias("cents"),
+    )
+    grp = base.groupBy("l_suppkey").agg(
+        F.sum("cents").alias("g_sum"), F.count(F.lit(1)).alias("g_n")
+    )
+    # explicit n>1 guard: double x/0.0 is ±Inf, and engines may differ
+    # on try-division of doubles — a NULL branch is unambiguous
+    loo = F.when(
+        F.col("g_n") > 1,
+        F.floor(
+            (F.col("g_sum") - F.col("cents")).cast("double")
+            / (F.col("g_n") - 1).cast("double")
+        ).cast("bigint"),
+    )
+    return base.join(grp, "l_suppkey").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        loo.alias("loo_mean_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
 # MV2 — incremental join-view repair (late-arriving dimension updates)
 # --------------------------------------------------------------------------
 
@@ -1296,6 +1405,66 @@ def g1_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES_LAKEOPS: dict[str, str] = {
+    "a24_winsorize": """
+        WITH base AS (
+            SELECT event_type, event_id,
+                   CAST(floor(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        ranked AS (
+            SELECT event_type, cents,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY cents, event_id
+                   ) AS rn,
+                   CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS n
+            FROM base
+        ),
+        bounds AS (
+            SELECT event_type,
+                   max(CASE WHEN rn = (1 * n + 99) // 100 THEN cents END)
+                       AS lo,
+                   max(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END)
+                       AS hi
+            FROM ranked GROUP BY event_type
+        ),
+        clipped AS (
+            SELECT b.event_type, b.cents, bo.lo, bo.hi,
+                   greatest(least(b.cents, bo.hi), bo.lo) AS w_cents
+            FROM base b JOIN bounds bo USING (event_type)
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clipped_low,
+               CAST(sum(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clipped_high,
+               CAST(sum(w_cents) AS BIGINT) AS winsorized_cents,
+               CAST(min(lo) AS BIGINT) AS lo_cents,
+               CAST(min(hi) AS BIGINT) AS hi_cents
+        FROM clipped
+        GROUP BY event_type
+    """,
+    "x28_target_encode": """
+        WITH base AS (
+            SELECT l_orderkey, l_linenumber, l_suppkey,
+                   CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                        AS BIGINT) AS cents
+            FROM lineitem
+        ),
+        grp AS (
+            SELECT l_suppkey,
+                   CAST(sum(cents) AS BIGINT) AS g_sum,
+                   CAST(count(*) AS BIGINT) AS g_n
+            FROM base GROUP BY l_suppkey
+        )
+        SELECT b.l_orderkey, b.l_linenumber, b.l_suppkey,
+               CASE WHEN g.g_n > 1 THEN
+                   CAST(floor(CAST(g.g_sum - b.cents AS DOUBLE)
+                              / CAST(g.g_n - 1 AS DOUBLE)) AS BIGINT)
+               END AS loo_mean_cents
+        FROM base b JOIN grp g USING (l_suppkey)
+    """,
     "mv2_delta_join_repair": """
         WITH dim_old AS (
             SELECT c_custkey, c_nationkey,
