@@ -60,6 +60,7 @@ def bucketed_range_join(
     end_col: str,
     bucket_seconds: int,
     how: str = "inner",
+    on: list[str] | None = None,
 ) -> DataFrame:
     """Join ``left`` rows to ``right`` intervals with
     ``left_ts ∈ [start_col, end_col)`` via a bucketed equi-join.
@@ -71,6 +72,13 @@ def bucketed_range_join(
 
     ``how='inner'`` (default) or ``'left'`` (keep unmatched left rows
     with NULL interval columns — e.g. events outside every window).
+
+    ``on`` adds equality keys present on BOTH sides (e.g. a user id)
+    to the join: the shuffle then partitions on (keys, bucket), so a
+    per-entity temporal join never compares rows across entities —
+    at scale this is the difference between |user's events|² and
+    |all events|² work per bucket.  The right side's key columns are
+    dropped from the output (they equal the left's).
     """
     if bucket_seconds <= 0:
         raise ValueError("bucket_seconds must be positive")
@@ -101,9 +109,12 @@ def bucketed_range_join(
     residual = (F.col(left_ts) >= F.col(start_col)) & (
         F.col(left_ts) < F.col(end_col)
     )
-    joined = l_df.join(
-        r_df, (l_df[_LB] == r_df[_RB]) & residual, how
-    )
+    cond = (l_df[_LB] == r_df[_RB]) & residual
+    for k in on or []:
+        cond = cond & (l_df[k] == r_df[k])
+    joined = l_df.join(r_df, cond, how)
+    for k in on or []:
+        joined = joined.drop(r_df[k])
     return joined.drop(_LB, _RB)
 
 

@@ -863,6 +863,58 @@ def w10_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# J11 — linear multi-touch attribution
+# --------------------------------------------------------------------------
+
+def j11_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-weight) multi-touch attribution: every click in
+    the 24 h before a same-user purchase shares the credit equally —
+    the ad-tech counterpart of j8's single-touch nearest join.
+
+    Scale shape: the click∈window join is the bucketed range join
+    with the user id as an ADDED equality key (operators/range_join
+    ``on=``) — the shuffle partitions on (user, day-bucket), so no
+    row ever compares across users and the per-bucket work is each
+    user's own activity, not the corpus's.  Credit stays exact
+    integer parts-per-million (``1e6 div k`` — summing 1/k doubles
+    across engines would be accumulation-order-dependent); k comes
+    from one window over the pair table.
+    """
+    from data_engineer_project_weather_analytics_spark.operators.range_join import bucketed_range_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr("INTERVAL 24 HOURS")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+    )
+    pairs = bucketed_range_join(
+        clicks,
+        purchases,
+        "c_ts",
+        "w_start",
+        "w_end",
+        bucket_seconds=86400,
+        on=["user_id"],
+    )
+    k = F.count(F.lit(1)).over(Window.partitionBy("purchase_id"))
+    return (
+        pairs.select("user_id", "purchase_id", "click_id", k.alias("n_touches"))
+        .select(
+            "user_id",
+            "purchase_id",
+            "click_id",
+            "n_touches",
+            F.expr("CAST(1000000 DIV n_touches AS BIGINT)").alias("credit_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # A24 — winsorization (clip at group rank-percentiles)
 # --------------------------------------------------------------------------
 
@@ -1405,6 +1457,34 @@ def g1_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES_LAKEOPS: dict[str, str] = {
+    "j11_linear_attribution": """
+        WITH clicks AS (
+            SELECT user_id, event_id AS click_id, ts AS c_ts
+            FROM events WHERE event_type = 'click'
+        ),
+        purchases AS (
+            SELECT user_id, event_id AS purchase_id,
+                   ts - INTERVAL 24 HOURS AS w_start,
+                   ts AS w_end
+            FROM events WHERE event_type = 'purchase'
+        ),
+        pairs AS (
+            SELECT c.user_id, p.purchase_id, c.click_id
+            FROM clicks c
+            JOIN purchases p
+              ON c.user_id = p.user_id
+             AND c.c_ts >= p.w_start AND c.c_ts < p.w_end
+        ),
+        counted AS (
+            SELECT user_id, purchase_id, click_id,
+                   CAST(count(*) OVER (PARTITION BY purchase_id) AS BIGINT)
+                       AS n_touches
+            FROM pairs
+        )
+        SELECT user_id, purchase_id, click_id, n_touches,
+               CAST(1000000 // n_touches AS BIGINT) AS credit_ppm
+        FROM counted
+    """,
     "a24_winsorize": """
         WITH base AS (
             SELECT event_type, event_id,
