@@ -516,6 +516,64 @@ def mb1_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# MB2 — association rules (confidence / lift over frequent pairs)
+# --------------------------------------------------------------------------
+
+def mb2_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over the co-purchase pairs: support,
+    both-direction confidence, and lift for the top-20 pairs by lift —
+    the scoring step that turns mb1's raw counts into rankable rules.
+
+    All three metrics are ratios, so they are emitted as integer
+    quantizations computed with int64 cross-multiplication
+    (``x·10⁴ div y``) — never a float division per rule, never
+    round().  Shape: the same single (order, part) exchange feeds the
+    pair self-join and both item-count aggregations (ReuseExchange);
+    the 1-row basket total broadcasts; top-20 is TakeOrdered with a
+    total-order tiebreak.  Support floor ≥ 3 prunes the rule table
+    before ranking.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    sizes = items.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
+    eligible = items.join(
+        sizes.filter(F.col("n_items").between(2, 10)), "l_orderkey"
+    ).select("l_orderkey", "l_partkey")
+    a = eligible.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = eligible.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 3)
+    )
+    item_n = eligible.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    n_orders = eligible.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    i1 = item_n.select(F.col("l_partkey").alias("p1"), F.col("n_item").alias("n_a"))
+    i2 = item_n.select(F.col("l_partkey").alias("p2"), F.col("n_item").alias("n_b"))
+    return (
+        pairs.join(i1, "p1")
+        .join(i2, "p2")
+        .join(F.broadcast(n_orders))
+        .select(
+            "p1",
+            "p2",
+            "n_pair",
+            F.expr("CAST(n_pair * 10000 DIV n_a AS BIGINT)").alias("conf_ab_q"),
+            F.expr("CAST(n_pair * 10000 DIV n_b AS BIGINT)").alias("conf_ba_q"),
+            F.expr(
+                "CAST(n_pair * n_orders * 10000 DIV (n_a * n_b) AS BIGINT)"
+            ).alias("lift_q"),
+        )
+        .orderBy(F.col("lift_q").desc(), "p1", "p2")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
 # W9 — resample to a fixed grid with linear interpolation
 # --------------------------------------------------------------------------
 
@@ -2171,6 +2229,49 @@ ORACLES_LAKEOPS: dict[str, str] = {
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         GROUP BY a.l_partkey, b.l_partkey
         ORDER BY n_orders DESC, p1, p2
+        LIMIT 20
+    """,
+    "mb2_association_rules": """
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        sizes AS (
+            SELECT l_orderkey, count(*) AS n_items
+            FROM items GROUP BY l_orderkey
+        ),
+        eligible AS (
+            SELECT i.l_orderkey, i.l_partkey
+            FROM items i JOIN sizes s USING (l_orderkey)
+            WHERE s.n_items BETWEEN 2 AND 10
+        ),
+        pairs AS (
+            SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                   CAST(count(*) AS BIGINT) AS n_pair
+            FROM eligible a
+            JOIN eligible b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+            HAVING count(*) >= 3
+        ),
+        item_n AS (
+            SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+            FROM eligible GROUP BY l_partkey
+        ),
+        no AS (
+            SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+            FROM eligible
+        )
+        SELECT p.p1, p.p2, p.n_pair,
+               CAST(p.n_pair * 10000 // i1.n_item AS BIGINT) AS conf_ab_q,
+               CAST(p.n_pair * 10000 // i2.n_item AS BIGINT) AS conf_ba_q,
+               CAST(p.n_pair * no.n_orders * 10000
+                    // (i1.n_item * i2.n_item) AS BIGINT) AS lift_q
+        FROM pairs p
+        JOIN item_n i1 ON i1.l_partkey = p.p1
+        JOIN item_n i2 ON i2.l_partkey = p.p2
+        CROSS JOIN no
+        ORDER BY lift_q DESC, p1, p2
         LIMIT 20
     """,
     "w9_resample_interpolate": """

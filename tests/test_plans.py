@@ -180,6 +180,8 @@ _BOUNDED_BROADCAST_QUERIES = {
     "g1_triangle_count",  # 1-row count joins
     "a22_hll_distinct",  # 1-row sketch-total x 1-row exact-count join
     "x26_balanced_downsample",  # |languages|-row counts + 1-row min join
+    "mb2_association_rules",  # 1-row basket-total join
+    "x27_adaptive_stopword_strip",  # 1-row corpus-count join (as x20)
 }
 
 
