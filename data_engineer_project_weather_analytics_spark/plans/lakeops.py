@@ -16,10 +16,16 @@ heavy hitters, ``a21`` histogram quantiles vs exact rank statistics,
 ``a22`` portable HyperLogLog (oracle-checked bit-for-bit).
 
 Analytics: ``a20`` correlation/OLS from one-pass exact moments,
-``a23`` event-time RANGE-frame trailing window, ``w9`` daily-grid
-resampling with linear interpolation, ``mb1`` market-basket frequent
-pairs, ``g1`` degree-oriented triangle counting, ``x23`` int8
-scalar-quantized ANN with exact rescoring.
+``a23`` event-time RANGE-frame trailing window, ``a24`` rank-bound
+winsorization, ``w9`` daily-grid resampling with linear
+interpolation, ``w10`` CUSUM change-point detection (prefix-min
+closed form), ``w11`` rolling median (bounded sorted frames),
+``w12`` burst debounce, ``mb1``/``mb2`` market-basket pairs and
+association rules, ``g1`` degree-oriented triangle counting,
+``mv2`` incremental join-view repair, ``j11`` linear multi-touch
+attribution, ``x23`` int8 scalar-quantized ANN with exact rescoring,
+``x26`` exact-integer balanced downsampling, ``x27`` adaptive
+stopword stripping, ``x28`` leave-one-out target encoding.
 
 Cross-engine determinism per CLAUDE.md: integer arithmetic up to the
 last operation, floor-quantized float outputs, no round(), no libm
