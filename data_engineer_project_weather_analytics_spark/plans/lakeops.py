@@ -1088,6 +1088,52 @@ def x28_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# DQ3 — cross-table financial reconciliation
+# --------------------------------------------------------------------------
+
+def dq3_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconcile the order header against its lines: per order status,
+    how many orders' ``o_totalprice`` disagrees with the sum of their
+    lineitems' net revenue, and by how much — the ledger-vs-detail
+    audit every financial pipeline runs nightly.
+
+    Scale shape: ONE partial-agg shuffle rolls the line table up to
+    order grain, then an order-key join (both sides already keyed —
+    AQE picks the strategy) and a tiny per-status rollup.  All money
+    arithmetic in exact decimal; the mismatch test and the absolute
+    difference are decimal-exact, so a one-cent drift is a mismatch in
+    both engines.  Orders with NO lines reconcile against 0 via the
+    left join + coalesce (the header-without-detail case an inner
+    join would silently hide).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    from data_engineer_project_weather_analytics_spark.plans.core import _revenue
+
+    line_rev = li.groupBy("l_orderkey").agg(
+        F.sum(_revenue()).alias("line_total")
+    )
+    joined = orders.join(
+        line_rev, orders["o_orderkey"] == line_rev["l_orderkey"], "left"
+    ).select(
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("header_total"),
+        F.coalesce(
+            F.col("line_total"), F.lit("0").cast("decimal(12,2)")
+        ).alias("line_total"),
+    )
+    diff = F.col("header_total") - F.col("line_total")
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(diff != 0, 1).otherwise(0)).cast("bigint").alias(
+            "n_mismatched"
+        ),
+        F.sum(F.abs(diff)).cast("double").alias("abs_drift"),
+        F.sum("header_total").cast("double").alias("header_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
 # MV2 — incremental join-view repair (late-arriving dimension updates)
 # --------------------------------------------------------------------------
 
@@ -1608,6 +1654,32 @@ ORACLES_LAKEOPS: dict[str, str] = {
                               / CAST(g.g_n - 1 AS DOUBLE)) AS BIGINT)
                END AS loo_mean_cents
         FROM base b JOIN grp g USING (l_suppkey)
+    """,
+    "dq3_order_reconciliation": """
+        WITH line_rev AS (
+            SELECT l_orderkey,
+                   sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * CAST(1 - l_discount AS DECIMAL(4,2)))
+                       AS line_total
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        joined AS (
+            SELECT o_orderstatus,
+                   CAST(o_totalprice AS DECIMAL(12,2)) AS header_total,
+                   coalesce(line_total, CAST(0 AS DECIMAL(12,2)))
+                       AS line_total
+            FROM orders
+            LEFT JOIN line_rev ON o_orderkey = l_orderkey
+        )
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CASE WHEN header_total - line_total <> 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+               CAST(sum(abs(header_total - line_total)) AS DOUBLE)
+                   AS abs_drift,
+               CAST(sum(header_total) AS DOUBLE) AS header_sum
+        FROM joined
+        GROUP BY o_orderstatus
     """,
     "mv2_delta_join_repair": """
         WITH dim_old AS (
