@@ -80,6 +80,14 @@ QUERIES: tuple[str, ...] = (
     "w9_resample_interpolate",
     "c1_compaction_plan",
     "a21_hist_quantiles",
+    "mb2_association_rules",
+    "j11_linear_attribution",
+    "x27_adaptive_stopword_strip",
+    "x28_target_encode",
+    "a24_winsorize",
+    "dq3_order_reconciliation",
+    "mv2_delta_join_repair",
+    "g1_triangle_count",
 )
 
 
