@@ -876,3 +876,36 @@ def test_cusum_flags_planted_level_shift(spark, tmp_path):
     got = {r.day: r.flagged for r in w10_cusum_changepoint(spark, str(tmp_path)).collect()}
     assert not any(got[d] for d in range(20)), "flagged before the shift"
     assert any(got[d] for d in range(20, 30)), "shift never flagged"
+
+
+def test_debounce_kept_events_respect_min_gap(spark, tmp_path):
+    """Debounce invariant on random bursty data: within each
+    (user, type) stream, consecutive KEPT events are > 60 s apart, and
+    burst sizes account for every input event exactly once."""
+    import random
+
+    from data_engineer_project_weather_analytics_spark.plans.lakeops import w12_debounce
+
+    rng = random.Random(0xDEB)
+    base = datetime.datetime(2024, 1, 10)
+    rows, eid = [], 0
+    for uid in range(6):
+        t = base
+        for _ in range(80):
+            # mix of sub-minute chatter and >1 min silences
+            t = t + datetime.timedelta(seconds=rng.choice([1, 5, 30, 59, 61, 600]))
+            rows.append((eid, t, uid, "view", 1.0, None))
+            eid += 1
+    _write_events_fixture(spark, str(tmp_path), rows)
+
+    out = w12_debounce(spark, str(tmp_path)).collect()
+    assert sum(r.burst_size for r in out) == len(rows)
+
+    ts_by_eid = {e: ts for e, ts, *_ in rows}
+    kept_by_user: dict[int, list] = {}
+    for r in out:
+        kept_by_user.setdefault(r.user_id, []).append(ts_by_eid[r.kept_event_id])
+    for times in kept_by_user.values():
+        times.sort()
+        for a, b in zip(times, times[1:]):
+            assert (b - a).total_seconds() > 60, (a, b)
