@@ -22,14 +22,19 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
+
+from ..plans.hints import maybe_broadcast
 
 
 def delete_rows(df: DataFrame, delete_keys: DataFrame, on: Sequence[tuple[str, str]]) -> DataFrame:
     """Remove rows of ``df`` whose ``on`` columns match a delete key.
 
     ``on`` maps ``(df_col, key_col)`` pairs; the anti-join broadcasts
-    the (small) key set, so this is one pruned scan of ``df``.
+    the key set only while the optimizer's size estimate fits under
+    ``autoBroadcastJoinThreshold`` (:func:`maybe_broadcast`) — the
+    reference's semantics (drop a few cities) always qualify, but a
+    bulk purge (GDPR-scale tombstone set) must fall back to a shuffled
+    anti-join rather than pin an unbounded broadcast.
 
     Plain ``=``, not null-safe equality: SQL ``DELETE … WHERE fk IN``
     and Postgres ``ON DELETE CASCADE`` never match a NULL FK (a row
@@ -39,7 +44,7 @@ def delete_rows(df: DataFrame, delete_keys: DataFrame, on: Sequence[tuple[str, s
     for df_col, key_col in on:
         clause = df[df_col] == delete_keys[key_col]
         cond = clause if cond is None else (cond & clause)
-    return df.join(F.broadcast(delete_keys), cond, "left_anti")
+    return df.join(maybe_broadcast(delete_keys), cond, "left_anti")
 
 
 def cascade_delete(

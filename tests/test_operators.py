@@ -284,6 +284,40 @@ def test_cascade_delete_idempotent_and_complete(spark):
     assert sorted(fact2.collect()) == sorted(new_fact.collect())
 
 
+def test_delete_keys_broadcast_is_size_conditional(spark):
+    """The delete-key anti-join must not ORDER a broadcast of an
+    unbounded key set: small sets get the hint, a bulk (GDPR-scale)
+    tombstone set over the threshold falls back to a shuffled anti-join
+    (VERDICT r3 finding 1)."""
+    from data_engineer_project_weather_analytics_spark.operators.delete import delete_rows
+
+    fact = load_table(spark, SF_DIR, "orders")
+    bulk_keys = load_table(spark, SF_DIR, "customer").select("c_custkey")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # auto-broadcast off isolates forced hints: a bulk key set must
+        # leave NO BroadcastExchange in the plan
+        bulk_plan = (
+            delete_rows(fact, bulk_keys, [("o_custkey", "c_custkey")])
+            ._jdf.queryExecution().sparkPlan().toString()
+        )
+        assert "BroadcastHashJoin" not in bulk_plan, bulk_plan
+        assert "BroadcastExchange" not in bulk_plan, bulk_plan
+        assert "LeftAnti" in bulk_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # under a generous threshold the small-set fast path keeps the hint
+    small_keys = bulk_keys.limit(3)
+    small_plan = (
+        delete_rows(fact, small_keys, [("o_custkey", "c_custkey")])
+        ._jdf.queryExecution().sparkPlan().toString()
+    )
+    assert "BroadcastHashJoin" in small_plan, small_plan
+    # semantics unchanged: still a pruned anti-join
+    assert "LeftAnti" in small_plan
+
+
 def test_recommended_n_planes_scales_with_corpus():
     from data_engineer_project_weather_analytics_spark.operators.similarity import recommended_n_planes
 
