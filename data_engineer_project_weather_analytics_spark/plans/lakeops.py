@@ -538,6 +538,15 @@ def mb2_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 1-row basket total broadcasts; top-20 is TakeOrdered with a
     total-order tiebreak.  Support floor ≥ 3 prunes the rule table
     before ranking.
+
+    int64 headroom (the tightest of the integer quantizations): lift_q
+    evaluates ``n_pair·n_orders·10⁴`` before dividing by ``n_a·n_b``,
+    so exactness needs ``n_pair·n_orders < 2⁶³/10⁴ ≈ 9.2e14`` — with
+    TPC-H popularity (a pair appears in ≪ 1e-4 of baskets) that holds
+    through SF ~10⁵ (n_orders ~1.5e11), far past the 100 TB target.
+    Reassociating (``(n_pair·10⁴ div n_a)·n_orders div n_b``) would
+    widen headroom but loses exactness to the intermediate integer
+    truncation; revisit only if baskets stop being sparse.
     """
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
@@ -1374,9 +1383,16 @@ def x26_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def w11_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing 7-day median of daily revenue per return flag — the
-    robust-smoothing counterpart to w2's moving average (a single
-    outlier day shifts the mean but not the median).
+    """Median of daily revenue over the last 7 OBSERVED days per
+    return flag — the robust-smoothing counterpart to w2's moving
+    average (a single outlier day shifts the mean but not the median).
+
+    Frame semantics: ``ROWS BETWEEN 6 PRECEDING`` counts observed
+    rows, not calendar days — on a gapped series the frame spans more
+    than a week (the calendar-exact alternative is a RANGE frame over
+    an integer day column, a23's pattern).  The lineitem daily series
+    is dense at every SF, so here the two frames coincide; ROWS keeps
+    the collect_list frame bounded at exactly 7 elements.
 
     No engine has a native moving median; the frame is materialized as
     a sorted array (≤ 7 int64 cents — bounded, in-row, codegen) and
@@ -2023,10 +2039,15 @@ ORACLES_LAKEOPS: dict[str, str] = {
                CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP '{_DRIFT_SPLIT}'
                              THEN CAST(floor(value * 100) AS BIGINT) END), 0)
                     AS BIGINT) AS cents_curr,
-               CAST(sum(CASE WHEN ts >= TIMESTAMP '{_DRIFT_SPLIT}'
-                             THEN 1 ELSE 0 END) AS DOUBLE)
-                   / CAST(sum(CASE WHEN ts < TIMESTAMP '{_DRIFT_SPLIT}'
-                              THEN 1 ELSE 0 END) AS DOUBLE) AS count_ratio
+               -- mirror Spark try_divide: NULL (not inf/nan) on a zero
+               -- baseline slice, so an empty n_base cannot diverge
+               CASE WHEN sum(CASE WHEN ts < TIMESTAMP '{_DRIFT_SPLIT}'
+                             THEN 1 ELSE 0 END) = 0 THEN NULL
+                    ELSE CAST(sum(CASE WHEN ts >= TIMESTAMP '{_DRIFT_SPLIT}'
+                                  THEN 1 ELSE 0 END) AS DOUBLE)
+                         / CAST(sum(CASE WHEN ts < TIMESTAMP '{_DRIFT_SPLIT}'
+                                    THEN 1 ELSE 0 END) AS DOUBLE)
+               END AS count_ratio
         FROM events
         GROUP BY event_type
     """,
