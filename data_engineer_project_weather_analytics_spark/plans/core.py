@@ -512,12 +512,35 @@ def a8_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _a8b_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct — sketch differs across
-    engines, so rows-only (the 100 TB path where exact is too dear)."""
+    """HyperLogLog++ approximate distinct — Spark's sketch is not
+    replayable in another engine, so the driver row stays rows-only;
+    to make it SELF-verifying the query grades itself against the
+    exact counts and emits ``within_5pct`` (integer arithmetic:
+    ``|approx−exact|·20 ≤ exact``), so the recorded row carries a
+    bounded-error assertion instead of a bare row count.  The exact
+    twin columns are the grading harness — a true 100 TB deployment
+    drops them and keeps only the sketch (that cost profile is why a8b
+    exists next to a8); ``a22_hll_distinct`` is the oracle-checked
+    deterministic counterpart."""
     events = load_table(spark, sf_dir, "events")
-    return events.agg(
+    agg = events.agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.approx_count_distinct("event_id", rsd=0.02).alias("approx_events"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.countDistinct("event_id").alias("exact_events"),
+    )
+    within = (
+        (F.abs(F.col("approx_users") - F.col("exact_users")) * 20
+         <= F.col("exact_users"))
+        & (F.abs(F.col("approx_events") - F.col("exact_events")) * 20
+           <= F.col("exact_events"))
+    )
+    return agg.select(
+        "approx_users",
+        "approx_events",
+        "exact_users",
+        "exact_events",
+        within.alias("within_5pct"),
     )
 
 

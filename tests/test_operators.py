@@ -943,3 +943,52 @@ def test_debounce_kept_events_respect_min_gap(spark, tmp_path):
         times.sort()
         for a, b in zip(times, times[1:]):
             assert (b - a).total_seconds() > 60, (a, b)
+
+
+def test_dq2_drift_zero_baseline_parity(spark, tmp_path):
+    """A slice with ZERO baseline rows must agree cross-engine: Spark
+    try_divide yields NULL, and the oracle's CASE guard must mirror it
+    (a plain double division gives inf in DuckDB — ADVICE r3)."""
+    import duckdb
+
+    from data_engineer_project_weather_analytics_spark.plans.lakeops import (
+        ORACLES_LAKEOPS,
+        dq2_drift_detect,
+    )
+    from .conftest import assert_parity
+
+    base = datetime.datetime(2024, 1, 10)   # < split (2024-01-16)
+    curr = datetime.datetime(2024, 1, 20)   # >= split
+    rows = [
+        # "both" populates both slices; "newborn" exists only after the
+        # split → n_base = 0 → count_ratio must be NULL on both engines
+        (0, base, 1, "both", 1.5, None),
+        (1, curr, 2, "both", 2.5, None),
+        (2, curr, 3, "newborn", 3.5, None),
+        (3, curr, 3, "newborn", 4.5, None),
+    ]
+    _write_events_fixture(spark, str(tmp_path), rows)
+
+    out = dq2_drift_detect(spark, str(tmp_path))
+    ratios = {r.event_type: r.count_ratio for r in out.collect()}
+    assert ratios["newborn"] is None
+    assert ratios["both"] == 1.0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    assert_parity(out, con, ORACLES_LAKEOPS["dq2_drift_detect"], "dq2-zero-base")
+    con.close()
+
+
+def test_a8b_approx_distinct_self_grades(spark):
+    """The rows-only HLL++ query must carry its own error bound: the
+    within_5pct flag is computed in-query against the exact counts and
+    must hold on the testdata."""
+    from data_engineer_project_weather_analytics_spark.plans.core import NO_ORACLE
+
+    row = NO_ORACLE["a8b_approx_count_distinct"](spark, SF_DIR).collect()[0]
+    assert row.within_5pct is True, row
+    assert row.exact_users > 0 and row.exact_events > 0
