@@ -45,6 +45,49 @@ def default_fetch(city: str) -> str | None:
     )
 
 
+def http_fetch_fn(
+    base_url: str,
+    api_key: str | None = None,
+    timeout_s: float = 15.0,
+    params: dict[str, str] | None = None,
+) -> Callable[[str], str | None]:
+    """A ``requests``-backed fetcher with the reference's exact call
+    shape (``dags/etl.py:26-64``): GET ``base_url`` with
+    ``q=<city>, units=metric, lang=vi[, appid]``, ``timeout=15``,
+    ``raise_for_status()``, then validate the in-band ``cod`` field.
+    Any failure — connection refused, timeout, HTTP error, malformed
+    JSON, ``cod != 200`` — returns ``None`` (the reference's bare
+    ``except: return None``), which the P8 error-drop path discards.
+
+    Returns the RAW payload text (not a parsed dict): parsing belongs
+    to sources/json_ingest.py where Spark's PERMISSIVE from_json does
+    it engine-side, once, with a declared schema.
+
+    The callable closes over only picklable config, so mapInPandas
+    ships it to executors; each partition then fetches its slice of
+    the city list under the T3 throttle."""
+    import requests  # local: executors import lazily, tests may stub
+
+    fixed = {"units": "metric", "lang": "vi", **(params or {})}
+    if api_key is not None:
+        fixed["appid"] = api_key
+
+    def fetch(city: str) -> str | None:
+        try:
+            r = requests.get(
+                base_url, params={"q": city, **fixed}, timeout=timeout_s
+            )
+            r.raise_for_status()
+            data = r.json()
+            if int(data.get("cod", 0)) != 200:
+                return None
+            return r.text
+        except Exception:
+            return None
+
+    return fetch
+
+
 def fetch_payloads(
     cities: DataFrame,
     fetch_fn: Callable[[str], str | None] = default_fetch,

@@ -298,3 +298,84 @@ def test_sequence_packing_invariants(spark):
         for r in shard_rows:
             assert r.start_seq * 2048 + r.offset_in_seq == pos
             pos += r.n_tokens
+
+
+def test_rest_fetch_real_http_loopback(spark):
+    """The NON-injected fetch path end-to-end against an in-process
+    HTTP server (loopback only): a valid doc, an HTTP 404, malformed
+    JSON, an in-band cod error, and a read timeout must flow through
+    fetch_payloads with the reference's semantics (dags/etl.py:26-64):
+    good → raw payload, every failure → NULL → dropped by PERMISSIVE
+    parse downstream."""
+    import threading
+    import time as _time
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    from data_engineer_project_weather_analytics_spark.sources.rest import http_fetch_fn
+
+    good = _current_doc().encode()
+    seen_queries = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            q = parse_qs(urlparse(self.path).query)
+            seen_queries.append(q)
+            city = q.get("q", [""])[0]
+            try:
+                if city == "Hanoi":
+                    self.send_response(200)
+                    self.end_headers()
+                    self.wfile.write(good)
+                elif city == "Nowhere":
+                    self.send_response(404)
+                    self.end_headers()
+                    self.wfile.write(b'{"cod":"404","message":"city not found"}')
+                elif city == "Mangled":
+                    self.send_response(200)
+                    self.end_headers()
+                    self.wfile.write(b'{"truncated": ')
+                elif city == "Inband":  # HTTP 200 but cod says unauthorized
+                    self.send_response(200)
+                    self.end_headers()
+                    self.wfile.write(b'{"cod": 401, "message": "bad key"}')
+                elif city == "Slow":
+                    _time.sleep(1.5)  # > client timeout
+                    self.send_response(200)
+                    self.end_headers()
+                    self.wfile.write(good)
+            except (BrokenPipeError, ConnectionResetError):
+                pass  # client gave up (the timeout case)
+
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}/data/2.5/weather"
+        fetch = http_fetch_fn(url, api_key="test-key", timeout_s=0.5)
+        names = ["Hanoi", "Nowhere", "Mangled", "Inband", "Slow"]
+        cities = spark.createDataFrame([Row(city=c) for c in names])
+        out = {
+            r.city: r.payload
+            for r in fetch_payloads(cities, fetch_fn=fetch, delay_s=0.0).collect()
+        }
+        assert out["Nowhere"] is None
+        assert out["Mangled"] is None
+        assert out["Inband"] is None
+        assert out["Slow"] is None
+        assert json.loads(out["Hanoi"])["id"] == 1581130
+        # the wire call shape matches the reference exactly
+        shaped = [q for q in seen_queries if q.get("q") == ["Hanoi"]][0]
+        assert shaped["units"] == ["metric"]
+        assert shaped["lang"] == ["vi"]
+        assert shaped["appid"] == ["test-key"]
+        # end-to-end: only the good payload survives the P8 drop
+        parsed = parse_current(
+            fetch_payloads(cities, fetch_fn=fetch, delay_s=0.0)
+        ).collect()
+        assert [r.city_id for r in parsed] == [1581130]
+    finally:
+        srv.shutdown()
+        srv.server_close()
