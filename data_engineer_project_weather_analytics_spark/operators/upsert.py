@@ -115,6 +115,47 @@ def jdbc_stage(
     )
 
 
+def postgres_upsert_sql(
+    table: str,
+    columns: Sequence[str],
+    conflict_keys: Sequence[str],
+    epoch_ts_cols: Sequence[str] = (),
+    schema: str = "public",
+    placeholder: str = "%s",
+) -> str:
+    """The Postgres ``INSERT … ON CONFLICT … DO UPDATE`` statement a
+    Postgres deployment executes after :func:`jdbc_stage` — the exact
+    dialect text of the reference's row loop (``dags/etl.py:66-121``:
+    ``upsert_city`` = single-key, ``upsert_current_weather`` =
+    composite ``(city_id, dt)`` with ``to_timestamp(%s)`` on the epoch
+    columns), generated from the column list instead of hand-written
+    per table.
+
+    ``placeholder`` defaults to psycopg2's ``%s``; pass ``"?"`` to
+    replay the same text through a DuckDB/JDBC-style paramstyle (how
+    tests/test_jdbc.py executes it for real, since no Postgres exists
+    in the sandbox — DuckDB's ON CONFLICT grammar is the Postgres
+    one).  Every non-key column takes ``col = EXCLUDED.col``; epoch
+    seconds are converted server-side via ``to_timestamp``."""
+    if not set(conflict_keys) <= set(columns):
+        raise ValueError("conflict keys must be a subset of columns")
+    updates = [c for c in columns if c not in conflict_keys]
+    if not updates:
+        raise ValueError("need at least one non-key column to update")
+    values = ", ".join(
+        f"to_timestamp({placeholder})" if c in epoch_ts_cols else placeholder
+        for c in columns
+    )
+    set_clauses = ",\n        ".join(f"{c} = EXCLUDED.{c}" for c in updates)
+    return (
+        f"INSERT INTO {schema}.{table} (\n"
+        f"        {', '.join(columns)}\n"
+        f"    ) VALUES ({values})\n"
+        f"    ON CONFLICT ({', '.join(conflict_keys)}) DO UPDATE SET\n"
+        f"        {set_clauses}"
+    )
+
+
 class UpsertTable:
     """A keyed upsert table persisted as append-only parquet.
 

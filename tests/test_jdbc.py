@@ -107,3 +107,113 @@ def test_jdbc_stage_merge_is_idempotent(spark, derby):
     assert {tuple(r) for r in merged.collect()} == {
         (1, 10, 20.0), (2, 10, 21.0),
     }
+
+
+# ---------------------------------------------------------------------------
+# Postgres dialect text parity (reference dags/etl.py:66-121)
+# ---------------------------------------------------------------------------
+
+# the reference's INSERT column order, conflict keys, and which epoch
+# columns it converts server-side — column-for-column from
+# upsert_city (dags/etl.py:66-81) and upsert_current_weather (:83-121)
+_REF_CITIES_COLS = [
+    "city_id", "city_name", "country", "coord_lat", "coord_lon", "timezone",
+]
+_REF_CW_COLS = [
+    "city_id", "dt", "weather_id", "weather_main", "description", "base",
+    "temp", "feels_like", "temp_min", "temp_max", "pressure", "humidity",
+    "visibility", "wind_speed", "wind_deg", "wind_gust", "clouds_all",
+    "sunrise", "sunset",
+]
+_REF_CW_EPOCH = ["dt", "sunrise", "sunset"]
+
+
+def _sql_parts(sql):
+    """Decompose generated SQL into (insert_cols, values, conflict_keys,
+    set_assignments) for order-sensitive comparison."""
+    import re
+
+    cols = re.search(r"INSERT INTO (\S+) \(\s*(.*?)\s*\) VALUES", sql, re.S)
+    vals = re.search(r"VALUES \((.*?)\)\s*ON CONFLICT", sql, re.S)
+    keys = re.search(r"ON CONFLICT \((.*?)\) DO UPDATE SET", sql)
+    sets = re.findall(r"(\w+) = EXCLUDED\.(\w+)", sql)
+    return (
+        cols.group(1),
+        [c.strip() for c in cols.group(2).split(",")],
+        [v.strip() for v in vals.group(1).split(",")],
+        [k.strip() for k in keys.group(1).split(",")],
+        sets,
+    )
+
+
+def test_postgres_upsert_sql_matches_reference_clauses():
+    """Generated dialect text carries the reference's exact column
+    list, conflict keys, EXCLUDED assignments, and to_timestamp
+    positions for BOTH tables (dags/etl.py:66-121)."""
+    from data_engineer_project_weather_analytics_spark.operators.upsert import postgres_upsert_sql
+
+    city_sql = postgres_upsert_sql(
+        "cities", _REF_CITIES_COLS, conflict_keys=["city_id"]
+    )
+    target, cols, vals, keys, sets = _sql_parts(city_sql)
+    assert target == "public.cities"
+    assert cols == _REF_CITIES_COLS
+    assert vals == ["%s"] * 6
+    assert keys == ["city_id"]
+    assert sets == [(c, c) for c in _REF_CITIES_COLS if c != "city_id"]
+
+    cw_sql = postgres_upsert_sql(
+        "current_weather",
+        _REF_CW_COLS,
+        conflict_keys=["city_id", "dt"],
+        epoch_ts_cols=_REF_CW_EPOCH,
+    )
+    target, cols, vals, keys, sets = _sql_parts(cw_sql)
+    assert target == "public.current_weather"
+    assert cols == _REF_CW_COLS
+    # to_timestamp wraps exactly the reference's epoch columns, in place
+    assert vals == [
+        "to_timestamp(%s)" if c in _REF_CW_EPOCH else "%s" for c in _REF_CW_COLS
+    ]
+    assert keys == ["city_id", "dt"]
+    assert sets == [(c, c) for c in _REF_CW_COLS if c not in ("city_id", "dt")]
+
+
+def test_postgres_upsert_sql_executes_with_postgres_grammar():
+    """The generated text is real Postgres grammar: DuckDB (whose
+    INSERT … ON CONFLICT … EXCLUDED syntax is the Postgres one) runs
+    it verbatim with ?-placeholders and lands LWW upsert semantics."""
+    import duckdb
+
+    from data_engineer_project_weather_analytics_spark.operators.upsert import postgres_upsert_sql
+
+    sql = postgres_upsert_sql(
+        "cities",
+        _REF_CITIES_COLS,
+        conflict_keys=["city_id"],
+        schema="main",
+        placeholder="?",
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE main.cities (city_id BIGINT PRIMARY KEY, city_name TEXT, "
+        "country TEXT, coord_lat DOUBLE, coord_lon DOUBLE, timezone BIGINT)"
+    )
+    con.execute(sql, [1581130, "Ha Noi", "VN", 21.0245, 105.8412, 25200])
+    con.execute(sql, [1581130, "Hà Nội", "VN", 21.0245, 105.8412, 25200])  # conflict
+    con.execute(sql, [1583992, "Đà Nẵng", "VN", 16.0678, 108.2208, 25200])
+    rows = con.execute(
+        "SELECT city_id, city_name FROM main.cities ORDER BY city_id"
+    ).fetchall()
+    # second insert UPDATEd in place (LWW), third inserted fresh
+    assert rows == [(1581130, "Hà Nội"), (1583992, "Đà Nẵng")]
+    con.close()
+
+
+def test_postgres_upsert_sql_validates_inputs():
+    from data_engineer_project_weather_analytics_spark.operators.upsert import postgres_upsert_sql
+
+    with pytest.raises(ValueError):
+        postgres_upsert_sql("t", ["a", "b"], conflict_keys=["c"])
+    with pytest.raises(ValueError):
+        postgres_upsert_sql("t", ["a"], conflict_keys=["a"])
