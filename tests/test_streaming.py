@@ -105,9 +105,40 @@ def test_stream_upsert_processing_time_live_cadence(spark, tmp_path):
             == {(1, 25.0), (2, 19.0)}
         ), "mid-stream file never landed"
         assert q.isActive  # processingTime keeps the query up
+        # ≥ 2 interval firings actually processed data (not one big drain)
+        progressed = [
+            p for p in (q.recentProgress or []) if p["numInputRows"] > 0
+        ]
+        assert len(progressed) >= 2, "expected multiple non-empty micro-batches"
     finally:
         q.stop()
         q.awaitTermination(60)
+
+    # stream ≡ batch under the timed trigger: the same files applied
+    # through the BATCH path (one stamped append per micro-batch, same
+    # LWW view) land the identical canonical state
+    from data_engineer_project_weather_analytics_spark.operators.upsert import (
+        latest_write_wins,
+        stamp_batch,
+    )
+
+    b0 = spark.createDataFrame(
+        [Row(city_id=1, ts=datetime.datetime(2025, 12, 1, 0, 0), temp=20.0)],
+        schema=SCHEMA,
+    )
+    b1 = spark.createDataFrame(
+        [
+            Row(city_id=1, ts=datetime.datetime(2025, 12, 1, 0, 0), temp=25.0),
+            Row(city_id=2, ts=datetime.datetime(2025, 12, 1, 1, 0), temp=19.0),
+        ],
+        schema=SCHEMA,
+    )
+    batch_view = latest_write_wins(
+        stamp_batch(b0, 0).unionByName(stamp_batch(b1, 1)), keys=["city_id", "ts"]
+    )
+    assert {(r.city_id, r.ts, r.temp) for r in table.read_latest().collect()} == {
+        (r.city_id, r.ts, r.temp) for r in batch_view.collect()
+    }
 
 
 def test_windowed_aggregate_with_watermark(spark, tmp_path):
