@@ -28,8 +28,21 @@ plan/schedule overhead (BASELINE.md).
 
 Prints ONE JSON line:
   {"metric": "scale10_ratio_max", "value": R, "unit": "x",
-   "queries": {name: {"t1": s, "t10": s, "ratio": r}, ...},
-   "replica_rows": {...}, "sf": "0.1x10"}
+   "queries": {name: {"t1": s, "t10": s, "ratio": r,
+                      # ACCOUNTED tail queries additionally carry:
+                      "rows_kind": ..., "rows_1x": n, "rows_10x": n,
+                      "rows_ratio": r, "bounded": true}, ...},
+   "unbounded_accounted": [], "scale100": {name: {...}},
+   "scale100_ratio_max": R, "replica_rows": {...}, "sf": "0.1x10"}
+
+The ACCOUNTED queries (the >6x tail) prove their superlinear time is
+work-driven: emitted-pair counts (MinHash LSH), candidate-pair counts
+(embedding LSH verify input), or the exploded token stream (x24 CMS)
+at both scales, with time-ratio required <= rows_ratio *
+ACCOUNTING_SLACK.  The
+scale100 section times the five cheapest scale-critical queries on a
+100x replica of the tables they touch — the spot-check for cliffs the
+10x run hides.
 """
 
 from __future__ import annotations
@@ -91,7 +104,48 @@ QUERIES: tuple[str, ...] = (
 )
 
 
-def build_replica(base_dir: str, out_dir: str, copies: int) -> dict[str, int]:
+#: tail queries whose 10x wall-clock exceeds the typical band; each
+#: carries an explicit work-driver accounting (rows_1x/rows_10x) so a
+#: superlinear TIME ratio is provably work-driven: for the MinHash pair
+#: queries the work is the emitted pair set (output grows with the
+#: duplicate mass), for the embedding LSH it is the candidate-pair set
+#: feeding the cosine verify (the thresholded output can be empty while
+#: the verify still does real work), and for the CMS sketch it is the
+#: exploded token stream (input-linear; the sketch state is constant).
+ACCOUNTED: dict[str, str] = {
+    "x2b_lsh_candidate_pairs": "output_rows",
+    "x2f_lsh_verified_neardup": "output_rows",
+    # x3b's OUTPUT can be empty (no pair clears the cosine threshold)
+    # while the verify stage still did real work — count the candidate
+    # pairs the bucket join feeds the verify, the true work driver
+    "x3b_embedding_neardup_auto": "candidate_pairs",
+    "x24_countmin_heavy_hitters": "token_stream",
+}
+
+#: time-ratio must stay under rows_ratio * this constant for every
+#: accounted query — the "superlinear time is bought by superlinear
+#: work" gate
+ACCOUNTING_SLACK = 1.5
+
+#: the 100x spot-check (cheapest scale-critical queries): catches
+#: cliffs the 10x run hides.  Only the tables these five touch are
+#: replicated at 100x.
+SCALE100_QUERIES: tuple[str, ...] = (
+    "a3_latest_per_key",
+    "j3_asof_join",
+    "j4_range_join_windows",
+    "x1_exact_dedup",
+    "geo1_grid_join",
+)
+SCALE100_TABLES = ("region", "nation", "customer", "supplier", "events", "documents")
+
+
+def build_replica(
+    base_dir: str,
+    out_dir: str,
+    copies: int,
+    tables: tuple[str, ...] | None = None,
+) -> dict[str, int]:
     """Materialize the key-remapped replica with DuckDB; idempotent."""
     import duckdb
 
@@ -160,6 +214,8 @@ def build_replica(base_dir: str, out_dir: str, copies: int) -> dict[str, int]:
                 label
             FROM embeddings, range({copies}) t(r)""",
     }
+    if tables is not None:
+        replicas = {t: sql for t, sql in replicas.items() if t in tables}
     rows: dict[str, int] = {}
     for t, sql in replicas.items():
         con.execute(
@@ -206,17 +262,79 @@ def main() -> None:
     extra = {"x3b_embedding_neardup_auto": x3b_auto}
 
     def run(name: str, sf_dir: str) -> float:
+        """Best-of-2 wall-clock: a single sample is exposed to GC
+        pauses / allocation stalls (a GCLocker hiccup once turned
+        x23's real 2.3x into a recorded 10.5x); the min of two runs is
+        the plan's cost, not the JVM's bad luck."""
         fn = extra.get(name) or REGISTRY[name].fn
-        df = fn(spark, sf_dir)
-        t0 = time.perf_counter()
-        df.select(F.bit_xor(F.xxhash64(*df.columns)).alias("checksum")).collect()
-        return round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            df = fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.select(
+                F.bit_xor(F.xxhash64(*df.columns)).alias("checksum")
+            ).collect()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    def work_rows(name: str, kind: str, sf_dir: str) -> int:
+        """The query's work-driver size at this scale (ACCOUNTED)."""
+        if kind == "output_rows":
+            fn = extra.get(name) or REGISTRY[name].fn
+            return fn(spark, sf_dir).count()
+        if kind == "candidate_pairs":
+            from data_engineer_project_weather_analytics_spark.operators import similarity
+            from data_engineer_project_weather_analytics_spark.plans.extensions import (
+                EMB_LSH_MAX_BUCKET,
+            )
+            from data_engineer_project_weather_analytics_spark.sources.catalog import load_table
+
+            emb = load_table(spark, sf_dir, "embeddings")
+            return similarity.embedding_lsh_candidates(
+                emb, "vec_id", "embedding", n_planes=None,
+                dim=64, seed=42, n_tables=4, max_bucket=EMB_LSH_MAX_BUCKET,
+            ).count()
+        # token_stream: x24's cost is the exploded token stream (the
+        # same split the query performs), not its fixed top-30 output
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return int(
+            docs.select(F.sum(F.size(F.split("text", " ")))).first()[0]
+        )
 
     out: dict[str, dict[str, float]] = {}
     for name in QUERIES:
         t1 = run(name, BASE_DIR)
         t10 = run(name, SCALE_DIR)
-        out[name] = {"t1": t1, "t10": t10, "ratio": round(t10 / max(t1, 1e-9), 2)}
+        entry: dict[str, float] = {
+            "t1": t1, "t10": t10, "ratio": round(t10 / max(t1, 1e-9), 2)
+        }
+        kind = ACCOUNTED.get(name)
+        if kind is not None:
+            r1 = work_rows(name, kind, BASE_DIR)
+            r10 = work_rows(name, kind, SCALE_DIR)
+            entry["rows_kind"] = kind
+            entry["rows_1x"] = r1
+            entry["rows_10x"] = r10
+            entry["rows_ratio"] = round(r10 / max(r1, 1), 2)
+            # superlinear time must be bought by superlinear work
+            entry["bounded"] = entry["ratio"] <= entry["rows_ratio"] * ACCOUNTING_SLACK
+        out[name] = entry
+
+    unbounded = [
+        n for n, v in out.items() if "bounded" in v and not v["bounded"]
+    ]
+
+    # ---- 100x spot-check on the cheap scale-critical queries --------
+    dir100 = f"{SCALE_DIR.rstrip('/')}_x100"
+    rows100 = build_replica(BASE_DIR, dir100, 100, tables=SCALE100_TABLES)
+    spark.read.parquet(f"{dir100}/events.parquet").count()  # warm listing
+    out100: dict[str, dict[str, float]] = {}
+    for name in SCALE100_QUERIES:
+        t1 = out[name]["t1"] if name in out else run(name, BASE_DIR)
+        t100 = run(name, dir100)
+        out100[name] = {
+            "t1": t1, "t100": t100, "ratio": round(t100 / max(t1, 1e-9), 2)
+        }
 
     worst = max(v["ratio"] for v in out.values())
     print(
@@ -226,7 +344,12 @@ def main() -> None:
                 "value": worst,
                 "unit": "x",
                 "queries": out,
+                "accounting_slack": ACCOUNTING_SLACK,
+                "unbounded_accounted": unbounded,
+                "scale100": out100,
+                "scale100_ratio_max": max(v["ratio"] for v in out100.values()),
                 "replica_rows": rows,
+                "replica_rows_100x": rows100,
                 "sf": f"{BASE_DIR.rstrip('/').rsplit('sf', 1)[-1]}x{COPIES}",
             }
         )

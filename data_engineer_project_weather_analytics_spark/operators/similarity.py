@@ -384,6 +384,54 @@ def recommended_n_planes(n_vectors: int, target_bucket: int = 256) -> int:
     return max(6, math.ceil(math.log2(n_vectors / target_bucket)))
 
 
+def embedding_lsh_candidates(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int | None = None,
+    dim: int = 64,
+    seed: int = 42,
+    n_tables: int = 4,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """The distinct ``(id_a, id_b)`` candidate pairs the bucket join
+    emits — the input to the cosine verify and therefore the
+    operator's true WORK driver (the final near-dup output is the
+    threshold-filtered subset, which can legitimately be empty while
+    the verify stage still did real per-candidate work; bench_scale's
+    output-growth accounting counts THIS).  Shared candidate stage of
+    :func:`embedding_neardup_lsh` — see there for the bucket-join and
+    hot-bucket-cap rationale."""
+    if n_planes is None:
+        n_planes = recommended_n_planes(vectors.count())
+    buckets_arr = lsh_bucket_array(vec_col, n_planes, dim, seed, n_tables)
+    tagged = vectors.select(
+        F.col(id_col).alias("__vid"), F.explode(buckets_arr).alias("__b")
+    ).select(
+        "__vid", F.col("__b.tbl").alias("__tbl"), F.col("__b.bkt").alias("__bkt")
+    )
+    if max_bucket is not None:
+        kept = (
+            tagged.groupBy("__tbl", "__bkt")
+            .agg(F.count(F.lit(1)).alias("__width"))
+            .filter((F.col("__width") >= 2) & (F.col("__width") <= max_bucket))
+            .select("__tbl", "__bkt")
+        )
+        tagged = tagged.join(kept, ["__tbl", "__bkt"], "left_semi")
+    a = tagged.select(
+        F.col("__vid").alias("id_a"), "__tbl", "__bkt"
+    )
+    b = tagged.select(
+        F.col("__vid").alias("id_b"), "__tbl", "__bkt"
+    )
+    return (
+        a.join(b, on=["__tbl", "__bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def embedding_neardup_lsh(
     vectors: DataFrame,
     id_col: str,
@@ -423,33 +471,8 @@ def embedding_neardup_lsh(
     ≈ 1-(1-p^planes)^tables where p = 1 - θ/π).  The brute-force
     :func:`embedding_neardup_pairs` is its pytest oracle on small
     slices."""
-    if n_planes is None:
-        n_planes = recommended_n_planes(vectors.count())
-    buckets_arr = lsh_bucket_array(vec_col, n_planes, dim, seed, n_tables)
-    tagged = vectors.select(
-        F.col(id_col).alias("__vid"), F.explode(buckets_arr).alias("__b")
-    ).select(
-        "__vid", F.col("__b.tbl").alias("__tbl"), F.col("__b.bkt").alias("__bkt")
-    )
-    if max_bucket is not None:
-        kept = (
-            tagged.groupBy("__tbl", "__bkt")
-            .agg(F.count(F.lit(1)).alias("__width"))
-            .filter((F.col("__width") >= 2) & (F.col("__width") <= max_bucket))
-            .select("__tbl", "__bkt")
-        )
-        tagged = tagged.join(kept, ["__tbl", "__bkt"], "left_semi")
-    a = tagged.select(
-        F.col("__vid").alias("id_a"), "__tbl", "__bkt"
-    )
-    b = tagged.select(
-        F.col("__vid").alias("id_b"), "__tbl", "__bkt"
-    )
-    cand = (
-        a.join(b, on=["__tbl", "__bkt"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    cand = embedding_lsh_candidates(
+        vectors, id_col, vec_col, n_planes, dim, seed, n_tables, max_bucket
     )
     va = vectors.select(F.col(id_col).alias("id_a"), _as_double(vec_col).alias("__va"))
     vb = vectors.select(F.col(id_col).alias("id_b"), _as_double(vec_col).alias("__vb"))

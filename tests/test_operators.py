@@ -992,3 +992,34 @@ def test_a8b_approx_distinct_self_grades(spark):
     row = NO_ORACLE["a8b_approx_count_distinct"](spark, SF_DIR).collect()[0]
     assert row.within_5pct is True, row
     assert row.exact_users > 0 and row.exact_events > 0
+
+
+def test_embedding_lsh_candidates_superset_of_output(spark):
+    """The exposed candidate stage is exactly the verify input: every
+    pair the operator emits must appear among its candidates (the
+    work-driver count bench_scale accounts can never undercount the
+    output)."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(80):
+        base = [rng.uniform(-1, 1) for _ in range(16)]
+        rows.append((i, base))
+        rows.append((i + 1000, [x + rng.uniform(-0.01, 0.01) for x in base]))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows], "vec_id long, embedding array<float>"
+    )
+    kw = dict(n_planes=6, dim=16, seed=3, n_tables=2, max_bucket=1000)
+    cand = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_lsh_candidates(df, "vec_id", "embedding", **kw).collect()
+    }
+    out = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_neardup_lsh(
+            df, "vec_id", "embedding", threshold=0.9, **kw
+        ).collect()
+    }
+    assert out  # planted near-dups produce pairs
+    assert out <= cand
