@@ -21,10 +21,15 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
     DoubleType,
+    IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -90,4 +95,177 @@ def latest_tracker(
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming content near-dup (MinHash LSH over per-bucket state)
+# ---------------------------------------------------------------------------
+
+NEARDUP_STATE_SCHEMA = StructType(
+    [
+        StructField("ids", ArrayType(LongType())),
+        StructField("saturated", BooleanType()),
+    ]
+)
+
+NEARDUP_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("band", IntegerType()),
+        StructField("minhash", StringType()),
+        StructField("id_a", LongType()),
+        StructField("id_b", LongType()),
+    ]
+)
+
+
+def with_minhash_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bands: int = 8,
+    shingle_n: int = 3,
+    bands_col: str = "bands",
+) -> DataFrame:
+    """Per-ROW band signatures — `(id, array<struct<band,minhash>>)` —
+    with NO aggregation, so the projection composes with a streaming
+    source (the batch pipeline's groupBy formulation is a shuffle the
+    stateful stage below must not be preceded by).
+
+    Same construction as the batch
+    :func:`~data_engineer_project_weather_analytics_spark.operators.dedup.minhash_with_sizes`
+    (md5-slicing: each salted md5 yields four 32-bit band slices), and
+    the same two scale shapes as ``doc_shingles``: tokenize ONCE and
+    compute the ``ceil(n_bands/4)`` digests ONCE per shingle behind
+    projection boundaries — a naive inline form recomputes split() and
+    md5() per band.  Documents with fewer than ``shingle_n`` tokens get
+    an empty band array (no signature, never a candidate) — same
+    convention as the batch shingle pipeline.
+    """
+    n_digests = (n_bands + 3) // 4
+    digest_exprs = " || ".join(
+        f"md5(concat(s, '{'#' * i}'))" for i in range(n_digests)
+    )
+    sh_sql = f"""
+        CASE WHEN size(__toks) >= {shingle_n}
+             THEN array_distinct(transform(
+                    sequence(0, size(__toks) - {shingle_n}),
+                    i -> array_join(slice(__toks, i + 1, {shingle_n}), ' ')))
+             ELSE CAST(array() AS ARRAY<STRING>)
+        END
+    """
+    # each withColumn is a projection whose output is referenced more
+    # than once downstream, so CollapseProject keeps the boundary: the
+    # token array, the shingle set, and the digest array are each
+    # computed once per row
+    digests = (
+        df.withColumn("__toks", F.split(F.col(text_col), " "))
+        .withColumn("__sh", F.expr(sh_sql))
+        .withColumn("__digests", F.expr(f"transform(__sh, s -> {digest_exprs})"))
+    )
+    band_structs = ", ".join(
+        f"named_struct('band', {b}, 'minhash', "
+        f"array_min(transform(__digests, d -> substring(d, {8 * b + 1}, 8))))"
+        for b in range(n_bands)
+    )
+    return digests.withColumn(
+        bands_col,
+        F.expr(
+            f"CASE WHEN size(__digests) > 0 THEN array({band_structs}) "
+            f"ELSE CAST(array() AS ARRAY<STRUCT<band: INT, minhash: STRING>>) END"
+        ),
+    ).drop("__toks", "__sh", "__digests")
+
+
+def streaming_neardup_candidates(
+    stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Cross-micro-batch near-duplicate candidates over a document
+    stream — the streaming twin of the batch LSH pipeline
+    (``x2b_lsh_candidate_pairs``): a new document pairs with every
+    document that ever shared one of its MinHash band buckets, across
+    ALL earlier micro-batches, without re-scanning history.
+
+    Shape: per-row band signatures (:func:`with_minhash_bands`, no
+    shuffle), explode to one row per (band, minhash), then
+    ``applyInPandasWithState`` keyed by the bucket.  Per-bucket state
+    is the sorted id list of bucket members — the streaming equivalent
+    of the batch ``collect_set`` bucket, sharded by bucket key exactly
+    like any keyed aggregation.
+
+    The batch pre-cap becomes a saturation flag: once a bucket exceeds
+    ``max_bucket`` members it stops emitting AND drops its id list
+    (state for a degenerate boilerplate bucket is O(1) forever after).
+    The batch path excludes such buckets entirely; a stream cannot
+    retract already-emitted pairs, so saturation only bounds future
+    work — same memory guarantee, slightly wider emitted set at the
+    moment of crossing.
+
+    Pairs are emitted per band (the same pair colliding in two bands
+    appears twice, under different keys) — downstream dedups with a
+    plain ``dropDuplicates([id_a, id_b])``, exactly as the batch
+    pipeline's distinct does.  State never expires (``NoTimeout``):
+    stream-lifetime dedup; a deployment that only needs a horizon adds
+    a ProcessingTime timeout without touching the pair logic.
+    """
+    sigs = (
+        with_minhash_bands(
+            stream, id_col, text_col, n_bands=n_bands, shingle_n=shingle_n
+        )
+        .select(F.col(id_col).alias("__id"), F.explode("bands").alias("__b"))
+        .select(
+            "__id",
+            F.col("__b.band").alias("band"),
+            F.col("__b.minhash").alias("minhash"),
+        )
+    )
+
+    def _bucket(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        band, minhash = key
+        if state.exists:
+            ids, saturated = state.get
+            ids = list(ids)
+        else:
+            ids, saturated = [], False
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for batch in batches:
+            if saturated:
+                continue
+            for new_id in sorted(set(int(i) for i in batch["__id"])):
+                if new_id in ids:
+                    continue  # replay of a known member: no new pairs
+                for old in ids:
+                    a, b = (old, new_id) if old < new_id else (new_id, old)
+                    out_a.append(a)
+                    out_b.append(b)
+                ids.append(new_id)
+                if len(ids) > max_bucket:
+                    saturated = True
+                    ids = []  # O(1) state for the degenerate bucket
+                    break
+        state.update((ids, saturated))
+        if out_a:
+            yield pd.DataFrame(
+                {
+                    "band": band,
+                    "minhash": minhash,
+                    "id_a": out_a,
+                    "id_b": out_b,
+                }
+            )
+
+    return sigs.groupBy("band", "minhash").applyInPandasWithState(
+        _bucket,
+        outputStructType=NEARDUP_OUTPUT_SCHEMA,
+        stateStructType=NEARDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -9,6 +9,7 @@ from pyspark.sql import Row
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -519,3 +520,177 @@ def test_streaming_countmin_sketch_merges_by_addition(spark, tmp_path):
     full = spark.createDataFrame([Row(w=w) for w in words1 + words2], schema)
     batch = {(r.row, r.bucket): r.cnt for r in sketch_of(full).collect()}
     assert streamed == batch
+
+
+# ---------------------------------------------------------------------------
+# Streaming content near-dup (stateful MinHash LSH)
+# ---------------------------------------------------------------------------
+
+DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(rows, schema=DOC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_with_minhash_bands_matches_batch_signatures(spark):
+    """The per-row (stream-composable) signature construction must be
+    bit-identical to the batch groupBy pipeline it mirrors
+    (operators/dedup.minhash_signatures) — same md5 slicing, same
+    min-over-distinct-shingles."""
+    from data_engineer_project_weather_analytics_spark.operators.dedup import (
+        doc_shingles,
+        minhash_signatures,
+    )
+    from data_engineer_project_weather_analytics_spark.streaming.stateful import with_minhash_bands
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+            (3, "the quick brown fox jumps over the lazy dog again"),
+            (4, "xy"),  # < shingle_n tokens → no signature
+        ],
+        schema=DOC_SCHEMA,
+    )
+    from pyspark.sql import functions as F
+
+    per_row = {
+        (r.doc_id, r.band, r.minhash)
+        for r in with_minhash_bands(df, "doc_id", "text", n_bands=8)
+        .select("doc_id", F.explode("bands").alias("b"))
+        .select("doc_id", "b.band", "b.minhash")
+        .collect()
+    }
+    batch = {
+        (r.doc_id, r.band, r.minhash)
+        for r in minhash_signatures(
+            doc_shingles(df, "doc_id", "text"), "doc_id", n_bands=8
+        ).collect()
+    }
+    assert per_row == batch
+    assert not any(d == 4 for d, _, _ in per_row)  # short doc: no bands
+
+
+def test_streaming_neardup_cross_batch_and_recovery(spark, tmp_path):
+    """A near-dup arriving micro-batches later must pair with the
+    original via bucket state; unrelated docs never pair; a re-delivery
+    after a checkpoint RESTART emits nothing new (state recovers)."""
+    import time
+
+    from data_engineer_project_weather_analytics_spark.streaming.stateful import (
+        streaming_neardup_candidates,
+    )
+
+    src = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    text_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    text_b = "one two three four five six seven eight nine ten"
+    _write_docs(spark, src, [(1, text_a), (2, text_b)])
+    time.sleep(1.1)  # distinct mtime → deterministic file order
+    _write_docs(spark, src, [(3, text_a), (4, "cold warm hot cool mild bright dark dim")])
+
+    def run():
+        stream = (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+            .parquet(src)
+        )
+
+        # memory sink can't recover from a checkpoint; foreachBatch can
+        def _sink(batch, batch_id):
+            if not batch.isEmpty():
+                batch.write.mode("append").parquet(out)
+
+        before = (
+            {tuple(r) for r in spark.read.parquet(out).collect()}
+            if __import__("os").path.exists(out)
+            else set()
+        )
+        q = (
+            streaming_neardup_candidates(stream, "doc_id", "text", n_bands=8)
+            .writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return [
+            r
+            for r in spark.read.parquet(out).collect()
+            if tuple(r) not in before
+        ]
+
+    rows = run()
+    pairs = {(r.id_a, r.id_b) for r in rows}
+    assert pairs == {(1, 3)}  # the planted dup, found across batches
+    # identical text → every band collides
+    assert len([r for r in rows if (r.id_a, r.id_b) == (1, 3)]) == 8
+
+    # restart from the checkpoint with a re-delivery of doc 3 plus one
+    # fresh near-dup of the same text: state survives the restart
+    time.sleep(1.1)
+    _write_docs(spark, src, [(3, text_a), (5, text_a)])
+    rows2 = run()
+    pairs2 = {(r.id_a, r.id_b) for r in rows2}
+    # replayed member emits nothing; the fresh doc pairs with BOTH
+    # earlier members of the bucket — including doc 1 from run 1
+    assert pairs2 == {(1, 5), (3, 5)}
+
+
+def test_streaming_neardup_bucket_saturation(spark, tmp_path):
+    """A degenerate bucket (many identical docs) stops emitting and
+    drops its id list once over max_bucket — the streaming form of the
+    batch hot-bucket pre-cap."""
+    import time
+
+    from data_engineer_project_weather_analytics_spark.streaming.stateful import (
+        streaming_neardup_candidates,
+    )
+
+    src = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+    boiler = "terms of service apply to all users of this site always"
+    _write_docs(spark, src, [(i, boiler) for i in range(1, 11)])
+    time.sleep(1.1)
+    _write_docs(spark, src, [(11, boiler), (12, boiler)])
+
+    def run(name):
+        stream = (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_neardup_candidates(
+                stream, "doc_id", "text", n_bands=4, max_bucket=3
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.sql(f"SELECT * FROM {name}").collect()
+
+    rows = run("nd_sat")
+    # ids processed in sorted order: pairs for 2nd/3rd/4th member
+    # (1+2+3 = 6 per band), then saturation — batch 2 adds nothing
+    by_band = {}
+    for r in rows:
+        by_band.setdefault(r.band, set()).add((r.id_a, r.id_b))
+    assert set(by_band) == {0, 1, 2, 3}
+    for band_pairs in by_band.values():
+        assert len(band_pairs) == 6
+        assert max(b for _, b in band_pairs) == 4  # nothing past the cap
