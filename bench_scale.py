@@ -136,8 +136,14 @@ SCALE100_QUERIES: tuple[str, ...] = (
     "j4_range_join_windows",
     "x1_exact_dedup",
     "geo1_grid_join",
+    "tpch_q3_shipping_priority",   # 60 M-row fact join, 1.5 M-row dim
+    "t4_hourly_window",            # 10 M-event windowed agg
+    "x24_countmin_heavy_hitters",  # 27 M-token stream vs 16 KB sketch
 )
-SCALE100_TABLES = ("region", "nation", "customer", "supplier", "events", "documents")
+SCALE100_TABLES = (
+    "region", "nation", "customer", "supplier", "orders", "lineitem",
+    "events", "documents",
+)
 
 
 def build_replica(
@@ -152,7 +158,10 @@ def build_replica(
     marker = os.path.join(out_dir, "_DONE")
     if os.path.exists(marker):
         with open(marker) as fh:
-            return json.load(fh)
+            have = json.load(fh)
+        # a cached replica only counts if it covers the requested tables
+        if tables is None or set(tables) <= set(have):
+            return have
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
 

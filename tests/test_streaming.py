@@ -694,3 +694,71 @@ def test_streaming_neardup_bucket_saturation(spark, tmp_path):
     for band_pairs in by_band.values():
         assert len(band_pairs) == 6
         assert max(b for _, b in band_pairs) == 4  # nothing past the cap
+
+
+def test_streaming_neardup_equals_batch_candidates(spark, tmp_path):
+    """Stream ≡ batch for the near-dup candidate set: the whole corpus
+    fed through the streaming operator (across two micro-batches) must
+    emit exactly the pairs the batch LSH pipeline
+    (doc_shingles → minhash_signatures → lsh_candidate_pairs) produces
+    on the same documents — the construction-parity guarantee that
+    makes the streaming operator a drop-in for incremental runs of
+    x2b."""
+    import time
+
+    from data_engineer_project_weather_analytics_spark.operators.dedup import (
+        doc_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from data_engineer_project_weather_analytics_spark.sources.catalog import load_table
+    from data_engineer_project_weather_analytics_spark.streaming.stateful import (
+        streaming_neardup_candidates,
+    )
+    from .conftest import SF_DIR
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(120)
+    )
+    rows = [(r.doc_id, r.text) for r in docs.collect()]
+
+    # batch truth on the same 120 docs
+    sigs = minhash_signatures(
+        doc_shingles(docs, "doc_id", "text"), "doc_id", n_bands=8
+    )
+    batch_pairs = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(sigs, "doc_id", max_bucket=None).collect()
+    }
+
+    # stream the corpus in two micro-batches
+    src = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+    _write_docs(spark, src, rows[:60])
+    time.sleep(1.1)
+    _write_docs(spark, src, rows[60:])
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_neardup_candidates(
+            stream, "doc_id", "text", n_bands=8, max_bucket=10_000
+        )
+        .writeStream.format("memory")
+        .queryName("nd_eq")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    stream_pairs = {
+        (r.id_a, r.id_b) for r in spark.sql("SELECT * FROM nd_eq").collect()
+    }
+    assert stream_pairs == batch_pairs
+    assert batch_pairs  # non-vacuous: the corpus has real candidates
