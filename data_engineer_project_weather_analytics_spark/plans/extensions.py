@@ -799,3 +799,51 @@ def x3e_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 NO_ORACLE = {
     "x5_multimodal_features": _x5_multimodal_features,
 }
+
+
+def x29_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source redundancy matrix: for every unordered source
+    pair, the number of DISTINCT 3-gram shingles both sources contain
+    — the corpus-curation signal that ranks which source pairs to
+    near-dedup against each other first (exact cross-source text dups
+    are zero in this corpus; shingle mass is the graded overlap the
+    decontamination sweep (x7) uses between splits, here lifted to the
+    source level).
+
+    Scale shape: distinct (source, shingle) is ONE shuffle on the
+    shingle set (tokenize-once, array_distinct before the explode —
+    doc_shingles' two rules); the per-shingle source set is bounded by
+    |sources| (a catalog-sized constant, NOT a corpus-scaling
+    quantity), so the sorted collect_set and the in-row pair expansion
+    (the lsh_candidate_pairs flatten/transform shape) never build an
+    unbounded reducer state; the closing pair count is a |sources|²-
+    key aggregation — dimension-sized output.
+    """
+    from data_engineer_project_weather_analytics_spark.operators.dedup import doc_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        doc_shingles(
+            docs.select(F.col("source").alias("doc_id"), "text"), "doc_id", "text"
+        )
+        .withColumnRenamed("doc_id", "source")
+        .distinct()
+    )
+    sets = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") > 1)
+    )
+    pairs = F.expr(
+        """
+        flatten(transform(srcs, (x, i) ->
+            transform(slice(srcs, i + 2, size(srcs) - i - 1), y ->
+                named_struct('src_a', x, 'src_b', y))))
+        """
+    )
+    return (
+        sets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )

@@ -904,4 +904,22 @@ ORACLES_EXT: dict[str, str] = {
                md5(text) AS payload_md5
         FROM documents
     """,
+    "x29_source_overlap_matrix": """
+        WITH sh AS (
+            SELECT DISTINCT source,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1] || ' ' ||
+                            string_split(text, ' ')[i+2])) AS shingle
+            FROM documents
+        ),
+        p AS (
+            SELECT a.shingle, a.source AS src_a, b.source AS src_b
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.source < b.source
+        )
+        SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_shared_shingles
+        FROM p GROUP BY src_a, src_b
+    """,
 }
