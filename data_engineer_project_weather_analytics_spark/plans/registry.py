@@ -50,6 +50,7 @@ def _collect() -> dict[str, QuerySpec]:
     from data_engineer_project_weather_analytics_spark.plans import (
         advanced,
         analytics,
+        corpus,
         extensions,
         lakeops,
         operational,
@@ -67,6 +68,7 @@ def _collect() -> dict[str, QuerySpec]:
     add(operational, operational.ORACLES_OPERATIONAL)
     add(quality, quality.ORACLES_QUALITY)
     add(lakeops, lakeops.ORACLES_LAKEOPS)
+    add(corpus, corpus.ORACLES_CORPUS)
 
     return specs
 
