@@ -189,6 +189,165 @@ def x34_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# G2 — integer-quantized PageRank (fixed iterations)
+# --------------------------------------------------------------------------
+
+_PR_ITERS = 4
+_PR_INIT = 1_000_000  # integer rank mass per node
+_PR_TELEPORT = 150_000  # (1-d)·INIT with d = 0.85
+
+
+def g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-purchase graph (same basket-capped edge
+    list as the triangle count, g1) — the graph-centrality primitive
+    for "which items anchor the catalog".
+
+    Cross-engine determinism: classic PageRank iterates float sums
+    whose value depends on accumulation order — unreplayable.  This is
+    the INTEGER-QUANTIZED surrogate: ranks are int64 mass (init 1e6
+    per node), each step propagates ``(rank·85) DIV (100·deg)`` along
+    every edge and adds the 150 000 teleport mass — exact integer
+    arithmetic end to end, bit-identical in both engines (truncation
+    loss is deterministic and identical).  Fixed ``_PR_ITERS``
+    iterations, unrolled as CTE stages on the oracle side (no
+    aggregate-in-recursion limits to fight).
+
+    Scale shape: the adjacency (+degree) is built once and
+    ``localCheckpoint``-ed — the iteration then touches ONLY the
+    checkpointed edge list (one shuffle join + one partial-agg
+    per step), never re-derives it from lineitem; that is the x2e
+    pointer-jumping pattern.  Per step cost is |E| join rows — linear,
+    no fan-out.  Closing top-k is TakeOrderedAndProject on
+    (rank desc, node) — a total order, so the cut is deterministic.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    sizes = items.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
+    eligible = items.join(
+        sizes.filter(F.col("n_items").between(2, 10)), "l_orderkey"
+    ).select("l_orderkey", "l_partkey")
+    a = eligible.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = eligible.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .select("p1", "p2")
+        .distinct()
+    )
+    adj = edges.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst")
+    ).unionAll(edges.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    adjd = adj.join(deg, "src").localCheckpoint()
+    ranks = deg.select(
+        F.col("src").alias("node"),
+        F.lit(_PR_INIT).cast("bigint").alias("pr"),
+    )
+    for _ in range(_PR_ITERS):
+        contrib = adjd.join(
+            ranks, adjd["src"] == ranks["node"]
+        ).select(
+            F.col("dst"),
+            F.expr("(pr * 85) DIV (100 * deg)").alias("c"),
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg((F.lit(_PR_TELEPORT) + F.sum("c")).alias("pr"))
+            .select(F.col("dst").alias("node"), "pr")
+        )
+    degn = deg.select(F.col("src").alias("node"), "deg")
+    return (
+        ranks.join(degn, "node")
+        .select("node", F.col("pr").alias("pr_rank"), "deg")
+        .orderBy(F.desc("pr_rank"), "node")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# W13 — lag-k autocorrelation of the daily event series
+# --------------------------------------------------------------------------
+
+def w13_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..3 autocorrelation of each event type's daily-count
+    series — the seasonality/persistence diagnostic that decides
+    whether a forecast window (w2/w7) is even meaningful.
+
+    Series = counts over OBSERVED days (absent days are absent, not
+    zero-filled — the a23/w11 naming lesson, stated up front).  All
+    three lags come from ONE window pass (three ``lag()`` columns over
+    the same sort), unpivoted in-row via ``stack`` — one shuffle on
+    event_type for the window, one partial-agg shuffle for the
+    moments.
+
+    Cross-engine: daily counts are int64, the five moments are exact
+    integer sums (Σy² ≤ days·(3e5)² ≈ 2.7e12 at sf1 — headroom to
+    sf1000), and the closing Pearson tree is the a20 pattern: cast
+    each moment to double, then identical mult/sub/sqrt/div trees —
+    IEEE correctly-rounded, bit-identical.  Degenerate (constant)
+    series guard on the INTEGER variance terms, not the doubles.
+    Output floor-quantized (never round()).
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        F.col("n").alias("x"),
+        F.lag("n", 1).over(w).alias("y1"),
+        F.lag("n", 2).over(w).alias("y2"),
+        F.lag("n", 3).over(w).alias("y3"),
+    )
+    pairs = lagged.selectExpr(
+        "event_type",
+        "stack(3, 1, x, y1, 2, x, y2, 3, x, y3) AS (lag_k, x, y)",
+    ).filter(F.col("y").isNotNull())
+    m = pairs.groupBy("event_type", "lag_k").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    nondegenerate = (
+        F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx") > 0
+    ) & (F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+    return m.select(
+        "event_type",
+        "lag_k",
+        "n_pairs",
+        F.when(nondegenerate, F.floor(corr * 10000).cast("bigint")).alias(
+            "acf_q"
+        ),
+    )
+
+
+# Unrolled PageRank iteration CTEs (no aggregates-in-recursion limits)
+_PR_STEP_CTES = "".join(
+    f"""
+        r{i} AS (
+            SELECT a.dst AS node,
+                   {_PR_TELEPORT} + CAST(sum((r.pr * 85) // (100 * a.deg))
+                       AS BIGINT) AS pr
+            FROM adjd a JOIN r{i - 1} r ON r.node = a.src
+            GROUP BY a.dst
+        ),"""
+    for i in range(1, _PR_ITERS + 1)
+)
+
 ORACLES_CORPUS: dict[str, str] = {
     "a25_kmv_distinct": f"""
         WITH hashes AS (
@@ -220,6 +379,98 @@ ORACLES_CORPUS: dict[str, str] = {
         SELECT n_exact, kmv_k, kmv_est, sketch_full,
                abs(kmv_est - n_exact) * 1000000 // n_exact AS err_ppm
         FROM est
+    """,
+    "g2_pagerank": f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        sizes AS (
+            SELECT l_orderkey, count(*) AS n_items
+            FROM items GROUP BY l_orderkey
+        ),
+        eligible AS (
+            SELECT i.l_orderkey, i.l_partkey
+            FROM items i JOIN sizes s USING (l_orderkey)
+            WHERE s.n_items BETWEEN 2 AND 10
+        ),
+        edges AS (
+            SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+            FROM eligible a
+            JOIN eligible b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        adj AS (
+            SELECT p1 AS src, p2 AS dst FROM edges
+            UNION ALL SELECT p2, p1 FROM edges
+        ),
+        deg AS (
+            SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+            FROM adj GROUP BY src
+        ),
+        adjd AS (
+            SELECT a.src, a.dst, d.deg
+            FROM adj a JOIN deg d ON d.node = a.src
+        ),
+        r0 AS (
+            SELECT node, CAST({_PR_INIT} AS BIGINT) AS pr FROM deg
+        ),{_PR_STEP_CTES}
+        final AS (
+            SELECT r.node, r.pr AS pr_rank, d.deg
+            FROM r{_PR_ITERS} r JOIN deg d ON d.node = r.node
+        )
+        SELECT node, pr_rank, deg FROM final
+        ORDER BY pr_rank DESC, node LIMIT 20
+    """,
+    "w13_autocorr": """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        lagged AS (
+            SELECT event_type, n AS x,
+                   lag(n, 1) OVER (PARTITION BY event_type ORDER BY day)
+                       AS y1,
+                   lag(n, 2) OVER (PARTITION BY event_type ORDER BY day)
+                       AS y2,
+                   lag(n, 3) OVER (PARTITION BY event_type ORDER BY day)
+                       AS y3
+            FROM daily
+        ),
+        pairs AS (
+            SELECT event_type, 1 AS lag_k, x, y1 AS y FROM lagged
+            WHERE y1 IS NOT NULL
+            UNION ALL
+            SELECT event_type, 2, x, y2 FROM lagged WHERE y2 IS NOT NULL
+            UNION ALL
+            SELECT event_type, 3, x, y3 FROM lagged WHERE y3 IS NOT NULL
+        ),
+        m AS (
+            SELECT event_type, lag_k,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy
+            FROM pairs GROUP BY event_type, lag_k
+        )
+        SELECT event_type, lag_k, n_pairs,
+               CASE WHEN n_pairs * sxx - sx * sx > 0
+                     AND n_pairs * syy - sy * sy > 0
+                    THEN CAST(floor(
+                        ((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (sqrt(CAST(n_pairs AS DOUBLE)
+                                 * CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * sqrt(CAST(n_pairs AS DOUBLE)
+                                   * CAST(syy AS DOUBLE)
+                                   - CAST(sy AS DOUBLE)
+                                     * CAST(sy AS DOUBLE))))
+                        * 10000) AS BIGINT)
+               END AS acf_q
+        FROM m
     """,
     "x34_kmv_source_overlap": f"""
         WITH sh AS (
