@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_engineer_project_weather_analytics_spark.operators import dedup
+from data_engineer_project_weather_analytics_spark.plans.oracles_extensions import ORACLES_EXT
 from data_engineer_project_weather_analytics_spark.sources.catalog import load_table
 
 # 48-bit hash space: first 12 hex chars of md5.  2^48 fits int64 with
@@ -335,6 +336,164 @@ def w13_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# X33 — corpus-level chunk dedup with ordered reassembly
+# --------------------------------------------------------------------------
+
+_CHUNK = 8  # tokens per chunk
+
+
+def x33_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level chunk dedup WITH reassembly: split every
+    document into fixed 8-token chunks, keep only each chunk's first
+    occurrence corpus-wide (first = smallest (doc_id, pos) — a total
+    order, so the survivor is deterministic), and rebuild each
+    document from its surviving chunks in original order.  x20
+    *detects* cross-document boilerplate; this op *removes* it and
+    hands back the cleaned text — the actual training-corpus
+    transformation.
+
+    Scale shape: tokenize ONCE per row behind a projection boundary
+    (the doc_shingles rule), chunk in-row, then exactly two keyed
+    shuffles: row_number over the chunk-hash partitions (streams, no
+    collected state) and the per-doc reassembly groupBy.  The
+    reassembly's collect_list holds ONE document's surviving chunks —
+    bounded by document length, not corpus size.  Totals come from a
+    narrow in-row expression, no extra shuffle.
+
+    Cross-engine: chunk ordering is (doc_id, pos) integers; the
+    rebuilt string is an order-explicit join (array_sort-by-pos /
+    string_agg ORDER BY pos) — no float, no nondeterminism.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("__toks"))
+    chunk_arr = F.expr(
+        f"""
+        transform(
+            sequence(0, (size(__toks) + {_CHUNK - 1}) DIV {_CHUNK} - 1),
+            i -> array_join(slice(__toks, i * {_CHUNK} + 1, {_CHUNK}), ' '))
+        """
+    )
+    ch = toks.select(
+        "doc_id", F.posexplode(chunk_arr).alias("pos", "chunk")
+    )
+    w = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "pos")
+    kept = (
+        ch.select(
+            "doc_id", "pos", "chunk", F.row_number().over(w).alias("__r")
+        )
+        .filter(F.col("__r") == 1)
+    )
+    reass = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, chunk)))"
+            ", s -> s.chunk), ' ')"
+        ).alias("dedup_text"),
+    )
+    totals = toks.select(
+        "doc_id",
+        F.expr(f"(size(__toks) + {_CHUNK - 1}) DIV {_CHUNK}").alias(
+            "n_chunks"
+        ),
+    )
+    return totals.join(reass, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("bigint")).alias("n_kept"),
+        F.coalesce(F.col("dedup_text"), F.lit("")).alias("dedup_text"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X30 — ANN recall self-evaluation (LSH vs exact)
+# --------------------------------------------------------------------------
+
+def x30_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the LSH ANN (x3d) against the exact cosine top-k
+    (x3), per query — the quality dial every approximate index must
+    report before it replaces the exact scan.  Composes the two
+    registered pipelines and counts the overlap; recall is exact
+    integer ppm (n_hit·1e6 DIV k), so the grade itself is
+    engine-exact.
+
+    Scale shape: both inputs are top-k-bounded (k rows per query), so
+    the comparison join touches |queries|·k rows regardless of corpus
+    size; the left join keeps queries the ANN missed entirely.
+    """
+    from data_engineer_project_weather_analytics_spark.plans import extensions
+
+    exact = extensions.x3_cosine_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    ann = extensions.x3d_ann_lsh(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__hit")
+    )
+    return (
+        exact.join(ann, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("__hit").alias("n_hit"))
+        .select(
+            "query_id",
+            "n_hit",
+            F.expr("n_hit * 1000000 DIV 5").alias("recall_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# X31 — contrastive training-pair generation
+# --------------------------------------------------------------------------
+
+def x31_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, positive, negative) triplets for contrastive training:
+    positives are the verified near-dup pairs (the x2f pipeline —
+    LSH candidates, exact-Jaccard ≥ 0.1 verification), negatives are
+    drawn deterministically by hashing the pair into one of 256
+    corpus buckets and taking that bucket's smallest doc_id — a
+    pseudo-random negative that is reproducible across engines and
+    runs (hash-seeded sampling, never rand()).
+
+    Scale shape: the positive side is candidate-pruned (x2f's whole
+    point); the negative lookup joins against a 256-row bucket
+    dimension built by ONE partial-agg pass over doc ids — AQE
+    broadcasts it at runtime (no forced hint: the dim derives from an
+    SF-scaling scan, the maybe_broadcast lesson).  A negative that
+    hash-collides with either pair member degrades to NULL rather
+    than silently training on a false negative, and a pair landing in
+    an empty bucket keeps its positive with a NULL negative (LEFT
+    join) — training pairs are never silently dropped.
+    """
+    from data_engineer_project_weather_analytics_spark.plans import extensions
+
+    pairs = extensions.x2f_lsh_verified_neardup(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    buckets = (
+        docs.select(
+            (_h48("CAST(doc_id AS STRING)") % 256).alias("bkt"), "doc_id"
+        )
+        .groupBy("bkt")
+        .agg(F.min("doc_id").alias("neg_id"))
+    )
+    keyed = pairs.select(
+        F.col("id_a").alias("anchor_id"),
+        F.col("id_b").alias("positive_id"),
+        (
+            _h48("concat(CAST(id_a AS STRING), '|', CAST(id_b AS STRING))")
+            % 256
+        ).alias("bkt"),
+    )
+    return keyed.join(buckets, "bkt", "left").select(
+        "anchor_id",
+        "positive_id",
+        F.when(
+            (F.col("neg_id") != F.col("anchor_id"))
+            & (F.col("neg_id") != F.col("positive_id")),
+            F.col("neg_id"),
+        ).alias("negative_id"),
+    )
+
+
 # Unrolled PageRank iteration CTEs (no aggregates-in-recursion limits)
 _PR_STEP_CTES = "".join(
     f"""
@@ -379,6 +538,79 @@ ORACLES_CORPUS: dict[str, str] = {
         SELECT n_exact, kmv_k, kmv_est, sketch_full,
                abs(kmv_est - n_exact) * 1000000 // n_exact AS err_ppm
         FROM est
+    """,
+    "x33_chunk_dedup": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        ),
+        ch AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, (len(tk) + {_CHUNK - 1}) // {_CHUNK}),
+                       i -> i - 1)) AS pos,
+                   unnest(list_transform(
+                       generate_series(1, (len(tk) + {_CHUNK - 1}) // {_CHUNK}),
+                       i -> array_to_string(
+                           list_slice(tk, (i - 1) * {_CHUNK} + 1,
+                                      (i - 1) * {_CHUNK} + {_CHUNK}), ' ')))
+                       AS chunk
+            FROM toks
+        ),
+        kept AS (
+            SELECT doc_id, pos, chunk FROM (
+                SELECT doc_id, pos, chunk,
+                       row_number() OVER (PARTITION BY md5(chunk)
+                                          ORDER BY doc_id, pos) AS __r
+                FROM ch
+            ) WHERE __r = 1
+        ),
+        reass AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                   string_agg(chunk, ' ' ORDER BY pos) AS dedup_text
+            FROM kept GROUP BY doc_id
+        ),
+        totals AS (
+            SELECT doc_id,
+                   CAST((len(string_split(text, ' ')) + {_CHUNK - 1})
+                        // {_CHUNK} AS BIGINT) AS n_chunks
+            FROM documents
+        )
+        SELECT t.doc_id, t.n_chunks,
+               coalesce(r.n_kept, 0) AS n_kept,
+               coalesce(r.dedup_text, '') AS dedup_text
+        FROM totals t LEFT JOIN reass r USING (doc_id)
+    """,
+    "x30_ann_recall": f"""
+        WITH exact_res AS ({ORACLES_EXT["x3_cosine_topk"]}),
+        ann_res AS ({ORACLES_EXT["x3d_ann_lsh"]})
+        SELECT e.query_id,
+               CAST(count(a.query_id) AS BIGINT) AS n_hit,
+               CAST(count(a.query_id) AS BIGINT) * 1000000 // 5
+                   AS recall_ppm
+        FROM exact_res e
+        LEFT JOIN ann_res a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+    """,
+    "x31_contrastive_pairs": f"""
+        WITH pos AS ({ORACLES_EXT["x2f_lsh_verified_neardup"]}),
+        bkt AS (
+            SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                       ::BIGINT % 256 AS bkt,
+                   min(doc_id) AS neg_id
+            FROM documents GROUP BY 1
+        ),
+        keyed AS (
+            SELECT id_a AS anchor_id, id_b AS positive_id,
+                   ('0x' || substr(md5(CAST(id_a AS VARCHAR) || '|'
+                                       || CAST(id_b AS VARCHAR)), 1, 12))
+                       ::BIGINT % 256 AS bkt
+            FROM pos
+        )
+        SELECT anchor_id, positive_id,
+               CASE WHEN neg_id <> anchor_id AND neg_id <> positive_id
+                    THEN neg_id END AS negative_id
+        FROM keyed LEFT JOIN bkt USING (bkt)
     """,
     "g2_pagerank": f"""
         WITH items AS (
