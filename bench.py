@@ -63,6 +63,10 @@ HEADLINE: dict[str, str] = {
     "x23_sq8_topk": "collect",
     "geo1_grid_join": "collect",
     "c1_compaction_plan": "collect",
+    "a25_kmv_distinct": "collect",
+    "x34_kmv_source_overlap": "collect",
+    "g2_pagerank": "collect",
+    "x33_chunk_dedup": "checksum",
 }
 
 

@@ -241,9 +241,13 @@ def g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(edges.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
     deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     adjd = adj.join(deg, "src").localCheckpoint()
-    ranks = deg.select(
-        F.col("src").alias("node"),
-        F.lit(_PR_INIT).cast("bigint").alias("pr"),
+    # every downstream input (initial ranks, closing degree join)
+    # derives from the CHECKPOINT, so no stage re-derives the edge
+    # list from lineitem (plan-gated: 'lineitem' absent from the
+    # final plan)
+    nodes = adjd.select(F.col("src").alias("node"), "deg").distinct()
+    ranks = nodes.select(
+        "node", F.lit(_PR_INIT).cast("bigint").alias("pr")
     )
     for _ in range(_PR_ITERS):
         contrib = adjd.join(
@@ -257,9 +261,8 @@ def g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg((F.lit(_PR_TELEPORT) + F.sum("c")).alias("pr"))
             .select(F.col("dst").alias("node"), "pr")
         )
-    degn = deg.select(F.col("src").alias("node"), "deg")
     return (
-        ranks.join(degn, "node")
+        ranks.join(nodes, "node")
         .select("node", F.col("pr").alias("pr_rank"), "deg")
         .orderBy(F.desc("pr_rank"), "node")
         .limit(20)

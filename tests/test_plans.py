@@ -182,6 +182,8 @@ _BOUNDED_BROADCAST_QUERIES = {
     "x26_balanced_downsample",  # |languages|-row counts + 1-row min join
     "mb2_association_rules",  # 1-row basket-total join
     "x27_adaptive_stopword_strip",  # 1-row corpus-count join (as x20)
+    "a25_kmv_distinct",  # 1-row sketch-summary x 1-row exact-count join
+    "x30_ann_recall",  # composes x3's fixed query-vector probe set
 }
 
 
@@ -505,3 +507,64 @@ def test_stopword_strip_never_broadcasts_vocabulary(spark):
     broadcast."""
     plan = _formatted_plan(spark, "x27_adaptive_stopword_strip")
     assert "SortMergeJoin" in plan, plan
+
+
+def test_pagerank_iterations_reuse_checkpointed_adjacency(spark):
+    """g2's iteration loop must touch ONLY the localCheckpoint-ed
+    adjacency — if 'lineitem' appears in the final plan, an iteration
+    is re-deriving the edge list from the fact table every step."""
+    plan = _formatted_plan(spark, "g2_pagerank")
+    assert "lineitem" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_kmv_bottom_k_avoids_global_sort(spark):
+    """a25's bottom-k must be TakeOrderedAndProject (per-partition
+    top-k + merge), never a global Sort of the distinct-hash set."""
+    plan = _formatted_plan(spark, "a25_kmv_distinct")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_autocorr_single_window_pass(spark):
+    """w13 derives all three lags from ONE window — a second Window
+    node means the lag columns each pay their own sort."""
+    import re
+
+    plan = _formatted_plan(spark, "w13_autocorr")
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+
+
+def test_chunk_dedup_survivor_selection_streams(spark):
+    """x33 picks survivors with a streaming row_number window (one
+    Window node; WindowGroupLimit pushdown nodes are the rank<=1
+    filter streaming map-side — desirable, not extra windows), then
+    reassembles with one per-doc aggregation."""
+    import re
+
+    plan = _formatted_plan(spark, "x33_chunk_dedup")
+    assert len(re.findall(r"\(\d+\) Window(?!GroupLimit)", plan)) == 1, plan
+    # the rank<=1 survivor filter must push into WindowGroupLimit so
+    # losers are dropped before the exchange
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_kmv_overlap_pair_join_is_hash_join(spark):
+    """x34's sketch-vs-pair-list joins must be broadcast hash joins on
+    the bounded pair dimension (assert the join node name on the
+    sparkPlan — the formatted plan elides BroadcastExchange)."""
+    plan = (
+        REGISTRY["x34_kmv_source_overlap"]
+        .fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .sparkPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_contrastive_pairs_keep_positives_on_empty_bucket(spark):
+    """x31's negative lookup is a LEFT join: a positive pair may never
+    be dropped because its hash bucket is unpopulated."""
+    plan = _formatted_plan(spark, "x31_contrastive_pairs")
+    assert "LeftOuter" in plan, plan
