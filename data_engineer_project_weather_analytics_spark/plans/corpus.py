@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_engineer_project_weather_analytics_spark.operators import dedup
+from data_engineer_project_weather_analytics_spark.plans.analytics import ORACLES_ANALYTICS
 from data_engineer_project_weather_analytics_spark.plans.oracles_extensions import ORACLES_EXT
 from data_engineer_project_weather_analytics_spark.sources.catalog import load_table
 
@@ -497,6 +498,259 @@ def x31_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# X35 — inverted index construction (capped postings)
+# --------------------------------------------------------------------------
+
+_POSTINGS_CAP = 100
+
+
+def x35_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction — the retrieval primitive: for every
+    token, document frequency, collection frequency, and the head of
+    its postings list (first ``_POSTINGS_CAP`` doc ids, ascending).
+
+    Scale shape: df/cf come from full partial-agg streams (never
+    collected); the postings head is capped BEFORE any collection by a
+    row_number window (the LSH hot-bucket lesson: cap, then collect —
+    a stopword's postings list is corpus-sized, and collecting it
+    first would pin an unbounded reducer).  ``truncated`` flags tokens
+    whose list was cut, so a reader can't mistake the head for the
+    whole list.
+
+    Cross-engine: postings serialize to a comma-joined string of
+    ascending doc ids (repo rule: no raw arrays in checked outputs);
+    all counts int64.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    per_doc = toks.groupBy("token", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    stats = per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+    )
+    rn = Window.partitionBy("token").orderBy("doc_id")
+    head = (
+        per_doc.select("token", "doc_id", F.row_number().over(rn).alias("__r"))
+        .filter(F.col("__r") <= _POSTINGS_CAP)
+        .groupBy("token")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(doc_id))"
+                ", d -> CAST(d AS STRING)), ',')"
+            ).alias("postings_head")
+        )
+    )
+    return (
+        stats.join(head, "token")
+        .select(
+            "token",
+            "df",
+            "cf",
+            "postings_head",
+            (F.col("df") > _POSTINGS_CAP).cast("bigint").alias("truncated"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# X36 — BM25 keyword retrieval (all-integer scoring)
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "query", "window")
+
+
+def x36_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval for a fixed keyword query — the ranking
+    half of the inverted index (x35): score docs containing any of the
+    query terms and return the 10 best.
+
+    Cross-engine determinism is the whole design here, because real
+    BM25 is ln() + float division (both non-portable):
+
+    * idf uses the Robertson odds ratio ``(N-df+0.5)/(df+0.5)`` kept
+      RATIONAL via ×2 (``(2N-2df+1) DIV (2df+1)``) and then
+      log2-stepped with the shared ``bin()`` builtin
+      (``length(bin(x)) = floor(log2 x)+1`` — the a22 rho trick):
+      a monotone, bounded (≤63), engine-exact stand-in for ln;
+    * the tf saturation term multiplies through by the quantized
+      average doc length (``avgdl_q = 100·T DIV N``, scale-invariant),
+      so with k1=1.2, b=0.75:
+      ``tfc_q = 22·tf·avgdl_q·1000 DIV (10·tf·avgdl_q + 3·avgdl_q +
+      900·dl)`` — bounded by 2200 at ANY corpus size (no term grows
+      with N or T, unlike the naive cross-multiplication whose
+      ``tf·T·1000`` overflows int64 near 10^10 tokens);
+    * score = Σ idf_log2·tfc_q — small exact integers; ties break on
+      doc_id, so the top-10 cut is deterministic.
+
+    Scale shape: the token explode filters to the query terms BEFORE
+    aggregating (vocabulary-bounded stream), df and the (N, T) totals
+    are 1-row/|terms|-row aggregates, doc length is a narrow in-row
+    expression, and the close is TakeOrderedAndProject.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    terms_sql = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.expr(f"token IN ({terms_sql})"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("dl")
+    )
+    totals = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("t_tokens"),
+    )
+    scored = (
+        tf.join(df_, "token")
+        .join(dl, "doc_id")
+        .join(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.expr(
+                "length(bin(greatest((2 * n_docs - 2 * df + 1)"
+                " DIV (2 * df + 1), 1)))"
+            ).alias("idf_log2"),
+            F.expr(
+                "22 * tf * ((100 * t_tokens) DIV n_docs) * 1000"
+                " DIV (10 * tf * ((100 * t_tokens) DIV n_docs)"
+                "      + 3 * ((100 * t_tokens) DIV n_docs) + 900 * dl)"
+            ).alias("tfc_q"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id", (F.col("idf_log2") * F.col("tfc_q")).alias("term_score")
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("term_score").alias("score_q"))
+        .orderBy(F.desc("score_q"), "doc_id")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# J12 — point-in-time join against the SCD2 dimension
+# --------------------------------------------------------------------------
+
+def j12_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) join: every purchase event picks up the
+    user's SCD2 state version that was valid AT the purchase
+    timestamp — the warehouse pattern that makes type-2 dimensions
+    usable ("what plan was the customer on when they bought").
+
+    Composes the registered SCD2 builder (scd2_user_state) with the
+    bucketed range join's equality keys (``on=['user_id']``): the
+    shuffle partitions on (user, time-bucket), so the temporal probe
+    never compares rows across users — at scale this is |user's
+    events|-bounded work, not a corpus-wide theta join (which Spark
+    would plan as a BroadcastNestedLoopJoin).
+
+    Open current intervals (``valid_to`` NULL) close at a data-derived
+    horizon (max event ts + 1 µs, a 1-row broadcast) rather than a
+    far-future literal — a year-2100 sentinel would explode each
+    current interval into ~10^5 buckets.  Every purchase matches
+    exactly one interval (SCD2 intervals partition each user's
+    timeline), which the oracle verifies structurally: the join is
+    row-preserving over purchases.
+    """
+    from data_engineer_project_weather_analytics_spark.operators.range_join import bucketed_range_join
+    from data_engineer_project_weather_analytics_spark.plans import analytics
+
+    dim = analytics.scd2_user_state(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    horizon = ev.agg(
+        F.expr("max(ts) + INTERVAL 1 MICROSECOND").alias("__h")
+    )
+    dim2 = dim.join(F.broadcast(horizon)).select(
+        "user_id",
+        "state",
+        "version",
+        "valid_from",
+        F.coalesce("valid_to", F.col("__h")).alias("__vt"),
+    )
+    out = bucketed_range_join(
+        purchases,
+        dim2,
+        "ts",
+        "valid_from",
+        "__vt",
+        bucket_seconds=43200,
+        on=["user_id"],
+    )
+    return out.select("user_id", "event_id", "ts", "state", "version")
+
+
+# --------------------------------------------------------------------------
+# DQ4 — chi-square drift per slice
+# --------------------------------------------------------------------------
+
+def dq4_chisq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square drift contribution per event type between the first
+    and second half of the observation window — the distribution-shift
+    test dq2's ratio check can't express (a slice can keep its ratio
+    while the MIX shifts).
+
+    The split day is data-derived (min day + 15, a 1-row broadcast);
+    baseline/current counts come from ONE conditional-aggregation scan
+    (the dq2 shape).  The cell statistic
+    ``(o·T_b − b·T_c)² / (b·T_b·T_c)`` is algebraically
+    ``(o−e)²/e`` with the expected count cleared of fractions, so the
+    heavy arithmetic stays EXACT int64 (safe while counts·totals stay
+    under 2^53 — holds to ~sf100; the a20-style documented bound) and
+    each row closes with one shared IEEE double tree (mult/div —
+    correctly rounded, engine-exact).  No cross-row float aggregation:
+    the statistic is reported per slice, never summed in floating
+    point (float Σ is accumulation-order-dependent — the portability
+    rule every moment query here follows).
+
+    Zero-baseline slices yield NULL drift (explicit guard — the dq2
+    try_divide lesson: make the NULL semantics identical in BOTH
+    engines, not implicit in one).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select("event_type", F.to_date("ts").alias("day"))
+    split = d.agg(F.date_add(F.min("day"), 15).alias("__split"))
+    counted = (
+        d.join(F.broadcast(split))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("day") < F.col("__split"), 1).otherwise(0)
+            ).alias("n_base"),
+            F.sum(
+                F.when(F.col("day") >= F.col("__split"), 1).otherwise(0)
+            ).alias("n_curr"),
+        )
+    )
+    totals = counted.agg(
+        F.sum("n_base").alias("t_base"), F.sum("n_curr").alias("t_curr")
+    )
+    return (
+        counted.join(F.broadcast(totals))
+        .select(
+            "event_type",
+            "n_base",
+            "n_curr",
+            F.expr(
+                "CASE WHEN n_base > 0 THEN CAST(floor("
+                "CAST(n_curr * t_base - n_base * t_curr AS DOUBLE)"
+                " * CAST(n_curr * t_base - n_base * t_curr AS DOUBLE)"
+                " / (CAST(n_base AS DOUBLE) * CAST(t_base AS DOUBLE)"
+                "    * CAST(t_curr AS DOUBLE)) * 1000000) AS BIGINT)"
+                " END"
+            ).alias("drift_q"),
+        )
+    )
+
+
 # Unrolled PageRank iteration CTEs (no aggregates-in-recursion limits)
 _PR_STEP_CTES = "".join(
     f"""
@@ -541,6 +795,124 @@ ORACLES_CORPUS: dict[str, str] = {
         SELECT n_exact, kmv_k, kmv_est, sketch_full,
                abs(kmv_est - n_exact) * 1000000 // n_exact AS err_ppm
         FROM est
+    """,
+    "j12_scd2_pit_join": f"""
+        WITH dim AS ({ORACLES_ANALYTICS["scd2_user_state"]}),
+        horizon AS (
+            SELECT max(ts) + INTERVAL 1 MICROSECOND AS h FROM events
+        ),
+        p AS (
+            SELECT user_id, event_id, ts FROM events
+            WHERE event_type = 'purchase'
+        )
+        SELECT p.user_id, p.event_id, p.ts, d.state, d.version
+        FROM p JOIN dim d
+          ON d.user_id = p.user_id
+         AND p.ts >= d.valid_from
+         AND p.ts < coalesce(d.valid_to, (SELECT h FROM horizon))
+    """,
+    "dq4_chisq_drift": """
+        WITH d AS (
+            SELECT event_type, CAST(ts AS DATE) AS day FROM events
+        ),
+        split AS (SELECT min(day) + 15 AS s FROM d),
+        counted AS (
+            SELECT event_type,
+                   CAST(sum(CASE WHEN day < (SELECT s FROM split)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+                   CAST(sum(CASE WHEN day >= (SELECT s FROM split)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_curr
+            FROM d GROUP BY event_type
+        ),
+        totals AS (
+            SELECT CAST(sum(n_base) AS BIGINT) AS t_base,
+                   CAST(sum(n_curr) AS BIGINT) AS t_curr
+            FROM counted
+        )
+        SELECT event_type, n_base, n_curr,
+               CASE WHEN n_base > 0 THEN CAST(floor(
+                   CAST(n_curr * t_base - n_base * t_curr AS DOUBLE)
+                   * CAST(n_curr * t_base - n_base * t_curr AS DOUBLE)
+                   / (CAST(n_base AS DOUBLE) * CAST(t_base AS DOUBLE)
+                      * CAST(t_curr AS DOUBLE)) * 1000000) AS BIGINT)
+               END AS drift_q
+        FROM counted CROSS JOIN totals
+    """,
+    "x35_inverted_index": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        per_doc AS (
+            SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+            FROM toks GROUP BY token, doc_id
+        ),
+        stats AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS df,
+                   CAST(sum(tf) AS BIGINT) AS cf
+            FROM per_doc GROUP BY token
+        ),
+        head AS (
+            SELECT token,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings_head
+            FROM (
+                SELECT token, doc_id,
+                       row_number() OVER (PARTITION BY token
+                                          ORDER BY doc_id) AS __r
+                FROM per_doc
+            ) WHERE __r <= {_POSTINGS_CAP}
+            GROUP BY token
+        )
+        SELECT s.token, s.df, s.cf, h.postings_head,
+               CAST(s.df > {_POSTINGS_CAP} AS BIGINT) AS truncated
+        FROM stats s JOIN head h USING (token)
+    """,
+    "x36_bm25_retrieval": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        qt AS (
+            SELECT doc_id, token FROM toks
+            WHERE token IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+        ),
+        tf AS (
+            SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+            FROM qt GROUP BY doc_id, token
+        ),
+        df AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS df
+            FROM tf GROUP BY token
+        ),
+        dl AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+            FROM documents
+        ),
+        totals AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS t_tokens
+            FROM documents
+        ),
+        scored AS (
+            SELECT tf.doc_id,
+                   length(bin(greatest(
+                       (2 * n_docs - 2 * df + 1) // (2 * df + 1), 1)))
+                       AS idf_log2,
+                   22 * tf * ((100 * t_tokens) // n_docs) * 1000
+                       // (10 * tf * ((100 * t_tokens) // n_docs)
+                           + 3 * ((100 * t_tokens) // n_docs)
+                           + 900 * dl) AS tfc_q
+            FROM tf
+            JOIN df USING (token)
+            JOIN dl USING (doc_id)
+            CROSS JOIN totals
+        )
+        SELECT doc_id, CAST(sum(idf_log2 * tfc_q) AS BIGINT) AS score_q
+        FROM scored GROUP BY doc_id
+        ORDER BY score_q DESC, doc_id LIMIT 10
     """,
     "x33_chunk_dedup": f"""
         WITH toks AS (

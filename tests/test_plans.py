@@ -184,6 +184,9 @@ _BOUNDED_BROADCAST_QUERIES = {
     "x27_adaptive_stopword_strip",  # 1-row corpus-count join (as x20)
     "a25_kmv_distinct",  # 1-row sketch-summary x 1-row exact-count join
     "x30_ann_recall",  # composes x3's fixed query-vector probe set
+    "x36_bm25_retrieval",  # 1-row (N, T) corpus-totals join
+    "j12_scd2_pit_join",  # 1-row horizon join closing open intervals
+    "dq4_chisq_drift",  # 1-row split-day + 1-row totals joins
 }
 
 
