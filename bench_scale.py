@@ -101,6 +101,12 @@ QUERIES: tuple[str, ...] = (
     "dq3_order_reconciliation",
     "mv2_delta_join_repair",
     "g1_triangle_count",
+    "g2_pagerank",
+    "j12_scd2_pit_join",
+    "x33_chunk_dedup",
+    "x34_kmv_source_overlap",
+    "x35_inverted_index",
+    "x36_bm25_retrieval",
 )
 
 

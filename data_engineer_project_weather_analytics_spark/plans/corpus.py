@@ -242,15 +242,28 @@ def g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(edges.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
     deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     adjd = adj.join(deg, "src").localCheckpoint()
-    # every downstream input (initial ranks, closing degree join)
-    # derives from the CHECKPOINT, so no stage re-derives the edge
-    # list from lineitem (plan-gated: 'lineitem' absent from the
-    # final plan)
+    return pagerank_over_adjacency(adjd).limit(20)
+
+
+def pagerank_over_adjacency(
+    adjd: DataFrame, iters: int = _PR_ITERS
+) -> DataFrame:
+    """The iteration core of :func:`g2_pagerank` over a prepared
+    (``src``, ``dst``, ``deg``) adjacency (deg = out-degree of src;
+    pass a localCheckpoint-ed frame so iterations don't re-derive
+    it).  Returns (node, pr_rank, deg) ordered by (pr_rank desc,
+    node).  Exposed separately so planted-graph tests can check the
+    rank arithmetic on hand-computed topologies.
+
+    Every downstream input (initial ranks, closing degree join)
+    derives from the passed adjacency, so no stage re-derives the
+    edge list from the fact table (plan-gated: 'lineitem' absent
+    from g2's final plan)."""
     nodes = adjd.select(F.col("src").alias("node"), "deg").distinct()
     ranks = nodes.select(
         "node", F.lit(_PR_INIT).cast("bigint").alias("pr")
     )
-    for _ in range(_PR_ITERS):
+    for _ in range(iters):
         contrib = adjd.join(
             ranks, adjd["src"] == ranks["node"]
         ).select(
@@ -266,7 +279,6 @@ def g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks.join(nodes, "node")
         .select("node", F.col("pr").alias("pr_rank"), "deg")
         .orderBy(F.desc("pr_rank"), "node")
-        .limit(20)
     )
 
 
