@@ -22,7 +22,7 @@ collision) = Jaccard similarity, banding boosts recall.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -269,6 +269,118 @@ def jaccard_for_candidates(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def containment_for_candidates(
+    ds: DataFrame,
+    id_col: str,
+    candidates: DataFrame,
+    threshold: float = 0.5,
+    sizes: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT (|A∩B|/|A| and |A∩B|/|B|) over candidate
+    pairs — the quote/inclusion detector Jaccard structurally misses:
+    a short document fully embedded in a long one has near-zero
+    Jaccard (the union is dominated by the long doc) but containment
+    ≈ 1 on the short side.  Broder's resemblance-vs-containment
+    distinction; the curation use is stripping quoted/boilerplate
+    inclusions rather than near-identical twins.
+
+    Same candidate-pruned shape as :func:`jaccard_for_candidates`
+    (intersections join THROUGH the pair table — verify cost is
+    O(|candidates|·shingles/doc)); a pair survives when EITHER
+    direction reaches ``threshold``.  Both divisions are single
+    float ops over exact int64 counts (bit-identical cross-engine).
+    """
+    if sizes is None:
+        sizes = ds.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = ds.select(F.col(id_col).alias("id_a"), "shingle")
+    b = ds.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        candidates.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            (F.col("n_inter").cast("double") / F.col("size_a")).alias("cont_a"),
+            (F.col("n_inter").cast("double") / F.col("size_b")).alias("cont_b"),
+        )
+        .filter(
+            (F.col("cont_a") >= threshold) | (F.col("cont_b") >= threshold)
+        )
+    )
+
+
+def prefix_filter_pairs(
+    ds: DataFrame, id_col: str, threshold_pct: int = 70
+) -> DataFrame:
+    """High-threshold set-similarity join via PREFIX FILTERING
+    (AllPairs/PPJoin lineage) — the exact-recall alternative to LSH:
+    no false negatives by construction, where MinHash banding misses
+    pairs probabilistically.
+
+    Lemma: under any global token order, if |x∩y| ≥ α then the first
+    ``|x|−α+1`` tokens of x and ``|y|−α+1`` of y must intersect.  With
+    J(x,y) ≥ t ⇒ |x∩y| ≥ ⌈t·|x|⌉, indexing only each doc's
+    ``|x| − ⌈t·|x|⌉ + 1`` RAREST tokens (global df ascending, then
+    token — a total order) finds every qualifying pair.  At t=0.7 the
+    index holds ~30% of each doc — this is the high-threshold regime
+    where prefix filtering beats LSH; at low t the prefix approaches
+    the whole set and LSH (x2b) is the right tool.
+
+    Scale shape: global df is one partial-agg shuffle; the df join
+    back to the token stream is a SHUFFLE join (vocabulary-sized side
+    — the x9 lesson, never broadcast); prefix selection is one
+    row_number window per doc (count-over-partition shares the same
+    exchange); the candidate join keys on the RAREST tokens, so
+    bucket widths are df-bounded-small by construction — the
+    hot-bucket problem LSH needs an explicit cap for mostly vanishes
+    (an all-stopword doc can still index a common token; verify cost
+    stays candidate-pruned regardless).  Verification reuses
+    :func:`jaccard_for_candidates`.
+
+    ``threshold_pct`` is an integer percentage so the prefix-length
+    arithmetic stays exact int64 (``⌈t·n⌉ = (t_pct·n + 99) DIV 100``)
+    — identical in both engines.
+    """
+    t = threshold_pct / 100.0
+    df_tok = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy(id_col).orderBy("__df", "shingle")
+    wc = Window.partitionBy(id_col)
+    ranked = (
+        ds.join(df_tok, "shingle")
+        .select(
+            F.col(id_col),
+            "shingle",
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1)).over(wc).alias("__n"),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("__rn")
+        <= F.col("__n")
+        - F.expr(f"({threshold_pct} * __n + 99) DIV 100")
+        + 1
+    ).select(F.col(id_col), "shingle")
+    a = prefix.select(F.col(id_col).alias("id_a"), "shingle")
+    b = prefix.select(F.col(id_col).alias("id_b"), "shingle")
+    candidates = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_for_candidates(ds, id_col, candidates, threshold=t)
 
 
 def duplicate_clusters(

@@ -21,7 +21,11 @@ from pyspark.sql import functions as F
 
 from data_engineer_project_weather_analytics_spark.operators import dedup
 from data_engineer_project_weather_analytics_spark.plans.analytics import ORACLES_ANALYTICS
-from data_engineer_project_weather_analytics_spark.plans.oracles_extensions import ORACLES_EXT
+from data_engineer_project_weather_analytics_spark.plans.oracles_extensions import (
+    _OK_BUCKETS,
+    _SHINGLES,
+    ORACLES_EXT,
+)
 from data_engineer_project_weather_analytics_spark.sources.catalog import load_table
 
 # 48-bit hash space: first 12 hex chars of md5.  2^48 fits int64 with
@@ -646,6 +650,46 @@ def x36_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X37 — containment detection (asymmetric near-dup)
+# --------------------------------------------------------------------------
+
+def x37_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quote/inclusion detection: candidate pairs scored by Broder
+    CONTAINMENT (|A∩B|/|A|, |A∩B|/|B|) instead of Jaccard — the case
+    Jaccard structurally misses (a short doc fully embedded in a long
+    one has tiny Jaccard but containment ≈ 1 on the short side).
+    Same LSH-pruned scale shape as x2f: shared signature+sizes
+    aggregate, width-capped buckets, verify joins THROUGH the
+    candidate table."""
+    from data_engineer_project_weather_analytics_spark.plans.extensions import LSH_MAX_BUCKET
+
+    docs = load_table(spark, sf_dir, "documents")
+    ds = dedup.doc_shingles(docs, "doc_id", "text", n=3)
+    sigs, sizes = dedup.minhash_with_sizes(ds, "doc_id", n_bands=8)
+    candidates = dedup.lsh_candidate_pairs(
+        sigs, "doc_id", max_bucket=LSH_MAX_BUCKET
+    )
+    return dedup.containment_for_candidates(
+        ds, "doc_id", candidates, threshold=0.5, sizes=sizes
+    )
+
+
+# --------------------------------------------------------------------------
+# X38 — prefix-filtering similarity join (exact recall)
+# --------------------------------------------------------------------------
+
+def x38_prefix_filter_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-threshold near-dup pairs (J ≥ 0.7) by prefix filtering —
+    guaranteed recall where LSH banding (x2b/x2f) is probabilistic;
+    see :func:`operators.dedup.prefix_filter_pairs` for the lemma and
+    the scale argument (rarest-token index ≈ 30% of each doc at
+    t=0.7)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ds = dedup.doc_shingles(docs, "doc_id", "text", n=3)
+    return dedup.prefix_filter_pairs(ds, "doc_id", threshold_pct=70)
+
+
+# --------------------------------------------------------------------------
 # J12 — point-in-time join against the SCD2 dimension
 # --------------------------------------------------------------------------
 
@@ -807,6 +851,79 @@ ORACLES_CORPUS: dict[str, str] = {
         SELECT n_exact, kmv_k, kmv_est, sketch_full,
                abs(kmv_est - n_exact) * 1000000 // n_exact AS err_ppm
         FROM est
+    """,
+    "x37_containment_pairs": f"""
+        WITH ds AS ({_SHINGLES}),
+        sigs AS (
+            SELECT doc_id, CAST(band AS INTEGER) AS band,
+                   min(substr(md5(shingle) || md5(shingle || '#'),
+                              8 * band + 1, 8)) AS minhash
+            FROM ds CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band) b
+            GROUP BY doc_id, band
+        ),
+        ok_buckets AS ({_OK_BUCKETS}),
+        candidates AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sigs a
+            JOIN sigs b ON a.band = b.band AND a.minhash = b.minhash
+            JOIN ok_buckets ob ON ob.band = a.band AND ob.minhash = a.minhash
+            WHERE a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS set_size FROM ds GROUP BY doc_id),
+        inter AS (
+            SELECT c.id_a, c.id_b, count(*) AS n_inter
+            FROM candidates c
+            JOIN ds a ON a.doc_id = c.id_a
+            JOIN ds b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+            GROUP BY c.id_a, c.id_b
+        )
+        SELECT id_a, id_b, n_inter,
+               CAST(n_inter AS DOUBLE) / sa.set_size AS cont_a,
+               CAST(n_inter AS DOUBLE) / sb.set_size AS cont_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_inter AS DOUBLE) / sa.set_size >= 0.5
+           OR CAST(n_inter AS DOUBLE) / sb.set_size >= 0.5
+    """,
+    "x38_prefix_filter_neardup": f"""
+        WITH ds AS ({_SHINGLES}),
+        dftok AS (
+            SELECT shingle, CAST(count(*) AS BIGINT) AS __df
+            FROM ds GROUP BY shingle
+        ),
+        ranked AS (
+            SELECT ds.doc_id, ds.shingle,
+                   row_number() OVER (PARTITION BY ds.doc_id
+                                      ORDER BY d.__df, ds.shingle) AS __rn,
+                   count(*) OVER (PARTITION BY ds.doc_id) AS __n
+            FROM ds JOIN dftok d USING (shingle)
+        ),
+        prefix AS (
+            SELECT doc_id, shingle FROM ranked
+            WHERE __rn <= __n - ((70 * __n + 99) // 100) + 1
+        ),
+        candidates AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM prefix a
+            JOIN prefix b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS set_size FROM ds GROUP BY doc_id),
+        inter AS (
+            SELECT c.id_a, c.id_b, count(*) AS n_inter
+            FROM candidates c
+            JOIN ds a ON a.doc_id = c.id_a
+            JOIN ds b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+            GROUP BY c.id_a, c.id_b
+        )
+        SELECT id_a, id_b,
+               CAST(n_inter AS DOUBLE) /
+                   (sa.set_size + sb.set_size - n_inter) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_inter AS DOUBLE) /
+                  (sa.set_size + sb.set_size - n_inter) >= 0.7
     """,
     "j12_scd2_pit_join": f"""
         WITH dim AS ({ORACLES_ANALYTICS["scd2_user_state"]}),

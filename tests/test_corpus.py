@@ -112,3 +112,48 @@ def test_pit_join_is_row_preserving_over_purchases(spark):
     )
     assert out.count() == n_purchases
     assert out.select("event_id").distinct().count() == n_purchases
+
+
+def test_prefix_filter_has_exact_recall_vs_brute_force(spark):
+    """The prefix-filter lemma guarantees NO false negatives: the
+    pruned join must return exactly the brute-force J>=0.7 pair set
+    (LSH can only aspire to this probabilistically)."""
+    from data_engineer_project_weather_analytics_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ds = dedup.doc_shingles(docs, "doc_id", "text", n=3)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.prefix_filter_pairs(ds, "doc_id", 70).collect()
+    }
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.jaccard_pairs(ds, "doc_id", threshold=0.7).collect()
+    }
+    assert got == brute and brute  # equal AND non-trivial
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A 10-shingle doc fully embedded in a 100-shingle doc: Jaccard
+    0.1 (invisible at any usual threshold), containment 1.0 on the
+    short side — the asymmetry is the operator's reason to exist."""
+    from data_engineer_project_weather_analytics_spark.operators import dedup
+
+    small = [f"s{i}" for i in range(10)]
+    big = small + [f"b{i}" for i in range(90)]
+    ds = spark.createDataFrame(
+        [(1, s) for s in small] + [(2, s) for s in big],
+        "doc_id long, shingle string",
+    )
+    cand = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    row = dedup.containment_for_candidates(
+        ds, "doc_id", cand, threshold=0.5
+    ).first()
+    assert row["cont_a"] == 1.0 and row["n_inter"] == 10
+    assert abs(row["cont_b"] - 0.1) < 1e-12
+    # and the Jaccard verifier would have dropped it at 0.5
+    assert (
+        dedup.jaccard_for_candidates(ds, "doc_id", cand, threshold=0.5)
+        .count()
+        == 0
+    )
