@@ -90,6 +90,34 @@ def sql_entry_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_entry_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``WITH RECURSIVE`` through the SQL front door (new in Spark 4):
+    generate the min..max calendar spine by recursion and left-join
+    daily event counts onto it, zero-filling silent days — the
+    warehouse calendar-dimension pattern, produced by the engine
+    itself rather than an external seed table.  The recursion depth is
+    the day span (bounded by data, ~30 here), each step one row — this
+    is the bounded-fixpoint use recursive CTEs are for, not an
+    unbounded graph walk.  Identical SQL text runs on the oracle."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("v_events")
+    return spark.sql(_RECURSIVE_SPINE_SQL.format(events="v_events"))
+
+
+_RECURSIVE_SPINE_SQL = """
+        WITH RECURSIVE spine(day) AS (
+            SELECT min(CAST(ts AS DATE)) FROM {events}
+            UNION ALL
+            SELECT day + 1 FROM spine
+            WHERE day < (SELECT max(CAST(ts AS DATE)) FROM {events})
+        )
+        SELECT s.day, coalesce(d.n, 0) AS n_events
+        FROM spine s
+        LEFT JOIN (SELECT CAST(ts AS DATE) AS day,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM {events} GROUP BY 1) d USING (day)
+"""
+
+
 def sql_entry_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery — orders above their customer's own
     average (Catalyst decorrelates this into a join + aggregate; the
@@ -1063,6 +1091,7 @@ ORACLES_ADVANCED: dict[str, str] = {
         GROUP BY c.c_custkey, c.c_name
         HAVING count(*) >= 3
     """,
+    "sql_entry_recursive_spine": _RECURSIVE_SPINE_SQL.format(events="events"),
     "sql_entry_correlated_subquery": """
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders o1

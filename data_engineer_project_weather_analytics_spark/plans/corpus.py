@@ -650,6 +650,79 @@ def x36_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# DQ5 — Benford first-digit deviation
+# --------------------------------------------------------------------------
+
+# log10(1 + 1/d) as shared literal strings: both engines parse the
+# identical decimal text to the identical double — no libm call ever
+# runs at query time (the x9/x19 no-libm rule).
+_BENFORD_P = {
+    1: "0.3010299956639812",
+    2: "0.17609125905568124",
+    3: "0.12493873660829993",
+    4: "0.09691001300805642",
+    5: "0.07918124604762482",
+    6: "0.06694678963061322",
+    7: "0.05799194697768673",
+    8: "0.05115252244738129",
+    9: "0.04575749056067514",
+}
+
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN CAST('{p}' AS DOUBLE)" for d, p in _BENFORD_P.items()
+) + " END"
+
+
+def dq5_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance of order totals: observed first-digit
+    frequencies vs log10(1+1/d), with a per-digit chi-square
+    contribution — the classic fabricated-data / unit-mixing detector
+    for financial columns (naturally-grown multiplicative amounts
+    follow Benford; capped, minimum-priced, or invented ones don't).
+
+    Determinism: the first digit comes from the DECIMAL-exact cents
+    rendered as an integer string (both engines print int64
+    identically — no float formatting anywhere); expected
+    probabilities are shared decimal LITERALS, so no ln/log10 runs at
+    query time; the per-digit close is one shared IEEE tree
+    ((o−e)²/e), never summed across rows in float.  One scan, a
+    9-row aggregate, a 1-row total join.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    counts = (
+        orders.select(
+            F.expr(
+                "CAST(substring(CAST(CAST(CAST(o_totalprice AS"
+                " DECIMAL(12,2)) * 100 AS BIGINT) AS STRING), 1, 1)"
+                " AS INT)"
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    tot = counts.agg(F.sum("n_obs").alias("n_total"))
+    return (
+        counts.join(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            F.expr("n_obs * 1000000 DIV n_total").alias("obs_ppm"),
+            F.expr(
+                f"CAST(floor(({_BENFORD_CASE}) * 1000000) AS BIGINT)"
+            ).alias("benford_ppm"),
+            F.expr(
+                f"CAST(floor((CAST(n_obs AS DOUBLE)"
+                f" - ({_BENFORD_CASE}) * CAST(n_total AS DOUBLE))"
+                f" * (CAST(n_obs AS DOUBLE)"
+                f" - ({_BENFORD_CASE}) * CAST(n_total AS DOUBLE))"
+                f" / (({_BENFORD_CASE}) * CAST(n_total AS DOUBLE))"
+                f" * 10000) AS BIGINT)"
+            ).alias("chi2_q"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # X37 — containment detection (asymmetric near-dup)
 # --------------------------------------------------------------------------
 
@@ -851,6 +924,27 @@ ORACLES_CORPUS: dict[str, str] = {
         SELECT n_exact, kmv_k, kmv_est, sketch_full,
                abs(kmv_est - n_exact) * 1000000 // n_exact AS err_ppm
         FROM est
+    """,
+    "dq5_benford_deviation": f"""
+        WITH counts AS (
+            SELECT CAST(substring(CAST(CAST(CAST(o_totalprice AS
+                       DECIMAL(12,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1)
+                       AS INTEGER) AS digit,
+                   CAST(count(*) AS BIGINT) AS n_obs
+            FROM orders GROUP BY 1
+        ),
+        tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM counts)
+        SELECT digit, n_obs,
+               n_obs * 1000000 // n_total AS obs_ppm,
+               CAST(floor(({_BENFORD_CASE}) * 1000000) AS BIGINT)
+                   AS benford_ppm,
+               CAST(floor((CAST(n_obs AS DOUBLE)
+                   - ({_BENFORD_CASE}) * CAST(n_total AS DOUBLE))
+                   * (CAST(n_obs AS DOUBLE)
+                   - ({_BENFORD_CASE}) * CAST(n_total AS DOUBLE))
+                   / (({_BENFORD_CASE}) * CAST(n_total AS DOUBLE))
+                   * 10000) AS BIGINT) AS chi2_q
+        FROM counts CROSS JOIN tot
     """,
     "x37_containment_pairs": f"""
         WITH ds AS ({_SHINGLES}),

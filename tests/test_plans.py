@@ -187,6 +187,7 @@ _BOUNDED_BROADCAST_QUERIES = {
     "x36_bm25_retrieval",  # 1-row (N, T) corpus-totals join
     "j12_scd2_pit_join",  # 1-row horizon join closing open intervals
     "dq4_chisq_drift",  # 1-row split-day + 1-row totals joins
+    "dq5_benford_deviation",  # 1-row digit-total join
 }
 
 
