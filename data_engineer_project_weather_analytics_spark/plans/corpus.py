@@ -650,6 +650,105 @@ def x36_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# W14 — seasonal-naive forecast backtest
+# --------------------------------------------------------------------------
+
+def w14_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecast (predict today's count
+    with the value from 7 calendar days earlier) per event type — the
+    baseline every fancier forecaster must beat, and the honest way to
+    report one: as measured backtest error, not a model artifact.
+
+    The 7-day shift is a calendar-true self equi-join on
+    (event_type, day+7) — an observed-row lag window would silently
+    shorten the season across gaps (the w11 lesson, applied).  Errors
+    are exact integers (|n − n_pred|), MAE is one integer ppm
+    division — nothing floats.  One daily partial-agg shuffle reused
+    by both join sides.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pred = daily.select(
+        "event_type",
+        F.date_add("day", 7).alias("day"),
+        F.col("n").alias("n_pred"),
+    )
+    return (
+        daily.join(pred, ["event_type", "day"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(F.abs(F.col("n") - F.col("n_pred"))).alias(
+                "total_abs_err"
+            ),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "total_abs_err",
+            F.expr("total_abs_err * 1000000 DIV n_days").alias("mae_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# X39 — feature hashing (hashed bag-of-words projection)
+# --------------------------------------------------------------------------
+
+_FH_BUCKETS = 64
+
+
+def x39_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick): project each document's
+    token counts into a fixed 64-bucket signed vector — model-free
+    document embeddings for the ANN/cluster family when no trained
+    encoder exists.  Weinberger et al.'s signed construction: bucket from the
+    md5-derived 48-bit hash, sign from an INDEPENDENT hex digit (the
+    13th — outside the bucket prefix), so collisions cancel in
+    expectation instead of biasing upward.
+
+    Scale shape: one token explode, one (doc, bucket) partial-agg
+    shuffle, then a per-doc aggregation whose state is ≤64 entries BY
+    CONSTRUCTION (the dimensionality, not the data, bounds the
+    collect) — the one place collect-then-serialize is legitimate.
+
+    Cross-engine: the sparse vector serializes as sorted
+    ``bucket:value`` pairs (int64 strings — no float formatting); the
+    L2 norm² stays exact integer.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    sign = F.expr(
+        "CASE WHEN substring(md5(token), 13, 1) IN"
+        " ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END"
+    )
+    vals = (
+        toks.select(
+            "doc_id",
+            (_h48("token") % _FH_BUCKETS).alias("bucket"),
+            sign.alias("s"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("s").alias("v"))
+        .filter(F.col("v") != 0)
+    )
+    return vals.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("nnz"),
+        F.sum(F.col("v") * F.col("v")).alias("norm2"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(bucket, v)))"
+            ", s -> concat(CAST(s.bucket AS STRING), ':',"
+            " CAST(s.v AS STRING))), ' ')"
+        ).alias("vec"),
+    )
+
+
+# --------------------------------------------------------------------------
 # DQ5 — Benford first-digit deviation
 # --------------------------------------------------------------------------
 
@@ -924,6 +1023,48 @@ ORACLES_CORPUS: dict[str, str] = {
         SELECT n_exact, kmv_k, kmv_est, sketch_full,
                abs(kmv_est - n_exact) * 1000000 // n_exact AS err_ppm
         FROM est
+    """,
+    "w14_seasonal_backtest": """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        joined AS (
+            SELECT a.event_type, a.n, p.n AS n_pred
+            FROM daily a
+            JOIN daily p ON p.event_type = a.event_type
+                        AND p.day + 7 = a.day
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(abs(n - n_pred)) AS BIGINT) AS total_abs_err,
+               CAST(sum(abs(n - n_pred)) AS BIGINT) * 1000000
+                   // CAST(count(*) AS BIGINT) AS mae_ppm
+        FROM joined GROUP BY event_type
+    """,
+    "x39_feature_hashing": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        vals AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(token), 1, 12))::BIGINT
+                       % {_FH_BUCKETS} AS bucket,
+                   CAST(sum(CASE WHEN substr(md5(token), 13, 1) IN
+                       ('8','9','a','b','c','d','e','f')
+                       THEN 1 ELSE -1 END) AS BIGINT) AS v
+            FROM toks GROUP BY doc_id, bucket
+        ),
+        nz AS (SELECT * FROM vals WHERE v <> 0)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS nnz,
+               CAST(sum(v * v) AS BIGINT) AS norm2,
+               string_agg(CAST(bucket AS VARCHAR) || ':'
+                          || CAST(v AS VARCHAR), ' '
+                          ORDER BY bucket) AS vec
+        FROM nz GROUP BY doc_id
     """,
     "dq5_benford_deviation": f"""
         WITH counts AS (
