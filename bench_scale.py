@@ -107,6 +107,8 @@ QUERIES: tuple[str, ...] = (
     "x34_kmv_source_overlap",
     "x35_inverted_index",
     "x36_bm25_retrieval",
+    "x38_prefix_filter_neardup",
+    "x39_feature_hashing",
 )
 
 
@@ -126,6 +128,14 @@ ACCOUNTED: dict[str, str] = {
     # pairs the bucket join feeds the verify, the true work driver
     "x3b_embedding_neardup_auto": "candidate_pairs",
     "x24_countmin_heavy_hitters": "token_stream",
+    # prefix-filter pair output grows with the duplicate mass exactly
+    # like the LSH pair queries
+    "x38_prefix_filter_neardup": "output_rows",
+    # the curation pipeline's output is the curated corpus itself
+    "x16_curation_pipeline": "output_rows",
+    # triangle counting's work driver is the wedge set, reported in
+    # the query's own output (its row count is always 1)
+    "g1_triangle_count": "wedge_count",
 }
 
 #: time-ratio must stay under rows_ratio * this constant for every
@@ -309,6 +319,8 @@ def main() -> None:
                 emb, "vec_id", "embedding", n_planes=None,
                 dim=64, seed=42, n_tables=4, max_bucket=EMB_LSH_MAX_BUCKET,
             ).count()
+        if kind == "wedge_count":
+            return int(REGISTRY[name].fn(spark, sf_dir).first()["n_wedges"])
         # token_stream: x24's cost is the exploded token stream (the
         # same split the query performs), not its fixed top-30 output
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -217,7 +217,10 @@ def g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic end to end, bit-identical in both engines (truncation
     loss is deterministic and identical).  Fixed ``_PR_ITERS``
     iterations, unrolled as CTE stages on the oracle side (no
-    aggregate-in-recursion limits to fight).
+    aggregate-in-recursion limits to fight).  Headroom: ``rank·85``
+    needs rank < 10¹⁷; a node's rank is bounded by 0.85·(inbound
+    mass)+teleport ≤ ~0.85·|V|·10⁶, so int64 holds to ~10¹⁰ nodes —
+    beyond any catalog (the a20-style documented bound).
 
     Scale shape: the adjacency (+degree) is built once and
     ``localCheckpoint``-ed — the iteration then touches ONLY the
@@ -650,6 +653,64 @@ def x36_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# O4 — Pareto cumulative-share (distributed global cumsum)
+# --------------------------------------------------------------------------
+
+def o4_pareto_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: customers ranked by lifetime spend with
+    the GLOBAL running total and the 80%-frontier flag — "how few
+    customers cover 80% of revenue".
+
+    The scale story is the cumsum itself: a bare ``Window.orderBy``
+    serializes the whole customer table through one reducer, so this
+    query runs :func:`operators.prefix_sum.distributed_cumsum` — range
+    repartition, parallel per-partition cumsum, and a sequential pass
+    over only the |partitions|-row totals table (parallelism-sized, a
+    scale constant).  Order is total ((spend desc, custkey)), which
+    both makes the running value deterministic and keeps equal keys
+    off partition boundaries.
+
+    Cross-engine: exact DECIMAL cents end to end; the share is basis
+    points by integer division (``cum·10⁴ DIV total`` — safe while
+    total cents < 9·10¹⁴, ≈ sf100; the a20-style documented bound);
+    the frontier test cross-multiplies (``(cum−c)·5 < total·4``), no
+    division at all.  The oracle replays a single-node window cumsum —
+    legitimate there because DuckDB runs on one node anyway; the
+    partition-invariance of the prefix sum is what makes the two
+    formulations equal.
+    """
+    from data_engineer_project_weather_analytics_spark.operators.prefix_sum import distributed_cumsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (
+        orders.select(
+            "o_custkey",
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+            ).alias("__c"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("__c").alias("cents"))
+    )
+    cum = distributed_cumsum(
+        spend,
+        [F.col("cents").desc(), F.col("o_custkey")],
+        "cents",
+        "cum_cents",
+    )
+    tot = spend.agg(F.sum("cents").alias("total"))
+    return cum.join(F.broadcast(tot)).select(
+        "o_custkey",
+        "cents",
+        "cum_cents",
+        F.expr("cum_cents * 10000 DIV total").alias("cum_bp"),
+        F.expr(
+            "CAST((cum_cents - cents) * 5 < total * 4 AS BIGINT)"
+        ).alias("in_top80"),
+    )
+
+
+# --------------------------------------------------------------------------
 # W14 — seasonal-naive forecast backtest
 # --------------------------------------------------------------------------
 
@@ -663,8 +724,9 @@ def w14_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (event_type, day+7) — an observed-row lag window would silently
     shorten the season across gaps (the w11 lesson, applied).  Errors
     are exact integers (|n − n_pred|), MAE is one integer ppm
-    division — nothing floats.  One daily partial-agg shuffle reused
-    by both join sides.
+    division — nothing floats (``total_abs_err·10⁶`` holds int64 to
+    ~10¹² daily-count error mass ≈ sf10⁴).  One daily partial-agg
+    shuffle reused by both join sides.
     """
     events = load_table(spark, sf_dir, "events")
     daily = (
@@ -1023,6 +1085,28 @@ ORACLES_CORPUS: dict[str, str] = {
         SELECT n_exact, kmv_k, kmv_est, sketch_full,
                abs(kmv_est - n_exact) * 1000000 // n_exact AS err_ppm
         FROM est
+    """,
+    "o4_pareto_cumshare": """
+        WITH spend AS (
+            SELECT o_custkey,
+                   CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM spend),
+        c AS (
+            SELECT o_custkey, cents,
+                   CAST(sum(cents) OVER (
+                       ORDER BY cents DESC, o_custkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum_cents
+            FROM spend
+        )
+        SELECT o_custkey, cents, cum_cents,
+               cum_cents * 10000 // total AS cum_bp,
+               CAST((cum_cents - cents) * 5 < total * 4 AS BIGINT)
+                   AS in_top80
+        FROM c CROSS JOIN tot
     """,
     "w14_seasonal_backtest": """
         WITH daily AS (

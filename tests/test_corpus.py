@@ -157,3 +157,36 @@ def test_containment_catches_subset_jaccard_misses(spark):
         .count()
         == 0
     )
+
+
+def test_distributed_cumsum_matches_serial_reference(spark):
+    """The two-phase cumsum must equal the single-reducer reference on
+    every row, including when the range partitioner scatters 40 rows
+    over 32 shuffle partitions (empty partitions, 1-row partitions)."""
+    from data_engineer_project_weather_analytics_spark.operators.prefix_sum import distributed_cumsum
+
+    rows = [(i, (i * 37) % 11 + 1) for i in range(40)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r["k"]: r["cum"]
+        for r in distributed_cumsum(df, [F.col("k")], "v").collect()
+    }
+    run = 0
+    for k, v in sorted(rows):
+        run += v
+        assert got[k] == run, (k, got[k], run)
+
+
+def test_distributed_cumsum_desc_order_with_tiebreaker(spark):
+    from data_engineer_project_weather_analytics_spark.operators.prefix_sum import distributed_cumsum
+
+    rows = [(1, 5), (2, 5), (3, 9), (4, 1)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r["k"]: r["cum"]
+        for r in distributed_cumsum(
+            df, [F.col("v").desc(), F.col("k")], "v"
+        ).collect()
+    }
+    # order: (9,k3) (5,k1) (5,k2) (1,k4)
+    assert got == {3: 9, 1: 14, 2: 19, 4: 20}

@@ -188,6 +188,7 @@ _BOUNDED_BROADCAST_QUERIES = {
     "j12_scd2_pit_join",  # 1-row horizon join closing open intervals
     "dq4_chisq_drift",  # 1-row split-day + 1-row totals joins
     "dq5_benford_deviation",  # 1-row digit-total join
+    "o4_pareto_cumshare",  # 1-row grand-total join
 }
 
 
@@ -572,3 +573,13 @@ def test_contrastive_pairs_keep_positives_on_empty_bucket(spark):
     be dropped because its hash bucket is unpopulated."""
     plan = _formatted_plan(spark, "x31_contrastive_pairs")
     assert "LeftOuter" in plan, plan
+
+
+def test_pareto_cumsum_is_range_partitioned_not_single_reducer(spark):
+    """o4's global cumsum must plan a range repartition with the
+    full-data window PARTITIONed (parallel); the only SinglePartition
+    exchange allowed is the parallelism-sized totals/offsets table."""
+    plan = _formatted_plan(spark, "o4_pareto_cumshare")
+    assert "rangepartitioning" in plan, plan
+    singles = plan.count("Exchange SinglePartition")
+    assert singles <= 1, plan
