@@ -109,6 +109,10 @@ QUERIES: tuple[str, ...] = (
     "x36_bm25_retrieval",
     "x38_prefix_filter_neardup",
     "x39_feature_hashing",
+    "x37_containment_pairs",
+    "o4_pareto_cumshare",
+    "w14_seasonal_backtest",
+    "dq5_benford_deviation",
 )
 
 
@@ -128,9 +132,10 @@ ACCOUNTED: dict[str, str] = {
     # pairs the bucket join feeds the verify, the true work driver
     "x3b_embedding_neardup_auto": "candidate_pairs",
     "x24_countmin_heavy_hitters": "token_stream",
-    # prefix-filter pair output grows with the duplicate mass exactly
-    # like the LSH pair queries
+    # prefix-filter / containment pair output grows with the duplicate
+    # mass exactly like the LSH pair queries
     "x38_prefix_filter_neardup": "output_rows",
+    "x37_containment_pairs": "output_rows",
     # the curation pipeline's output is the curated corpus itself
     "x16_curation_pipeline": "output_rows",
     # triangle counting's work driver is the wedge set, reported in

@@ -1041,6 +1041,242 @@ def dq4_chisq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# G3 — synchronous label propagation (community detection)
+# --------------------------------------------------------------------------
+
+_LPA_ITERS = 2
+
+
+def g3_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    co-purchase graph (same basket-capped edge list as g1/g2): seed
+    every part with its ``p_brand``, then for ``_LPA_ITERS`` rounds
+    each node adopts the most frequent label among its NEIGHBORS
+    (Raghavan et al. 2007, the near-linear community detector).
+    Output is the final community-size histogram.
+
+    Cross-engine determinism: classic LPA is order-dependent
+    (asynchronous updates + random tie-break).  This is the
+    deterministic synchronous form — all nodes update from the same
+    previous frame, and ties break on (count DESC, label ASC) through
+    a ``row_number`` window, a total order.  Everything is integer
+    counts and string labels; the oracle unrolls the two rounds as
+    CTE stages (the g2 pattern).
+
+    Scale shape: the adjacency is built once and localCheckpoint-ed
+    (iterations never re-derive it from lineitem — plan-gated like
+    g2); each round is one |E|-row equi-join + one partial-agg shuffle
+    + one window whose per-node state is bounded by the distinct
+    neighbor-label count (≤ catalog brand count, never |E|).  The
+    closing histogram is one bounded-key aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    sizes = items.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
+    eligible = items.join(
+        sizes.filter(F.col("n_items").between(2, 10)), "l_orderkey"
+    ).select("l_orderkey", "l_partkey")
+    a = eligible.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = eligible.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .select("p1", "p2")
+        .distinct()
+    )
+    adj = (
+        edges.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        .unionAll(
+            edges.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    seeds = (
+        adj.select(F.col("src").alias("node"))
+        .distinct()
+        .join(
+            part.select(
+                F.col("p_partkey").alias("node"),
+                F.col("p_brand").alias("label"),
+            ),
+            "node",
+        )
+    )
+    final = propagate_labels(adj, seeds, iters=_LPA_ITERS)
+    return (
+        final.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy(F.desc("n_nodes"), "label")
+    )
+
+
+def propagate_labels(
+    adj: DataFrame, labels: DataFrame, iters: int = _LPA_ITERS
+) -> DataFrame:
+    """The synchronous LPA core over a prepared (``src``, ``dst``)
+    adjacency and a (``node``, ``label``) seed frame — exposed
+    separately so planted-graph tests can check the majority/tie
+    arithmetic on hand-built topologies (the pagerank_over_adjacency
+    pattern)."""
+    for _ in range(iters):
+        nb = adj.join(labels, adj["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), "label"
+        )
+        cnt = nb.groupBy("node", "label").agg(F.count(F.lit(1)).alias("n"))
+        w = Window.partitionBy("node").orderBy(F.desc("n"), "label")
+        labels = (
+            cnt.select(
+                "node", "label", F.row_number().over(w).alias("__r")
+            )
+            .filter(F.col("__r") == 1)
+            .select("node", "label")
+        )
+    return labels
+
+
+# --------------------------------------------------------------------------
+# X40 — token-budget domain mixing (equal-token resampling with epochs)
+# --------------------------------------------------------------------------
+
+
+def x40_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus so every SOURCE contributes an equal TOKEN
+    budget — the LLM data-mixing primitive (domain reweighting à la
+    the Pile/DoReMi recipes).  Unlike x26 (doc-count downsample toward
+    the minority class), the unit is tokens and under-budget sources
+    are OVERSAMPLED: a source whose rate exceeds 1 repeats every doc
+    ``rate DIV 1`` times (integer epochs) plus one more copy chosen by
+    a hash Bernoulli trial for the fractional remainder — exactly how
+    a training pipeline materializes a >1 mixing weight.
+
+    Determinism: the per-source budget and rates are exact integer ppm
+    (``(total DIV n_sources) · 1e6 DIV src_tokens``); the fractional
+    trial is the x26 cross-multiplied comparison
+    ``h32 · 1e6 < frac_ppm · 2³²`` on a per-doc md5 hash (max product
+    ~4.3e15 — int64 headroom), so the emitted multiset is bit-identical
+    in any engine and stable under re-partitioning.
+
+    Scale shape: one token-count scan, one bounded per-source
+    aggregate (broadcast back — source catalog is scale-constant), the
+    per-doc copy decision is in-row arithmetic, and the report is one
+    bounded-key re-aggregate.  No explode of the epochs is needed for
+    the report (Σ n_copies·tokens is closed-form) — a materializing
+    sink would explode, but the planning stays linear either way.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    per_src = toks.groupBy("source").agg(
+        F.sum("n_tokens").alias("src_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    tot = per_src.agg(
+        F.sum("src_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    rates = per_src.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        F.expr(
+            "(total_tokens DIV n_sources) * 1000000 DIV src_tokens"
+        ).alias("rate_ppm"),
+    )
+    h32 = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+        " AS BIGINT)"
+    )
+    copies = (
+        toks.select("doc_id", "source", "n_tokens", h32.alias("h32"))
+        .join(F.broadcast(rates), "source")
+        .select(
+            "source",
+            "n_docs",
+            "src_tokens",
+            "rate_ppm",
+            "n_tokens",
+            (
+                F.expr("rate_ppm DIV 1000000")
+                + F.when(
+                    F.col("h32") * 1_000_000
+                    < (F.col("rate_ppm") % 1_000_000) * 4_294_967_296,
+                    1,
+                ).otherwise(0)
+            ).alias("n_copies"),
+        )
+    )
+    report = copies.groupBy("source", "n_docs", "src_tokens", "rate_ppm").agg(
+        F.sum(F.when(F.col("n_copies") > 0, 1).otherwise(0)).alias(
+            "kept_docs"
+        ),
+        F.sum("n_copies").alias("emitted_docs"),
+        F.sum(F.col("n_copies") * F.col("n_tokens")).alias(
+            "emitted_tokens"
+        ),
+    )
+    grand = report.agg(F.sum("emitted_tokens").alias("grand_tokens"))
+    return (
+        report.join(F.broadcast(grand))
+        .select(
+            "source",
+            "n_docs",
+            "src_tokens",
+            "rate_ppm",
+            "kept_docs",
+            "emitted_docs",
+            "emitted_tokens",
+            F.expr("emitted_tokens * 1000000 DIV grand_tokens").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# X41 — weighted sample via hash priorities (Duffield-Lund-Thorup)
+# --------------------------------------------------------------------------
+
+_WS_K = 100
+
+
+def x41_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sample WITHOUT replacement: assign every
+    doc the priority ``w / u`` for a per-doc uniform hash u and keep
+    the top ``_WS_K`` — priority sampling (Duffield, Lund & Thorup,
+    JACM'07), the one-pass distributed form of weighted selection
+    (here w = n_chars, the "sample long docs proportionally more"
+    curation knob).
+
+    Determinism: u is the md5-u32 of doc_id shifted to [1, 2³²] and
+    the priority is the exact integer ``w · 2³² DIV u`` (w ≤ ~1e6
+    keeps the product under 2⁵² — documented headroom); ties break on
+    doc_id through the (priority DESC, doc_id) total order.
+
+    Scale shape: in-row hash + one TakeOrderedAndProject — the
+    per-partition top-k never global-sorts, so the cut costs one scan
+    regardless of corpus size (the o2 plan, plan-gated).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.expr(
+                "n_chars * 4294967296 DIV"
+                " (CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8),"
+                " 16, 10) AS BIGINT) + 1)"
+            ).alias("priority_q"),
+        )
+        .orderBy(F.desc("priority_q"), "doc_id")
+        .limit(_WS_K)
+    )
+
+
 # Unrolled PageRank iteration CTEs (no aggregates-in-recursion limits)
 _PR_STEP_CTES = "".join(
     f"""
@@ -1054,7 +1290,121 @@ _PR_STEP_CTES = "".join(
     for i in range(1, _PR_ITERS + 1)
 )
 
+# Unrolled synchronous-LPA rounds: neighbor-label counts, then the
+# (count DESC, label ASC) majority pick — the g2 unroll pattern
+_LPA_STEP_CTES = "".join(
+    f"""
+        n{i} AS (
+            SELECT a.dst AS node, l.label, count(*) AS n
+            FROM adj a JOIN l{i - 1} l ON l.node = a.src
+            GROUP BY a.dst, l.label
+        ),
+        l{i} AS (
+            SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY n DESC, label) AS __r
+                FROM n{i}
+            ) WHERE __r = 1
+        ),"""
+    for i in range(1, _LPA_ITERS + 1)
+)
+
 ORACLES_CORPUS: dict[str, str] = {
+    "g3_label_propagation": f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        sizes AS (
+            SELECT l_orderkey, count(*) AS n_items
+            FROM items GROUP BY l_orderkey
+        ),
+        eligible AS (
+            SELECT i.l_orderkey, i.l_partkey
+            FROM items i JOIN sizes s USING (l_orderkey)
+            WHERE s.n_items BETWEEN 2 AND 10
+        ),
+        edges AS (
+            SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+            FROM eligible a
+            JOIN eligible b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        adj AS (
+            SELECT p1 AS src, p2 AS dst FROM edges
+            UNION ALL SELECT p2, p1 FROM edges
+        ),
+        l0 AS (
+            SELECT DISTINCT a.src AS node, p.p_brand AS label
+            FROM adj a JOIN part p ON p.p_partkey = a.src
+        ),{_LPA_STEP_CTES}
+        hist AS (
+            SELECT label, CAST(count(*) AS BIGINT) AS n_nodes
+            FROM l{_LPA_ITERS} GROUP BY label
+        )
+        SELECT label, n_nodes FROM hist ORDER BY n_nodes DESC, label
+    """,
+    "x40_domain_mixing": """
+        WITH toks AS (
+            SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        per_src AS (
+            SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM toks GROUP BY source
+        ),
+        tot AS (
+            SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+                   CAST(count(*) AS BIGINT) AS n_sources
+            FROM per_src
+        ),
+        rates AS (
+            SELECT source, n_docs, src_tokens,
+                   (total_tokens // n_sources) * 1000000 // src_tokens
+                       AS rate_ppm
+            FROM per_src CROSS JOIN tot
+        ),
+        copies AS (
+            SELECT r.source, r.n_docs, r.src_tokens, r.rate_ppm,
+                   t.n_tokens,
+                   rate_ppm // 1000000
+                   + CASE WHEN ('0x' || substr(md5(
+                                CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                              * 1000000
+                              < (rate_ppm % 1000000) * 4294967296
+                          THEN 1 ELSE 0 END AS n_copies
+            FROM toks t JOIN rates r USING (source)
+        ),
+        report AS (
+            SELECT source, n_docs, src_tokens, rate_ppm,
+                   CAST(sum(CASE WHEN n_copies > 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS kept_docs,
+                   CAST(sum(n_copies) AS BIGINT) AS emitted_docs,
+                   CAST(sum(n_copies * n_tokens) AS BIGINT)
+                       AS emitted_tokens
+            FROM copies
+            GROUP BY source, n_docs, src_tokens, rate_ppm
+        ),
+        grand AS (
+            SELECT CAST(sum(emitted_tokens) AS BIGINT) AS grand_tokens
+            FROM report
+        )
+        SELECT source, n_docs, src_tokens, rate_ppm, kept_docs,
+               emitted_docs, emitted_tokens,
+               emitted_tokens * 1000000 // grand_tokens AS share_ppm
+        FROM report CROSS JOIN grand ORDER BY source
+    """,
+    "x41_weighted_sample": f"""
+        SELECT doc_id, source, n_chars,
+               n_chars * 4294967296
+                   // (('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                       1, 8))::BIGINT + 1) AS priority_q
+        FROM documents
+        ORDER BY priority_q DESC, doc_id
+        LIMIT {_WS_K}
+    """,
     "a25_kmv_distinct": f"""
         WITH hashes AS (
             SELECT DISTINCT

@@ -190,3 +190,92 @@ def test_distributed_cumsum_desc_order_with_tiebreaker(spark):
     }
     # order: (9,k3) (5,k1) (5,k2) (1,k4)
     assert got == {3: 9, 1: 14, 2: 19, 4: 20}
+
+
+def test_label_propagation_majority_and_tie_break(spark):
+    """Planted 5-node graph, 1 round.  Node 0 neighbors {1,2,3} with
+    labels {B,B,A} -> majority B.  Node 4 neighbors {1,3} with labels
+    {B,A} -> tied counts, min-label tie-break -> A.  Synchronous
+    update: every pick reads the SEED frame, not this round's."""
+    edges = [(0, 1), (0, 2), (0, 3), (4, 1), (4, 3)]
+    adj = spark.createDataFrame(
+        edges + [(b, a) for a, b in edges], "src long, dst long"
+    )
+    seeds = spark.createDataFrame(
+        [(0, "A"), (1, "B"), (2, "B"), (3, "A"), (4, "B")],
+        "node long, label string",
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in corpus.propagate_labels(adj, seeds, iters=1).collect()
+    }
+    assert got[0] == "B"
+    assert got[4] == "A"
+    # leaves 1,2,3 see only their own neighbors' seed labels too:
+    # node 1 neighbors {0,4} -> {A,B} tie -> A; node 2 neighbors {0} -> A
+    assert got[1] == "A" and got[2] == "A"
+
+
+def test_label_propagation_converges_on_two_cliques(spark):
+    """Two triangles joined by one bridge edge: after 2 synchronous
+    rounds each clique must be uniformly its majority seed label —
+    the structure LPA exists to recover."""
+    tri1 = [(0, 1), (1, 2), (0, 2)]
+    tri2 = [(3, 4), (4, 5), (3, 5)]
+    bridge = [(2, 3)]
+    edges = tri1 + tri2 + bridge
+    adj = spark.createDataFrame(
+        edges + [(b, a) for a, b in edges], "src long, dst long"
+    )
+    seeds = spark.createDataFrame(
+        [(0, "L"), (1, "L"), (2, "L"), (3, "R"), (4, "R"), (5, "R")],
+        "node long, label string",
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in corpus.propagate_labels(adj, seeds, iters=2).collect()
+    }
+    assert all(got[n] == "L" for n in (0, 1, 2))
+    assert all(got[n] == "R" for n in (3, 4, 5))
+
+
+def test_domain_mixing_equal_token_budget(spark):
+    """Every source's rate must target total/n_sources tokens: the
+    rate_ppm column must equal the closed-form integer expression, and
+    emitted token mass must land within one doc-length granule of the
+    budget for every source (hash noise is bounded by max doc size)."""
+    out = REGISTRY["x40_domain_mixing"].fn(spark, SF_DIR).collect()
+    total = sum(r["src_tokens"] for r in out)
+    n_sources = len(out)
+    budget = total // n_sources
+    for r in out:
+        assert r["rate_ppm"] == budget * 1_000_000 // r["src_tokens"]
+        # oversampled sources repeat docs: emitted_docs >= n_docs
+        if r["rate_ppm"] >= 1_000_000:
+            assert r["emitted_docs"] >= r["n_docs"]
+            assert r["kept_docs"] == r["n_docs"]
+        # achieved token mass within ~3 max-doc granules of the budget
+        # (Bernoulli noise over ~25 docs/source at sf0.01)
+        assert abs(r["emitted_tokens"] - budget) <= 3 * 120
+
+
+def test_weighted_sample_is_topk_of_exact_priorities(spark):
+    """The sample must be exactly the K docs with the largest
+    w*2^32 DIV u priority (ties impossible: doc_id closes the order),
+    recomputed here driver-side from first principles."""
+    import hashlib
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "n_chars"
+    ).collect()
+
+    def pri(doc_id, w):
+        u = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) + 1
+        return w * 4294967296 // u
+
+    expect = sorted(
+        ((pri(r["doc_id"], r["n_chars"]), r["doc_id"]) for r in docs),
+        key=lambda t: (-t[0], t[1]),
+    )[:100]
+    got = REGISTRY["x41_weighted_sample"].fn(spark, SF_DIR).collect()
+    assert [(r["priority_q"], r["doc_id"]) for r in got] == expect

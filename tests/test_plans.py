@@ -189,6 +189,7 @@ _BOUNDED_BROADCAST_QUERIES = {
     "dq4_chisq_drift",  # 1-row split-day + 1-row totals joins
     "dq5_benford_deviation",  # 1-row digit-total join
     "o4_pareto_cumshare",  # 1-row grand-total join
+    "x40_domain_mixing",  # 1-row corpus-totals + 1-row grand-total joins
 }
 
 
