@@ -204,6 +204,31 @@ _PR_INIT = 1_000_000  # integer rank mass per node
 _PR_TELEPORT = 150_000  # (1-d)·INIT with d = 0.85
 
 
+def copurchase_adjacency(li: DataFrame) -> DataFrame:
+    """Basket-capped co-purchase edge list — the shared graph substrate
+    of g1/g2/g3/g4: distinct (order, part) pairs, baskets of 2-10 items
+    (the cap bounds per-basket pair fan-out at 45 — a mega-order can't
+    emit O(n²) edges), undirected via symmetric (src, dst) union."""
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    sizes = items.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
+    eligible = items.join(
+        sizes.filter(F.col("n_items").between(2, 10)), "l_orderkey"
+    ).select("l_orderkey", "l_partkey")
+    a = eligible.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = eligible.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .select("p1", "p2")
+        .distinct()
+    )
+    return edges.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst")
+    ).unionAll(
+        edges.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+    )
+
+
 def g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the co-purchase graph (same basket-capped edge
     list as the triangle count, g1) — the graph-centrality primitive
