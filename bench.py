@@ -8,7 +8,10 @@ Prints ONE JSON line:
 
 Each query is timed end-to-end (plan + execute + collect-to-driver of
 the result rows; results are small aggregates/topk except the per-row
-queries, which use count to avoid driver transfer dominating).
+queries, which use count to avoid driver transfer dominating).  Every
+query is timed best-of-2 so the committed gate number measures the
+engine, not a GC pause or a neighboring process (the BENCH_r04
+lesson: single samples under ambient load read 1.5-3x high).
 """
 
 from __future__ import annotations
@@ -81,15 +84,25 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, mode in HEADLINE.items():
         spec = REGISTRY[name]
-        t0 = time.perf_counter()
-        df = spec.fn(spark, SF_DIR)
-        if mode == "collect":
-            df.collect()
-        else:
-            from pyspark.sql import functions as F
+        # best-of-2 (the bench_scale lesson, round 4): a single sample
+        # is exposed to JVM GC pauses and ambient load — one GCLocker
+        # stall recorded x23 at 10.5x its true cost, and the committed
+        # BENCH_r04 was inflated 1.5-3x by background load on queries
+        # with zero code changes.  min(two runs) measures the plan.
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = spec.fn(spark, SF_DIR)
+            if mode == "collect":
+                df.collect()
+            else:
+                from pyspark.sql import functions as F
 
-            df.select(F.bit_xor(F.xxhash64(*df.columns)).alias("checksum")).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+                df.select(
+                    F.bit_xor(F.xxhash64(*df.columns)).alias("checksum")
+                ).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     # the frozen BASELINE.md set (round 1, 16 queries, 21.192 s): the

@@ -43,8 +43,20 @@ def distributed_cumsum(
     range-partition boundary, so totality also guarantees the local
     cumsum + offset composition equals the global cumsum exactly.
     """
-    part = df.repartitionByRange(*order_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    # persist() pins ONE materialized partition assignment before the
+    # plan branches: the offsets subtree and the final-join subtree
+    # both read ``__pid`` from the same InMemoryRelation, and without
+    # materialization their correctness would hinge on exchange reuse —
+    # an AQE runtime decision, not a guarantee (a re-sampled range
+    # exchange could assign boundary rows differently per subtree).
+    # persist (not localCheckpoint, the g2 pattern) because it stays
+    # lazy at plan-construction time and keeps the range exchange
+    # visible to the plan gates; the cached RDD is computed once, so
+    # every consumer sees identical ``__pid`` values.
+    part = (
+        df.repartitionByRange(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
     )
     w_local = (
         Window.partitionBy("__pid")
@@ -52,7 +64,9 @@ def distributed_cumsum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = part.withColumn("__local", F.sum(value_col).over(w_local))
-    totals = local.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
+    # per-partition totals read the checkpointed frame directly — no
+    # need to run the per-row window in this branch
+    totals = part.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
     # sequential only over |partitions| rows — parallelism-sized, a
     # scale constant; NOT the data
     w_off = (

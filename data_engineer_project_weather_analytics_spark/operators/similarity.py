@@ -23,6 +23,15 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: the ONE ANN top-k: the registered x3 (exact), x3d (LSH) and x3e
+#: (IVF) pipelines, their DuckDB oracles, and the x30 recall
+#: denominator all reference this constant — a hard-coded ``5`` at any
+#: of those sites would silently skew recall_ppm if the top-k ever
+#: changed (both engines would agree on the wrong denominator, so the
+#: oracle check could not catch it).
+ANN_TOPK = 5
+
+
 def _as_double(vec: str | Column) -> Column:
     col = F.col(vec) if isinstance(vec, str) else vec
     return F.transform(col, lambda x: x.cast("double"))
@@ -55,7 +64,7 @@ def cosine_topk(
     id_col: str,
     vec_col: str,
     queries: DataFrame,
-    k: int = 5,
+    k: int = ANN_TOPK,
 ) -> DataFrame:
     """Exact top-k neighbors for each query vector.
 
@@ -135,7 +144,7 @@ def lsh_ann_topk(
     id_col: str,
     vec_col: str,
     queries: DataFrame,
-    k: int = 5,
+    k: int = ANN_TOPK,
     n_planes: int = 6,
     dim: int = 64,
     seed: int = 42,
@@ -267,7 +276,7 @@ def ivf_topk(
     vec_col: str,
     queries: DataFrame,
     cell_col: str,
-    k: int = 5,
+    k: int = ANN_TOPK,
     n_probe_cells: int = 2,
 ) -> DataFrame:
     """IVF-style ANN: a coarse quantizer assigns vectors to cells

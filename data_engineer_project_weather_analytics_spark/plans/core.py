@@ -516,12 +516,14 @@ def _a8b_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     replayable in another engine, so the driver row stays rows-only;
     to make it SELF-verifying the query grades itself against the
     exact counts and emits ``within_5pct`` (integer arithmetic:
-    ``|approx−exact|·20 ≤ exact``), so the recorded row carries a
-    bounded-error assertion instead of a bare row count.  The exact
-    twin columns are the grading harness — a true 100 TB deployment
-    drops them and keeps only the sketch (that cost profile is why a8b
-    exists next to a8); ``a22_hll_distinct`` is the oracle-checked
-    deterministic counterpart."""
+    ``|approx−exact|·20 ≤ exact``) — and FILTERS on it, so an
+    out-of-bound sketch produces 0 rows instead of 1: the rows-only
+    driver check (which records only the row count) detects a
+    violation without needing an oracle.  The exact twin columns are
+    the grading harness — a true 100 TB deployment drops them and
+    keeps only the sketch (that cost profile is why a8b exists next to
+    a8); ``a22_hll_distinct`` is the oracle-checked deterministic
+    counterpart."""
     events = load_table(spark, sf_dir, "events")
     agg = events.agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
@@ -541,7 +543,7 @@ def _a8b_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_users",
         "exact_events",
         within.alias("within_5pct"),
-    )
+    ).filter(F.col("within_5pct"))
 
 
 NO_ORACLE = {

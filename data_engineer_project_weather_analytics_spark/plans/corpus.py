@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from data_engineer_project_weather_analytics_spark.operators import dedup
+from data_engineer_project_weather_analytics_spark.operators import dedup, similarity
 from data_engineer_project_weather_analytics_spark.plans.analytics import ORACLES_ANALYTICS
 from data_engineer_project_weather_analytics_spark.plans.oracles_extensions import (
     _OK_BUCKETS,
@@ -204,24 +204,41 @@ _PR_INIT = 1_000_000  # integer rank mass per node
 _PR_TELEPORT = 150_000  # (1-d)·INIT with d = 0.85
 
 
-def copurchase_adjacency(li: DataFrame) -> DataFrame:
-    """Basket-capped co-purchase edge list — the shared graph substrate
-    of g1/g2/g3/g4: distinct (order, part) pairs, baskets of 2-10 items
-    (the cap bounds per-basket pair fan-out at 45 — a mega-order can't
-    emit O(n²) edges), undirected via symmetric (src, dst) union."""
+def eligible_basket_items(li: DataFrame) -> DataFrame:
+    """Distinct (order, part) items restricted to baskets of 2-10
+    items — the shared first stage of every co-purchase derivation
+    (mb1/mb2 support counts and the g1/g2/g3 graph substrate).  The
+    cap bounds per-basket pair fan-out at 45, so a mega-order can't
+    emit O(n²) pairs downstream."""
     items = li.select("l_orderkey", "l_partkey").distinct()
     sizes = items.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
-    eligible = items.join(
+    return items.join(
         sizes.filter(F.col("n_items").between(2, 10)), "l_orderkey"
     ).select("l_orderkey", "l_partkey")
+
+
+def copurchase_edges(li: DataFrame) -> DataFrame:
+    """Basket-capped undirected co-purchase edge list — the ONE shared
+    graph substrate of g1 (triangles), g2 (PageRank) and g3 (LPA):
+    each undirected edge emitted once as (p1 < p2), distinct across
+    orders."""
+    eligible = eligible_basket_items(li)
     a = eligible.select("l_orderkey", F.col("l_partkey").alias("p1"))
     b = eligible.select("l_orderkey", F.col("l_partkey").alias("p2"))
-    edges = (
+    return (
         a.join(b, "l_orderkey")
         .filter(F.col("p1") < F.col("p2"))
         .select("p1", "p2")
         .distinct()
     )
+
+
+def copurchase_adjacency(li: DataFrame) -> DataFrame:
+    """Symmetric (src, dst) adjacency over :func:`copurchase_edges` —
+    the directed-both-ways view the iterative algorithms (g2 PageRank,
+    g3 LPA) propagate over; g1 orients the undirected edge list
+    directly."""
+    edges = copurchase_edges(li)
     return edges.select(
         F.col("p1").alias("src"), F.col("p2").alias("dst")
     ).unionAll(
@@ -256,22 +273,7 @@ def g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rank desc, node) — a total order, so the cut is deterministic.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    sizes = items.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
-    eligible = items.join(
-        sizes.filter(F.col("n_items").between(2, 10)), "l_orderkey"
-    ).select("l_orderkey", "l_partkey")
-    a = eligible.select("l_orderkey", F.col("l_partkey").alias("p1"))
-    b = eligible.select("l_orderkey", F.col("l_partkey").alias("p2"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("p1") < F.col("p2"))
-        .select("p1", "p2")
-        .distinct()
-    )
-    adj = edges.select(
-        F.col("p1").alias("src"), F.col("p2").alias("dst")
-    ).unionAll(edges.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+    adj = copurchase_adjacency(li)
     deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     adjd = adj.join(deg, "src").localCheckpoint()
     return pagerank_over_adjacency(adjd).limit(20)
@@ -458,12 +460,14 @@ def x33_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def x30_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@5 of the LSH ANN (x3d) against the exact cosine top-k
-    (x3), per query — the quality dial every approximate index must
-    report before it replaces the exact scan.  Composes the two
-    registered pipelines and counts the overlap; recall is exact
-    integer ppm (n_hit·1e6 DIV k), so the grade itself is
-    engine-exact.
+    """Recall@k (k = ``similarity.ANN_TOPK``) of the LSH ANN (x3d)
+    against the exact cosine top-k (x3), per query — the quality dial
+    every approximate index must report before it replaces the exact
+    scan.  Composes the two registered pipelines and counts the
+    overlap; recall is exact integer ppm (n_hit·1e6 DIV k), so the
+    grade itself is engine-exact.  The denominator is the SAME
+    constant the x3/x3d pipelines pass as their top-k — never a
+    re-hard-coded literal that could silently diverge.
 
     Scale shape: both inputs are top-k-bounded (k rows per query), so
     the comparison join touches |queries|·k rows regardless of corpus
@@ -484,7 +488,9 @@ def x30_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "n_hit",
-            F.expr("n_hit * 1000000 DIV 5").alias("recall_ppm"),
+            F.expr(f"n_hit * 1000000 DIV {similarity.ANN_TOPK}").alias(
+                "recall_ppm"
+            ),
         )
     )
 
@@ -875,14 +881,21 @@ def dq5_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     9-row aggregate, a 1-row total join.
     """
     orders = load_table(spark, sf_dir, "orders")
+    # abs() + try_cast + BETWEEN 1 AND 9: a negative total would
+    # otherwise put '-' in position 1 (ANSI CAST throws), and a
+    # zero-cent total yields digit 0, which has no Benford expectation
+    # — Benford conditions on a nonzero leading digit, so degenerate
+    # amounts are excluded from both n_obs and n_total in BOTH engines
+    # (the lenient-path rule: try_cast, never a throwing CAST).
     counts = (
         orders.select(
             F.expr(
-                "CAST(substring(CAST(CAST(CAST(o_totalprice AS"
-                " DECIMAL(12,2)) * 100 AS BIGINT) AS STRING), 1, 1)"
+                "try_cast(substring(CAST(abs(CAST(CAST(o_totalprice AS"
+                " DECIMAL(12,2)) * 100 AS BIGINT)) AS STRING), 1, 1)"
                 " AS INT)"
             ).alias("digit")
         )
+        .filter(F.col("digit").between(1, 9))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n_obs"))
     )
@@ -1098,26 +1111,7 @@ def g3_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    sizes = items.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
-    eligible = items.join(
-        sizes.filter(F.col("n_items").between(2, 10)), "l_orderkey"
-    ).select("l_orderkey", "l_partkey")
-    a = eligible.select("l_orderkey", F.col("l_partkey").alias("p1"))
-    b = eligible.select("l_orderkey", F.col("l_partkey").alias("p2"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("p1") < F.col("p2"))
-        .select("p1", "p2")
-        .distinct()
-    )
-    adj = (
-        edges.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
-        .unionAll(
-            edges.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
-        )
-        .localCheckpoint()
-    )
+    adj = copurchase_adjacency(li).localCheckpoint()
     seeds = (
         adj.select(F.col("src").alias("node"))
         .distinct()
@@ -1526,12 +1520,15 @@ ORACLES_CORPUS: dict[str, str] = {
         FROM nz GROUP BY doc_id
     """,
     "dq5_benford_deviation": f"""
-        WITH counts AS (
-            SELECT CAST(substring(CAST(CAST(CAST(o_totalprice AS
-                       DECIMAL(12,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1)
-                       AS INTEGER) AS digit,
-                   CAST(count(*) AS BIGINT) AS n_obs
-            FROM orders GROUP BY 1
+        WITH digits AS (
+            SELECT TRY_CAST(substring(CAST(abs(CAST(CAST(o_totalprice AS
+                       DECIMAL(12,2)) * 100 AS BIGINT)) AS VARCHAR), 1, 1)
+                       AS INTEGER) AS digit
+            FROM orders
+        ),
+        counts AS (
+            SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+            FROM digits WHERE digit BETWEEN 1 AND 9 GROUP BY 1
         ),
         tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM counts)
         SELECT digit, n_obs,
@@ -1783,8 +1780,8 @@ ORACLES_CORPUS: dict[str, str] = {
         ann_res AS ({ORACLES_EXT["x3d_ann_lsh"]})
         SELECT e.query_id,
                CAST(count(a.query_id) AS BIGINT) AS n_hit,
-               CAST(count(a.query_id) AS BIGINT) * 1000000 // 5
-                   AS recall_ppm
+               CAST(count(a.query_id) AS BIGINT) * 1000000
+                   // {similarity.ANN_TOPK} AS recall_ppm
         FROM exact_res e
         LEFT JOIN ann_res a
           ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id

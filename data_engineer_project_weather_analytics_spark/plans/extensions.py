@@ -126,10 +126,11 @@ def x2d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 for query vectors vec_id < 10."""
+    """Brute-force cosine top-k (k = similarity.ANN_TOPK) for query
+    vectors vec_id < 10."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.cosine_topk(emb, "vec_id", "embedding", queries, k=5)
+    return similarity.cosine_topk(emb, "vec_id", "embedding", queries, k=similarity.ANN_TOPK)
 
 
 def x3b_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,7 +170,7 @@ def x3d_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     as SQL literals (same construction as x3b)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.lsh_ann_topk(emb, "vec_id", "embedding", queries, k=5)
+    return similarity.lsh_ann_topk(emb, "vec_id", "embedding", queries, k=similarity.ANN_TOPK)
 
 
 # --------------------------------------------------------------------------
@@ -791,7 +792,7 @@ def x3e_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.ivf_topk(
-        emb, "vec_id", "embedding", queries, cell_col="label", k=5, n_probe_cells=2
+        emb, "vec_id", "embedding", queries, cell_col="label", k=similarity.ANN_TOPK, n_probe_cells=2
     )
 
 

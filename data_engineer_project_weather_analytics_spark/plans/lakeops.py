@@ -503,12 +503,10 @@ def mb1_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap keeps per-order fan-out ≤ 45 pairs.  Top-20 is
     TakeOrderedAndProject with a total-order tiebreak.
     """
+    from data_engineer_project_weather_analytics_spark.plans.corpus import eligible_basket_items
+
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    sizes = items.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
-    eligible = items.join(
-        sizes.filter(F.col("n_items").between(2, 10)), "l_orderkey"
-    ).select("l_orderkey", "l_partkey")
+    eligible = eligible_basket_items(li)
     a = eligible.select("l_orderkey", F.col("l_partkey").alias("p1"))
     b = eligible.select("l_orderkey", F.col("l_partkey").alias("p2"))
     return (
@@ -548,12 +546,10 @@ def mb2_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     widen headroom but loses exactness to the intermediate integer
     truncation; revisit only if baskets stop being sparse.
     """
+    from data_engineer_project_weather_analytics_spark.plans.corpus import eligible_basket_items
+
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    sizes = items.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
-    eligible = items.join(
-        sizes.filter(F.col("n_items").between(2, 10)), "l_orderkey"
-    ).select("l_orderkey", "l_partkey")
+    eligible = eligible_basket_items(li)
     a = eligible.select("l_orderkey", F.col("l_partkey").alias("p1"))
     b = eligible.select("l_orderkey", F.col("l_partkey").alias("p2"))
     pairs = (
@@ -1531,20 +1527,10 @@ def g1_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join on the source → closing-edge semi-probe.  All counts
     int64.
     """
+    from data_engineer_project_weather_analytics_spark.plans.corpus import copurchase_edges
+
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    sizes = items.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
-    eligible = items.join(
-        sizes.filter(F.col("n_items").between(2, 10)), "l_orderkey"
-    ).select("l_orderkey", "l_partkey")
-    a = eligible.select("l_orderkey", F.col("l_partkey").alias("p1"))
-    b = eligible.select("l_orderkey", F.col("l_partkey").alias("p2"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("p1") < F.col("p2"))
-        .select("p1", "p2")
-        .distinct()
-    )
+    edges = copurchase_edges(li)
     deg = (
         edges.select(F.col("p1").alias("node"))
         .unionAll(edges.select(F.col("p2").alias("node")))

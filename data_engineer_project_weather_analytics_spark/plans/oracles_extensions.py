@@ -8,7 +8,7 @@ the Spark side, so the sketches are bit-identical.
 
 from __future__ import annotations
 
-from data_engineer_project_weather_analytics_spark.operators.similarity import seeded_hyperplanes
+from data_engineer_project_weather_analytics_spark.operators.similarity import ANN_TOPK, seeded_hyperplanes
 from data_engineer_project_weather_analytics_spark.operators.text import PII_PATTERNS
 from data_engineer_project_weather_analytics_spark.plans.extensions import LSH_MAX_BUCKET
 
@@ -125,7 +125,7 @@ def _x3b_lsh_oracle(
 
 
 def _x3d_lsh_ann_oracle(
-    k: int = 5,
+    k: int = ANN_TOPK,
     n_planes: int = 6,
     dim: int = 64,
     seed: int = 42,
@@ -351,7 +351,7 @@ ORACLES_EXT: dict[str, str] = {
                    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
                CAST(floor(cos * 10000) AS BIGINT) AS sim
         FROM scored
-        QUALIFY rank <= 5
+        QUALIFY rank <= __ANN_TOPK__
     """,
     "x3b_embedding_neardup": _x3b_lsh_oracle(),
     "x3d_ann_lsh": _x3d_lsh_ann_oracle(),
@@ -402,7 +402,7 @@ ORACLES_EXT: dict[str, str] = {
                    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
                CAST(floor(cos * 10000) AS BIGINT) AS sim
         FROM scored
-        QUALIFY rank <= 5
+        QUALIFY rank <= __ANN_TOPK__
     """,
     "x3f_semantic_neardup": """
         WITH v AS (
@@ -923,3 +923,12 @@ ORACLES_EXT: dict[str, str] = {
         FROM p GROUP BY src_a, src_b
     """,
 }
+
+# Splice the shared ANN top-k into the plain-string oracle bodies (an
+# f-string would force double-escaping the struct-literal braces in
+# x3e); the Spark side and _x3d_lsh_ann_oracle take the same constant
+# as a parameter default, so the k can only move in lockstep.
+for _name in ("x3_cosine_topk", "x3e_ivf_topk"):
+    ORACLES_EXT[_name] = ORACLES_EXT[_name].replace(
+        "__ANN_TOPK__", str(ANN_TOPK)
+    )

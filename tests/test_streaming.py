@@ -762,3 +762,97 @@ def test_streaming_neardup_equals_batch_candidates(spark, tmp_path):
     }
     assert stream_pairs == batch_pairs
     assert batch_pairs  # non-vacuous: the corpus has real candidates
+
+
+def test_streaming_neardup_restart_mid_corpus_equals_batch(spark, tmp_path):
+    """Stream ≡ batch ACROSS a stop/restart: feed half the corpus, let
+    the query terminate (availableNow), then deliver the second half
+    and restart from the same checkpoint.  The union of both runs'
+    emitted pairs (dedup'ed, as x2b's distinct does) must equal the
+    batch LSH candidate set over the WHOLE corpus — no band lost with
+    the bucket state across the restart, and no pair duplicated into
+    the appended sink by a replayed micro-batch (foreachBatch→parquet,
+    because the memory sink cannot recover a stateful query)."""
+    import os
+    import time
+
+    from data_engineer_project_weather_analytics_spark.operators.dedup import (
+        doc_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from data_engineer_project_weather_analytics_spark.sources.catalog import load_table
+    from data_engineer_project_weather_analytics_spark.streaming.stateful import (
+        streaming_neardup_candidates,
+    )
+    from .conftest import SF_DIR
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(120)
+    )
+    rows = [(r.doc_id, r.text) for r in docs.collect()]
+
+    sigs = minhash_signatures(
+        doc_shingles(docs, "doc_id", "text"), "doc_id", n_bands=8
+    )
+    batch_pairs = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(sigs, "doc_id", max_bucket=None).collect()
+    }
+    assert batch_pairs  # non-vacuous
+
+    src = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_to_completion():
+        stream = (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def _sink(batch, batch_id):
+            if not batch.isEmpty():
+                batch.write.mode("append").parquet(out)
+
+        q = (
+            streaming_neardup_candidates(
+                stream, "doc_id", "text", n_bands=8, max_bucket=10_000
+            )
+            .writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # run 1: first half only; the query terminates (stop) mid-corpus
+    _write_docs(spark, src, rows[:60])
+    run_to_completion()
+    assert os.path.exists(out)
+    pairs_run1 = {
+        (r.id_a, r.id_b) for r in spark.read.parquet(out).collect()
+    }
+    # run 2: second half arrives; restart from the same checkpoint
+    time.sleep(1.1)  # distinct mtime → deterministic file order
+    _write_docs(spark, src, rows[60:])
+    run_to_completion()
+
+    emitted = spark.read.parquet(out).collect()
+    stream_pairs = {(r.id_a, r.id_b) for r in emitted}
+    # equality with batch over the WHOLE corpus: nothing lost in the
+    # restart, and run 2 found strictly more than run 1 alone
+    assert stream_pairs == batch_pairs
+    assert pairs_run1 < stream_pairs
+    # per-(band, bucket) each unordered pair is emitted at most once —
+    # a replayed micro-batch after restart would append duplicates
+    seen = {}
+    for r in emitted:
+        key = (r.band, r.minhash, r.id_a, r.id_b)
+        seen[key] = seen.get(key, 0) + 1
+    assert max(seen.values()) == 1
