@@ -140,6 +140,29 @@ ACCOUNTED: dict[str, str] = {
     "x16_curation_pipeline": "output_rows",
     # tf-idf keyword output is top-k per surviving doc — input-linear
     "x9_tfidf_keywords": "output_rows",
+    # per-doc outputs: contamination verdicts / stripped texts grow
+    # with the corpus
+    "x7_decontamination": "output_rows",
+    "x27_adaptive_stopword_strip": "output_rows",
+    # SQ8 rescore output is fixed-k per query; the work driver is the
+    # scanned embedding corpus itself
+    "x23_sq8_topk": "input_rows:embeddings",
+    # PageRank cost is |E| join rows per iteration over the
+    # checkpointed adjacency
+    "g2_pagerank": "copurchase_edges",
+    # KMV overlap is dominated by the distinct-shingle shuffle feeding
+    # the per-source bottom-k; the exploded shingle stream is its
+    # input-linear driver (sketch side is k-bounded by construction)
+    "x34_kmv_source_overlap": "shingle_stream",
+    # posting-list and hashed-BoW construction stream the token set
+    "x35_inverted_index": "token_stream",
+    "x39_feature_hashing": "token_stream",
+    # per-row / per-doc outputs hovering near the accounting line —
+    # covered so run-to-run variance can't surface an unaccounted >4x
+    "w9_resample_interpolate": "output_rows",
+    "x33_chunk_dedup": "output_rows",
+    "x19_unigram_prob_score": "output_rows",
+    "x28_target_encode": "output_rows",
     # triangle counting's work driver is the wedge set, reported in
     # the query's own output (its row count is always 1)
     "g1_triangle_count": "wedge_count",
@@ -266,6 +289,84 @@ def build_replica(
     return rows
 
 
+def scale_summary_md(data: dict) -> str:
+    """Markdown summary of a BENCH_SCALE.json dict.  PARITY.md embeds
+    this output verbatim between ``<!-- BENCH_SCALE:begin/end -->``
+    markers; tests/test_docs_scale_sync.py regenerates it from the
+    committed JSON and string-compares, so the doc CANNOT drift from
+    the measurement (rounds 3 and 4 both shipped stale hand-written
+    scale figures — this is the structural fix)."""
+    q = data["queries"]
+    worst = max(q, key=lambda n: q[n]["ratio"])
+    lines = [
+        f"Worst 10x wall-clock ratio: **{data['value']}x** (`{worst}`), "
+        f"median {sorted(v['ratio'] for v in q.values())[len(q) // 2]}x "
+        f"over {len(q)} queries.",
+        f"Accounted-tail gate: every time ratio must stay within "
+        f"rows_ratio x {data['accounting_slack']}; violations: "
+        f"{data['unbounded_accounted'] or 'none'} (10x), "
+        f"{data.get('unbounded_accounted_100x') or 'none'} (100x).",
+        "",
+        "| query | t 1x (s) | t 10x (s) | time ratio | work driver "
+        "| rows 1x → 10x | rows ratio |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for n in sorted(n for n, v in q.items() if "rows_ratio" in v):
+        v = q[n]
+        lines.append(
+            f"| {n} | {v['t1']} | {v['t10']} | {v['ratio']}x "
+            f"| {v['rows_kind']} | {v['rows_1x']:,} → {v['rows_10x']:,} "
+            f"| {v['rows_ratio']}x |"
+        )
+    s100 = data.get("scale100", {})
+    if s100:
+        lines += [
+            "",
+            f"100x spot-check (max ratio "
+            f"{data['scale100_ratio_max']}x — vs 100x input growth):",
+            "",
+            "| query | t 1x (s) | t 100x (s) | time ratio | work accounting |",
+            "|---|---|---|---|---|",
+        ]
+        for n in sorted(s100):
+            v = s100[n]
+            acc = (
+                f"{v['rows_kind']}: {v['rows_1x']:,} → {v['rows_100x']:,} "
+                f"({v['rows_ratio']}x)"
+                if "rows_ratio" in v
+                else "sub-linear, unaccounted"
+            )
+            lines.append(
+                f"| {n} | {v['t1']} | {v['t100']} | {v['ratio']}x | {acc} |"
+            )
+    return "\n".join(lines)
+
+
+def update_parity_md(
+    json_path: str = "BENCH_SCALE.json", parity_path: str = "PARITY.md"
+) -> None:
+    """Rewrite PARITY.md's generated scale block from the committed
+    JSON: ``python -c "import bench_scale; bench_scale.update_parity_md()"``
+    (run after every bench_scale.py rerun; tests/test_docs_scale_sync.py
+    fails until the block matches)."""
+    import re
+
+    data = json.load(open(json_path))
+    parity = open(parity_path).read()
+    begin, end = "<!-- BENCH_SCALE:begin", "<!-- BENCH_SCALE:end -->"
+    block = scale_summary_md(data)
+    new = re.sub(
+        re.escape(begin) + r".*?-->\n.*?\n" + re.escape(end),
+        lambda _m: f"{begin} generated: do not hand-edit; rerun "
+        f'python -c "import bench_scale; bench_scale.update_parity_md()" '
+        f"-->\n{block}\n{end}",
+        parity,
+        flags=re.DOTALL,
+    )
+    assert begin in new, "PARITY.md is missing the BENCH_SCALE markers"
+    open(parity_path, "w").write(new)
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -315,6 +416,9 @@ def main() -> None:
 
     def work_rows(name: str, kind: str, sf_dir: str) -> int:
         """The query's work-driver size at this scale (ACCOUNTED)."""
+        if kind.startswith("input_rows:"):
+            table = kind.split(":", 1)[1]
+            return spark.read.parquet(f"{sf_dir}/{table}.parquet").count()
         if kind == "output_rows":
             fn = extra.get(name) or REGISTRY[name].fn
             return fn(spark, sf_dir).count()
@@ -332,6 +436,26 @@ def main() -> None:
             ).count()
         if kind == "wedge_count":
             return int(REGISTRY[name].fn(spark, sf_dir).first()["n_wedges"])
+        if kind == "copurchase_edges":
+            from data_engineer_project_weather_analytics_spark.plans.corpus import (
+                copurchase_adjacency,
+            )
+            from data_engineer_project_weather_analytics_spark.sources.catalog import load_table
+
+            return copurchase_adjacency(
+                load_table(spark, sf_dir, "lineitem")
+            ).count()
+        if kind == "shingle_stream":
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            return int(
+                docs.select(
+                    F.sum(
+                        F.greatest(
+                            F.size(F.split("text", " ")) - 2, F.lit(0)
+                        )
+                    )
+                ).first()[0]
+            )
         # token_stream: x24's cost is the exploded token stream (the
         # same split the query performs), not its fixed top-30 output
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -1108,6 +1108,18 @@ def g3_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     + one window whose per-node state is bounded by the distinct
     neighbor-label count (≤ catalog brand count, never |E|).  The
     closing histogram is one bounded-key aggregate.
+
+    Exchange budget (round-5 audit): the loop is already minimal.  The
+    adjacency side is shuffled on ``src`` AT MOST once across all
+    iterations — later consumptions are ReusedExchange / runtime
+    broadcasts in the executed plan (gated:
+    test_lpa_iterations_reuse_checkpointed_adjacency).  The per-round
+    label-side exchange is inherent (labels are new data each round),
+    and pre-partitioning the adjacency before the checkpoint cannot
+    help: ``localCheckpoint`` drops outputPartitioning (probed — a
+    checkpointed ``repartition('x')`` still re-exchanges under a
+    ``groupBy('x')``), so a ``repartition('src')`` ahead of the loop
+    only adds a shuffle.
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
@@ -1329,9 +1341,11 @@ _LPA_STEP_CTES = "".join(
     for i in range(1, _LPA_ITERS + 1)
 )
 
-ORACLES_CORPUS: dict[str, str] = {
-    "g3_label_propagation": f"""
-        WITH items AS (
+#: oracle twins of eligible_basket_items / copurchase_edges /
+#: copurchase_adjacency — ONE definition on the SQL side as well, so
+#: the five co-purchase oracles (g1/g2/g3 here and in lakeops,
+#: mb1/mb2 in lakeops) can never drift from each other
+SQL_BASKET_ELIGIBLE_CTE = """items AS (
             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
         ),
         sizes AS (
@@ -1342,17 +1356,25 @@ ORACLES_CORPUS: dict[str, str] = {
             SELECT i.l_orderkey, i.l_partkey
             FROM items i JOIN sizes s USING (l_orderkey)
             WHERE s.n_items BETWEEN 2 AND 10
-        ),
+        )"""
+
+SQL_COPURCHASE_EDGES_CTE = SQL_BASKET_ELIGIBLE_CTE + """,
         edges AS (
             SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
             FROM eligible a
             JOIN eligible b
               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        ),
+        )"""
+
+SQL_COPURCHASE_ADJ_CTE = SQL_COPURCHASE_EDGES_CTE + """,
         adj AS (
             SELECT p1 AS src, p2 AS dst FROM edges
             UNION ALL SELECT p2, p1 FROM edges
-        ),
+        )"""
+
+ORACLES_CORPUS: dict[str, str] = {
+    "g3_label_propagation": f"""
+        WITH {SQL_COPURCHASE_ADJ_CTE},
         l0 AS (
             SELECT DISTINCT a.src AS node, p.p_brand AS label
             FROM adj a JOIN part p ON p.p_partkey = a.src
@@ -1808,28 +1830,7 @@ ORACLES_CORPUS: dict[str, str] = {
         FROM keyed LEFT JOIN bkt USING (bkt)
     """,
     "g2_pagerank": f"""
-        WITH items AS (
-            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-        ),
-        sizes AS (
-            SELECT l_orderkey, count(*) AS n_items
-            FROM items GROUP BY l_orderkey
-        ),
-        eligible AS (
-            SELECT i.l_orderkey, i.l_partkey
-            FROM items i JOIN sizes s USING (l_orderkey)
-            WHERE s.n_items BETWEEN 2 AND 10
-        ),
-        edges AS (
-            SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
-            FROM eligible a
-            JOIN eligible b
-              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        ),
-        adj AS (
-            SELECT p1 AS src, p2 AS dst FROM edges
-            UNION ALL SELECT p2, p1 FROM edges
-        ),
+        WITH {SQL_COPURCHASE_ADJ_CTE},
         deg AS (
             SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
             FROM adj GROUP BY src

@@ -39,6 +39,10 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_engineer_project_weather_analytics_spark.operators import similarity
+from data_engineer_project_weather_analytics_spark.plans.corpus import (
+    SQL_BASKET_ELIGIBLE_CTE,
+    SQL_COPURCHASE_EDGES_CTE,
+)
 from data_engineer_project_weather_analytics_spark.sources.catalog import load_table
 
 # --------------------------------------------------------------------------
@@ -1936,25 +1940,8 @@ ORACLES_LAKEOPS: dict[str, str] = {
                     / CAST(s_total AS DOUBLE)) AS BIGINT) AS hll_est
         FROM exact CROSS JOIN stats
     """,
-    "g1_triangle_count": """
-        WITH items AS (
-            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-        ),
-        sizes AS (
-            SELECT l_orderkey, count(*) AS n_items
-            FROM items GROUP BY l_orderkey
-        ),
-        eligible AS (
-            SELECT i.l_orderkey, i.l_partkey
-            FROM items i JOIN sizes s USING (l_orderkey)
-            WHERE s.n_items BETWEEN 2 AND 10
-        ),
-        edges AS (
-            SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
-            FROM eligible a
-            JOIN eligible b
-              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        ),
+    "g1_triangle_count": f"""
+        WITH {SQL_COPURCHASE_EDGES_CTE},
         deg AS (
             SELECT node, count(*) AS deg FROM (
                 SELECT p1 AS node FROM edges
@@ -2294,19 +2281,8 @@ ORACLES_LAKEOPS: dict[str, str] = {
         JOIN sketch s ON s.row = p.row AND s.bucket = p.bucket
         GROUP BY p.w, p.n_exact
     """,
-    "mb1_market_basket": """
-        WITH items AS (
-            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-        ),
-        sizes AS (
-            SELECT l_orderkey, count(*) AS n_items
-            FROM items GROUP BY l_orderkey
-        ),
-        eligible AS (
-            SELECT i.l_orderkey, i.l_partkey
-            FROM items i JOIN sizes s USING (l_orderkey)
-            WHERE s.n_items BETWEEN 2 AND 10
-        )
+    "mb1_market_basket": f"""
+        WITH {SQL_BASKET_ELIGIBLE_CTE}
         SELECT a.l_partkey AS p1, b.l_partkey AS p2,
                CAST(count(*) AS BIGINT) AS n_orders
         FROM eligible a
@@ -2316,19 +2292,8 @@ ORACLES_LAKEOPS: dict[str, str] = {
         ORDER BY n_orders DESC, p1, p2
         LIMIT 20
     """,
-    "mb2_association_rules": """
-        WITH items AS (
-            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-        ),
-        sizes AS (
-            SELECT l_orderkey, count(*) AS n_items
-            FROM items GROUP BY l_orderkey
-        ),
-        eligible AS (
-            SELECT i.l_orderkey, i.l_partkey
-            FROM items i JOIN sizes s USING (l_orderkey)
-            WHERE s.n_items BETWEEN 2 AND 10
-        ),
+    "mb2_association_rules": f"""
+        WITH {SQL_BASKET_ELIGIBLE_CTE},
         pairs AS (
             SELECT a.l_partkey AS p1, b.l_partkey AS p2,
                    CAST(count(*) AS BIGINT) AS n_pair

@@ -279,3 +279,36 @@ def test_weighted_sample_is_topk_of_exact_priorities(spark):
     )[:100]
     got = REGISTRY["x41_weighted_sample"].fn(spark, SF_DIR).collect()
     assert [(r["priority_q"], r["doc_id"]) for r in got] == expect
+
+
+def test_copurchase_substrate_planted_graph(spark):
+    """The ONE shared co-purchase substrate (eligible_basket_items →
+    copurchase_edges → copurchase_adjacency) on a hand-built order
+    table: single-item and mega (>10 items) baskets contribute
+    nothing, duplicate (order, part) rows collapse, cross-order
+    repeats of a pair dedupe, and the adjacency is exactly the
+    symmetric closure of the undirected edge list."""
+    rows = (
+        # basket A: parts 1,2,3  →  edges (1,2),(1,3),(2,3)
+        [(100, p) for p in (1, 2, 3)]
+        + [(100, 2)]          # duplicate line item: must collapse
+        + [(101, 1), (101, 2)]  # repeat pair (1,2) in another order
+        + [(102, 9)]          # singleton basket: no edges
+        + [(103, p) for p in range(20, 31)]  # 11 items: over the cap
+    )
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+
+    eligible = {
+        (r.l_orderkey, r.l_partkey)
+        for r in corpus.eligible_basket_items(li).collect()
+    }
+    assert eligible == {(100, 1), (100, 2), (100, 3), (101, 1), (101, 2)}
+
+    edges = {(r.p1, r.p2) for r in corpus.copurchase_edges(li).collect()}
+    assert edges == {(1, 2), (1, 3), (2, 3)}
+
+    adj = [(r.src, r.dst) for r in corpus.copurchase_adjacency(li).collect()]
+    assert len(adj) == 2 * len(edges)  # both directions, no extras
+    assert set(adj) == {(a, b) for a, b in edges} | {
+        (b, a) for a, b in edges
+    }

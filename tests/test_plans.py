@@ -524,6 +524,35 @@ def test_pagerank_iterations_reuse_checkpointed_adjacency(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_lpa_iterations_reuse_checkpointed_adjacency(spark):
+    """g3's LPA loop must touch ONLY the localCheckpoint-ed adjacency
+    (lineitem absent from the final plan, the g2 gate), and the
+    adjacency side must not be re-shuffled per iteration: in the
+    EXECUTED plan (exchange reuse is an AQE runtime decision) at most
+    one exchange hash-partitions on src — every other adjacency
+    consumption is a ReusedExchange or a runtime broadcast.  The
+    label-side exchange per round is inherent (labels change every
+    iteration); pre-partitioning the adjacency before the checkpoint
+    cannot remove it either, because localCheckpoint does NOT preserve
+    outputPartitioning (probed in round 5: a checkpointed
+    repartition('x') still re-exchanges under groupBy('x'))."""
+    df = REGISTRY["g3_label_propagation"].fn(spark, SF_DIR)
+    static = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "lineitem" not in static, static
+    df.collect()
+    # executedPlan().toString() prints BOTH the AQE final and initial
+    # plans — count only the final section or every node doubles
+    executed = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert executed.count("Exchange hashpartitioning(src") <= 1, executed
+
+
 def test_kmv_bottom_k_avoids_global_sort(spark):
     """a25's bottom-k must be TakeOrderedAndProject (per-partition
     top-k + merge), never a global Sort of the distinct-hash set."""
