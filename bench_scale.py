@@ -163,6 +163,11 @@ ACCOUNTED: dict[str, str] = {
     "x33_chunk_dedup": "output_rows",
     "x19_unigram_prob_score": "output_rows",
     "x28_target_encode": "output_rows",
+    # 1000x-section members: per-key / per-doc outputs (t4 is NOT
+    # accounted — its hourly-bucket output is scale-constant, the
+    # sub-linear story is the point)
+    "a3_latest_per_key": "output_rows",
+    "x1_exact_dedup": "output_rows",
     # triangle counting's work driver is the wedge set, reported in
     # the query's own output (its row count is always 1)
     "g1_triangle_count": "wedge_count",
@@ -194,6 +199,20 @@ SCALE100_TABLES = (
     "region", "nation", "customer", "supplier", "orders", "lineitem",
     "events", "documents",
 )
+
+#: the 1000x section (SPARK_GRAFT_SCALE1000=1): three orders of
+#: magnitude for the cheapest keyed-agg / window / dedup / sketch
+#: shapes — 100 M events and 5 M documents, the largest replica the
+#: sandbox disk carries.  Env-gated because the replica build plus
+#: timings add ~20 min to a run; the committed BENCH_SCALE.json is
+#: produced WITH the flag on.
+SCALE1000_QUERIES: tuple[str, ...] = (
+    "a3_latest_per_key",           # 100 M-row latest-per-key window
+    "t4_hourly_window",            # 100 M-row windowed agg, bounded keys
+    "x1_exact_dedup",              # 5 M-doc hash dedup
+    "x24_countmin_heavy_hitters",  # 270 M-token stream vs 16 KB sketch
+)
+SCALE1000_TABLES = ("region", "nation", "events", "documents")
 
 
 def build_replica(
@@ -338,6 +357,27 @@ def scale_summary_md(data: dict) -> str:
             )
             lines.append(
                 f"| {n} | {v['t1']} | {v['t100']} | {v['ratio']}x | {acc} |"
+            )
+    s1000 = data.get("scale1000", {})
+    if s1000:
+        lines += [
+            "",
+            f"1000x point (max ratio {data['scale1000_ratio_max']}x — "
+            f"100 M events / 5 M documents, vs 1000x input growth):",
+            "",
+            "| query | t 1x (s) | t 1000x (s) | time ratio | work accounting |",
+            "|---|---|---|---|---|",
+        ]
+        for n in sorted(s1000):
+            v = s1000[n]
+            acc = (
+                f"{v['rows_kind']}: {v['rows_1x']:,} → {v['rows_1000x']:,} "
+                f"({v['rows_ratio']}x)"
+                if "rows_ratio" in v
+                else "sub-linear, unaccounted"
+            )
+            lines.append(
+                f"| {n} | {v['t1']} | {v['t1000']} | {v['ratio']}x | {acc} |"
             )
     return "\n".join(lines)
 
@@ -518,6 +558,31 @@ def main() -> None:
             )
         out100[name] = e100
 
+    # ---- optional 1000x point (SPARK_GRAFT_SCALE1000=1) -------------
+    out1000: dict[str, dict[str, float]] = {}
+    if os.environ.get("SPARK_GRAFT_SCALE1000") == "1":
+        dir1000 = f"{SCALE_DIR.rstrip('/')}_x1000"
+        build_replica(BASE_DIR, dir1000, 1000, tables=SCALE1000_TABLES)
+        spark.read.parquet(f"{dir1000}/events.parquet").count()
+        for name in SCALE1000_QUERIES:
+            t1 = out[name]["t1"] if name in out else run(name, BASE_DIR)
+            t1000 = run(name, dir1000)
+            e: dict[str, float] = {
+                "t1": t1,
+                "t1000": t1000,
+                "ratio": round(t1000 / max(t1, 1e-9), 2),
+            }
+            kind = ACCOUNTED.get(name)
+            if kind is not None:
+                r1 = work_rows_cached(name, kind, BASE_DIR)
+                r1000 = work_rows_cached(name, kind, dir1000)
+                e["rows_kind"] = kind
+                e["rows_1x"] = r1
+                e["rows_1000x"] = r1000
+                e["rows_ratio"] = round(r1000 / max(r1, 1), 2)
+                e["bounded"] = e["ratio"] <= e["rows_ratio"] * ACCOUNTING_SLACK
+            out1000[name] = e
+
     worst = max(v["ratio"] for v in out.values())
     unbounded100 = [
         n for n, v in out100.items() if "bounded" in v and not v["bounded"]
@@ -533,6 +598,16 @@ def main() -> None:
                 "unbounded_accounted": unbounded,
                 "unbounded_accounted_100x": unbounded100,
                 "scale100": out100,
+                **(
+                    {
+                        "scale1000": out1000,
+                        "scale1000_ratio_max": max(
+                            v["ratio"] for v in out1000.values()
+                        ),
+                    }
+                    if out1000
+                    else {}
+                ),
                 "scale100_ratio_max": max(v["ratio"] for v in out100.values()),
                 "replica_rows": rows,
                 "replica_rows_100x": rows100,

@@ -1,0 +1,74 @@
+"""Static sanity for the two bench harnesses — no SparkSession.
+
+The benches are the project's numeric gates; a typo'd query name or a
+mode string would only surface as a KeyError 20 minutes into a run
+(or worse, silently skip a query).  These checks are instant.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+import bench  # noqa: E402
+import bench_scale  # noqa: E402
+
+from data_engineer_project_weather_analytics_spark.plans.registry import (  # noqa: E402
+    REGISTRY,
+)
+
+#: bench_scale names resolved through its local `extra` dict rather
+#: than the registry (scale-configuration variants of registered ops)
+_SCALE_EXTRA = {"x3b_embedding_neardup_auto"}
+
+
+def test_bench_headline_is_registered_with_valid_modes():
+    unknown = [n for n in bench.HEADLINE if n not in REGISTRY]
+    assert unknown == [], unknown
+    bad_modes = {
+        n: m for n, m in bench.HEADLINE.items() if m not in ("collect", "checksum")
+    }
+    assert bad_modes == {}, bad_modes
+    # the frozen-baseline subset must stay inside the headline set or
+    # baseline16_total silently undercounts
+    baseline16 = (
+        "a1_scorecard a2_daily_timeseries a3_latest_per_key "
+        "a5_latest_join_dim k2_upsert_lww j1_dim_join_agg j3_asof_join "
+        "w2_moving_avg t4_hourly_window tpch_q1_pricing_summary "
+        "tpch_q3_shipping_priority tpch_q5_local_volume x1_exact_dedup "
+        "x2b_lsh_candidate_pairs x3_cosine_topk x4c_quality_score"
+    ).split()
+    missing = [n for n in baseline16 if n not in bench.HEADLINE]
+    assert missing == [], missing
+
+
+def test_bench_scale_queries_resolve():
+    unknown = [
+        n
+        for n in (*bench_scale.QUERIES, *bench_scale.SCALE100_QUERIES)
+        if n not in REGISTRY and n not in _SCALE_EXTRA
+    ]
+    assert unknown == [], unknown
+
+
+def test_bench_scale_accounted_targets_are_timed():
+    timed = set(bench_scale.QUERIES) | set(bench_scale.SCALE100_QUERIES)
+    orphans = [n for n in bench_scale.ACCOUNTED if n not in timed]
+    assert orphans == [], orphans
+    valid_kinds = {
+        "output_rows",
+        "candidate_pairs",
+        "token_stream",
+        "shingle_stream",
+        "wedge_count",
+        "copurchase_edges",
+    }
+    bad = {
+        n: k
+        for n, k in bench_scale.ACCOUNTED.items()
+        if k not in valid_kinds and not k.startswith("input_rows:")
+    }
+    assert bad == {}, bad
