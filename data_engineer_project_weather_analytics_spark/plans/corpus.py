@@ -271,6 +271,18 @@ def g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pointer-jumping pattern.  Per step cost is |E| join rows — linear,
     no fan-out.  Closing top-k is TakeOrderedAndProject on
     (rank desc, node) — a total order, so the cut is deterministic.
+
+    Probed alternative (round 5): ``repartition('src').persist()``
+    instead of the checkpoint keeps outputPartitioning visible, and
+    the executed plan then shows 2 fewer hash exchanges on ``src``
+    (iteration joins co-partition against the cached frame).  Measured
+    end-to-end at sf0.1 it is a wash (5.9 s vs 6.2 s — adjacency
+    construction and the per-step partial aggs dominate), and persist
+    prints the cached build plan inside every explain, breaking the
+    simple 'lineitem absent from the iteration plan' gate.  Kept the
+    checkpoint: same one-materialization guarantee, simpler gate; on a
+    real cluster the two fewer |E|-row exchanges would argue for the
+    persisted form — revisit if |E| per executor grows.
     """
     li = load_table(spark, sf_dir, "lineitem")
     adj = copurchase_adjacency(li)

@@ -59,3 +59,22 @@ def test_bench_scale_accounting_is_green():
         if v["ratio"] > 4 and "rows_ratio" not in v
     ]
     assert missing == [], f"superlinear tail without accounting: {missing}"
+
+
+def test_doc_query_counts_match_registry():
+    """README and PARITY quote the registry size ("176 queries, 174
+    oracle-backed") — counts that have gone stale twice before.  Derive
+    the truth from the registry so doc drift fails fast."""
+    from data_engineer_project_weather_analytics_spark.plans.registry import REGISTRY
+
+    total = len(REGISTRY)
+    oracle_backed = sum(1 for s in REGISTRY.values() if s.sql is not None)
+    readme = (ROOT / "README.md").read_text()
+    parity = (ROOT / "PARITY.md").read_text()
+    assert f"{total} queries, {oracle_backed} oracle-backed" in readme, (
+        f"README count line stale: registry has {total} queries, "
+        f"{oracle_backed} oracle-backed"
+    )
+    assert f"{oracle_backed} oracle-backed queries" in parity, (
+        f"PARITY totals stale: registry has {oracle_backed} oracle-backed"
+    )
