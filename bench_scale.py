@@ -168,6 +168,9 @@ ACCOUNTED: dict[str, str] = {
     # sub-linear story is the point)
     "a3_latest_per_key": "output_rows",
     "x1_exact_dedup": "output_rows",
+    # both geo sides grow with SF, so the 100x point runs hot (32x);
+    # the emitted within-radius pair set grows 100x and bounds it
+    "geo1_grid_join": "output_rows",
     # triangle counting's work driver is the wedge set, reported in
     # the query's own output (its row count is always 1)
     "g1_triangle_count": "wedge_count",
