@@ -91,6 +91,12 @@ def main() -> None:
         # with zero code changes.  min(two runs) measures the plan.
         best = float("inf")
         for _ in range(2):
+            # drop any cache a previous sample (or query) populated —
+            # queries that persist() internally (distributed_cumsum)
+            # would otherwise have their second sample timed against a
+            # warm InMemoryRelation, understating the plan's real cost
+            # and letting the lingering cache entries skew neighbors
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = spec.fn(spark, SF_DIR)
             if mode == "collect":
@@ -115,6 +121,10 @@ def main() -> None:
         "x2b_lsh_candidate_pairs x3_cosine_topk x4c_quality_score"
     ).split()
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # the graph headliner joined the bench in r3 (outside the frozen
+    # 16); gate its trend too: baseline17 = baseline16 + g2_pagerank,
+    # reference point frozen in BASELINE.md at the r5/r6 measurement
+    baseline17 = baseline16 + ["g2_pagerank"]
     print(
         json.dumps(
             {
@@ -126,6 +136,9 @@ def main() -> None:
                 "n_queries": len(timings),
                 "baseline16_total": round(
                     sum(timings[n] for n in baseline16 if n in timings), 3
+                ),
+                "baseline17_total": round(
+                    sum(timings[n] for n in baseline17 if n in timings), 3
                 ),
             }
         )

@@ -43,6 +43,9 @@ def test_bench_headline_is_registered_with_valid_modes():
     ).split()
     missing = [n for n in baseline16 if n not in bench.HEADLINE]
     assert missing == [], missing
+    # the r6 graph-gate subtotal (baseline17 = baseline16 + g2) needs
+    # its extra member timed too
+    assert "g2_pagerank" in bench.HEADLINE
 
 
 def test_bench_scale_queries_resolve():
