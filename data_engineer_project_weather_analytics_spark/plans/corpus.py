@@ -246,7 +246,9 @@ def copurchase_adjacency(li: DataFrame) -> DataFrame:
     )
 
 
-def g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def g2_pagerank(
+    spark: SparkSession, sf_dir: str, adjacency_mode: str = "checkpoint"
+) -> DataFrame:
     """PageRank over the co-purchase graph (same basket-capped edge
     list as the triangle count, g1) — the graph-centrality primitive
     for "which items anchor the catalog".
@@ -272,23 +274,58 @@ def g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     no fan-out.  Closing top-k is TakeOrderedAndProject on
     (rank desc, node) — a total order, so the cut is deterministic.
 
-    Probed alternative (round 5): ``repartition('src').persist()``
-    instead of the checkpoint keeps outputPartitioning visible, and
-    the executed plan then shows 2 fewer hash exchanges on ``src``
-    (iteration joins co-partition against the cached frame).  Measured
-    end-to-end at sf0.1 it is a wash (5.9 s vs 6.2 s — adjacency
-    construction and the per-step partial aggs dominate), and persist
-    prints the cached build plan inside every explain, breaking the
-    simple 'lineitem absent from the iteration plan' gate.  Kept the
-    checkpoint: same one-materialization guarantee, simpler gate; on a
-    real cluster the two fewer |E|-row exchanges would argue for the
-    persisted form — revisit if |E| per executor grows.
+    Probed alternative (round 5, re-measured round 6):
+    ``repartition('src').persist()`` instead of the checkpoint keeps
+    the build plan lazy and the partitioning visible.  In the AQE
+    FINAL executed plan (sf0.01, 4 iterations) the two forms are
+    nearly identical — 6 exchanges either way — but the persisted
+    form consumes the adjacency through an ``InMemoryTableScan`` with
+    one MORE ``ReusedExchange`` (5 vs 4), and its single
+    ``src`` hash-exchange is the cache-population repartition, which
+    executes ONCE, whereas checkpoint's ``src`` exchange is re-read
+    per consuming stage from shuffle files.  Measured end-to-end at
+    sf0.1 it is a wash (5.9 s vs 6.2 s — adjacency construction and
+    the per-step partial aggs dominate), and persist prints the cached
+    build plan inside every explain, breaking the simple 'lineitem
+    absent from the iteration plan' gate.  Since r6 both forms are
+    first-class via ``adjacency_mode`` (default stays
+    ``"checkpoint"``: same one-materialization guarantee, simpler
+    gate); on a real cluster, where cache locality beats shuffle-file
+    re-reads, pass ``"persist"`` — both modes are hash-identical by
+    test (tests/test_corpus.py) and the persisted form's cache
+    consumption + reuse counts are plan-gated (tests/test_plans.py).
     """
     li = load_table(spark, sf_dir, "lineitem")
+    adjd = prepared_adjacency(li, mode=adjacency_mode)
+    return pagerank_over_adjacency(adjd).limit(20)
+
+
+def prepared_adjacency(li: DataFrame, mode: str = "checkpoint") -> DataFrame:
+    """Materialize the (``src``, ``dst``, ``deg``) co-purchase
+    adjacency the iterative algorithms loop over, pinned so iterations
+    never re-derive it from the fact table.
+
+    ``mode="checkpoint"`` (default): ``localCheckpoint()`` — eager,
+    truncates the logical plan (simple 'lineitem absent' plan gate)
+    but loses outputPartitioning, so every iteration join re-exchanges
+    the adjacency on ``src``.
+
+    ``mode="persist"``: ``repartition('src').persist()`` — lazy, keeps
+    the plan visible; iterations consume the adjacency from the
+    InMemoryRelation (executed plan: InMemoryTableScan + one more
+    ReusedExchange than checkpoint; the only ``src`` hash-exchange is
+    the cache-population repartition, which runs once).  The caller
+    owns the cache entry (``.unpersist()`` when done)."""
+    if mode not in ("checkpoint", "persist"):
+        raise ValueError(
+            f"adjacency_mode must be checkpoint|persist, got {mode!r}"
+        )
     adj = copurchase_adjacency(li)
     deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    adjd = adj.join(deg, "src").localCheckpoint()
-    return pagerank_over_adjacency(adjd).limit(20)
+    adjd = adj.join(deg, "src")
+    if mode == "persist":
+        return adjd.repartition("src").persist()
+    return adjd.localCheckpoint()
 
 
 def pagerank_over_adjacency(

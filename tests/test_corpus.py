@@ -36,6 +36,34 @@ def test_pagerank_star_graph_exact_integer_ranks(spark):
     assert all(got[i] == 904_375 for i in range(1, 5))
 
 
+def test_pagerank_adjacency_modes_hash_identical(spark):
+    """`adjacency_mode="persist"` must be a pure execution-strategy
+    switch: the full (node, pr_rank, deg) result set is row-for-row
+    identical to the default checkpoint mode (exact integers, so plain
+    set equality — no tolerance).  prepared_adjacency's persist cache
+    entry is owned by the caller; the test releases it."""
+    base = sorted(
+        (r["node"], r["pr_rank"], r["deg"])
+        for r in corpus.g2_pagerank(spark, SF_DIR).collect()
+    )
+    got = sorted(
+        (r["node"], r["pr_rank"], r["deg"])
+        for r in corpus.g2_pagerank(
+            spark, SF_DIR, adjacency_mode="persist"
+        ).collect()
+    )
+    spark.catalog.clearCache()
+    assert got == base and len(base) == 20
+
+
+def test_prepared_adjacency_rejects_unknown_mode(spark):
+    import pytest
+
+    li = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="checkpoint|persist"):
+        corpus.prepared_adjacency(li, mode="cache")
+
+
 def test_pagerank_hub_outranks_leaves_at_full_depth(spark):
     edges = [(0, i) for i in range(1, 7)]
     adj = spark.createDataFrame(

@@ -524,6 +524,31 @@ def test_pagerank_iterations_reuse_checkpointed_adjacency(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_pagerank_persisted_adjacency_consumed_from_cache(spark):
+    """adjacency_mode='persist' must actually change the execution
+    strategy, not just the row values: the AQE FINAL executed plan
+    reads the adjacency through InMemoryTableScan, satisfies the
+    iteration joins with at least as many ReusedExchange nodes as the
+    checkpoint form (4 at the default 4 iterations), and plans at most
+    ONE hash exchange on src — the cache-population repartition, which
+    executes once (round-6 probe: checkpoint 4 reuses / persist 5,
+    both 1 src-exchange, sf0.01)."""
+    from data_engineer_project_weather_analytics_spark.plans import corpus
+
+    df = corpus.g2_pagerank(spark, SF_DIR, adjacency_mode="persist")
+    try:
+        df.collect()
+        executed = (
+            df._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]
+        )
+    finally:
+        spark.catalog.clearCache()
+    assert "InMemoryTableScan" in executed, executed
+    assert executed.count("ReusedExchange") >= 4, executed
+    assert executed.count("Exchange hashpartitioning(src") <= 1, executed
+
+
 def test_lpa_iterations_reuse_checkpointed_adjacency(spark):
     """g3's LPA loop must touch ONLY the localCheckpoint-ed adjacency
     (lineitem absent from the final plan, the g2 gate), and the
