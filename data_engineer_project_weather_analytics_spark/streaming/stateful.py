@@ -184,6 +184,7 @@ def streaming_neardup_candidates(
     n_bands: int = 8,
     shingle_n: int = 3,
     max_bucket: int = 256,
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Cross-micro-batch near-duplicate candidates over a document
     stream — the streaming twin of the batch LSH pipeline
@@ -209,9 +210,22 @@ def streaming_neardup_candidates(
     Pairs are emitted per band (the same pair colliding in two bands
     appears twice, under different keys) — downstream dedups with a
     plain ``dropDuplicates([id_a, id_b])``, exactly as the batch
-    pipeline's distinct does.  State never expires (``NoTimeout``):
-    stream-lifetime dedup; a deployment that only needs a horizon adds
-    a ProcessingTime timeout without touching the pair logic.
+    pipeline's distinct does.
+
+    **State lifetime.**  The default (``state_ttl_ms=None``) never
+    expires state (``NoTimeout``): stream-lifetime dedup, exact parity
+    with the batch pipeline.  A deployment that only needs a
+    duplicate-detection *horizon* — the practical posture at 100 TB,
+    where total bucket state otherwise grows with corpus lifetime —
+    passes ``state_ttl_ms``: each bucket's idle clock is re-armed on
+    every micro-batch that touches it, and a bucket idle longer than
+    the TTL is dropped wholesale (ProcessingTime timeout).  Documents
+    arriving after an expiry see an empty bucket: they re-admit and
+    pair only among themselves — no duplicate pairs are ever re-emitted
+    for pre-expiry members (asserted by
+    tests/test_streaming.py::test_streaming_neardup_state_ttl_expires_buckets).
+    The pair logic is untouched; only the keep-forever guarantee is
+    traded for bounded state.
     """
     sigs = (
         with_minhash_bands(
@@ -225,10 +239,17 @@ def streaming_neardup_candidates(
         )
     )
 
+    ttl = state_ttl_ms  # close over a plain int, not the DataFrame args
+
     def _bucket(
         key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         band, minhash = key
+        if ttl is not None and state.hasTimedOut:
+            # idle past the TTL: drop the bucket wholesale (members AND
+            # saturation flag); the next arrival re-admits from empty
+            state.remove()
+            return
         if state.exists:
             ids, saturated = state.get
             ids = list(ids)
@@ -252,6 +273,8 @@ def streaming_neardup_candidates(
                     ids = []  # O(1) state for the degenerate bucket
                     break
         state.update((ids, saturated))
+        if ttl is not None:
+            state.setTimeoutDuration(ttl)  # re-arm the idle clock
         if out_a:
             yield pd.DataFrame(
                 {
@@ -267,5 +290,9 @@ def streaming_neardup_candidates(
         outputStructType=NEARDUP_OUTPUT_SCHEMA,
         stateStructType=NEARDUP_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if state_ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )

@@ -856,3 +856,70 @@ def test_streaming_neardup_restart_mid_corpus_equals_batch(spark, tmp_path):
         key = (r.band, r.minhash, r.id_a, r.id_b)
         seen[key] = seen.get(key, 0) + 1
     assert max(seen.values()) == 1
+
+
+def test_streaming_neardup_state_ttl_expires_buckets(spark, tmp_path):
+    """state_ttl_ms trades the keep-forever guarantee for bounded
+    state: a bucket idle past the TTL is dropped by a ProcessingTime
+    timeout (fired by the empty micro-batches the timeout conf forces
+    between data arrivals), so a later identical document pairs with
+    NOBODY from before the expiry — but the bucket re-admits: two
+    post-expiry identical documents still pair with each other, and no
+    pre-expiry pair is ever re-emitted."""
+    import time
+
+    from data_engineer_project_weather_analytics_spark.streaming.stateful import (
+        streaming_neardup_candidates,
+    )
+
+    src = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+    text = "the quick brown fox jumps over the lazy dog again today"
+    _write_docs(spark, src, [(1, text), (2, text)])
+
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src)
+    )
+    q = (
+        streaming_neardup_candidates(
+            stream, "doc_id", "text", n_bands=4, state_ttl_ms=2_000
+        )
+        .writeStream.format("memory")
+        .queryName("nd_ttl")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+
+    def pairs():
+        return {
+            (r.id_a, r.id_b)
+            for r in spark.sql("SELECT * FROM nd_ttl").collect()
+        }
+
+    try:
+        deadline = time.time() + 60
+        while (1, 2) not in pairs() and time.time() < deadline:
+            time.sleep(0.3)
+        assert (1, 2) in pairs()
+
+        # idle past the TTL: empty batches fire the timeout and drop
+        # the bucket (2 s TTL + generous margin for slow machines)
+        time.sleep(6)
+
+        _write_docs(spark, src, [(3, text), (4, text)])
+        deadline = time.time() + 60
+        while (3, 4) not in pairs() and time.time() < deadline:
+            time.sleep(0.3)
+    finally:
+        q.stop()
+
+    got = pairs()
+    # re-admission: the post-expiry docs pair with each other...
+    assert (3, 4) in got
+    # ...but with nobody from before the expiry, and the pre-expiry
+    # pair is not re-emitted into the append sink
+    assert got == {(1, 2), (3, 4)}
