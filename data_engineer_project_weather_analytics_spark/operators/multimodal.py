@@ -5,11 +5,21 @@ columns plus typed metadata; per-item decode and feature extraction
 run as Arrow-batched ``mapInPandas`` stages so the Python boundary is
 crossed once per batch, not per row.
 
-The actual media decode is STUBBED — codec libraries are not in this
-container — behind :func:`decode_media`, which raises
-``NotImplementedError`` unless ``fake=True`` selects the deterministic
-fake decoder.  Everything around the stub (schema, batching, partition
-behavior, output contract) is real and tested.
+The decode step has two paths behind one contract (a 16-dim float
+feature):
+
+* ``fake=True`` — deterministic byte-histogram decoder, always
+  available; what every test in this container exercises;
+* ``fake=False`` — REAL image decode via PIL when it is importable
+  (16-bin luminance histogram over the decoded pixels — same schema,
+  same row shape), else ``NotImplementedError`` naming the missing
+  codec.  The contract test
+  (tests/test_operators.py::test_multimodal_real_codec_contract) is
+  skip-marked when PIL is absent, so environments WITH codecs get the
+  real path verified automatically.
+
+Everything around the decode (schema, batching, partition behavior,
+output contract) is identical on both paths and tested here.
 
 At 100 TB: binary payloads dominate I/O, so (a) store them in their
 own parquet column chunk — column pruning means metadata-only queries
@@ -62,22 +72,40 @@ FEATURE_SCHEMA = StructType(
 
 
 def decode_media(payload: bytes, media_type: str, fake: bool = False) -> list[float]:
-    """Decode one media payload to a fixed-width feature vector.
+    """Decode one media payload to a fixed-width (16-dim) feature.
 
-    Real decoding (PIL / torchaudio / pyav) is unavailable in this
-    environment — STUB.  ``fake=True`` yields a deterministic
-    16-dim byte-histogram feature so the surrounding pipeline is
-    fully exercisable."""
-    if not fake:
-        raise NotImplementedError(
-            "media decode requires codec libraries not present in this "
-            "environment; pass fake=True for the deterministic test decoder"
-        )
-    hist = [0] * 16
-    for byte in payload:
-        hist[byte % 16] += 1
-    total = float(len(payload)) or 1.0
-    return [h / total for h in hist]
+    ``fake=True``: deterministic byte-histogram — always available.
+    ``fake=False``: real decode — images via PIL when importable
+    (16-bin luminance histogram of the decoded pixels, normalized to
+    sum 1 like the fake path); audio/video codecs are not available in
+    any supported environment yet.  Raises ``NotImplementedError``
+    naming the missing codec otherwise."""
+    if fake:
+        hist = [0] * 16
+        for byte in payload:
+            hist[byte % 16] += 1
+        total = float(len(payload)) or 1.0
+        return [h / total for h in hist]
+    if media_type == "image":
+        try:
+            import io
+
+            from PIL import Image
+        except ImportError as exc:
+            raise NotImplementedError(
+                "image decode requires PIL, which is not installed; pass "
+                "fake=True for the deterministic test decoder"
+            ) from exc
+        img = Image.open(io.BytesIO(payload)).convert("L")
+        hist256 = img.histogram()  # 256 luminance bins
+        hist = [sum(hist256[16 * i : 16 * (i + 1)]) for i in range(16)]
+        total = float(sum(hist)) or 1.0
+        return [h / total for h in hist]
+    raise NotImplementedError(
+        f"no codec for media_type={media_type!r} (audio/video decode "
+        "requires libraries not present in any supported environment); "
+        "pass fake=True for the deterministic test decoder"
+    )
 
 
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
@@ -89,18 +117,34 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
 
     # the decode step is re-declared inside the closure so cloudpickle
     # ships it BY VALUE — workers must not need this module importable
-    # (the embedding harness runs the driver from an arbitrary cwd)
+    # (the embedding harness runs the driver from an arbitrary cwd);
+    # keep this in lockstep with decode_media above
     def _decode(payload: bytes, media_type: str) -> list[float]:
-        if not fake:
-            raise NotImplementedError(
-                "media decode requires codec libraries not present in this "
-                "environment; pass fake=True for the deterministic test decoder"
-            )
-        hist = [0] * 16
-        for byte in payload:
-            hist[byte % 16] += 1
-        total = float(len(payload)) or 1.0
-        return [h / total for h in hist]
+        if fake:
+            hist = [0] * 16
+            for byte in payload:
+                hist[byte % 16] += 1
+            total = float(len(payload)) or 1.0
+            return [h / total for h in hist]
+        if media_type == "image":
+            try:
+                import io
+
+                from PIL import Image
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "image decode requires PIL, which is not installed; "
+                    "pass fake=True for the deterministic test decoder"
+                ) from exc
+            img = Image.open(io.BytesIO(payload)).convert("L")
+            hist256 = img.histogram()
+            hist = [sum(hist256[16 * i : 16 * (i + 1)]) for i in range(16)]
+            total = float(sum(hist)) or 1.0
+            return [h / total for h in hist]
+        raise NotImplementedError(
+            f"no codec for media_type={media_type!r}; pass fake=True "
+            "for the deterministic test decoder"
+        )
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:

@@ -134,9 +134,63 @@ def test_multimodal_feature_extraction(spark):
         assert r.size_bytes > 0
 
 
-def test_multimodal_real_decode_is_stubbed():
-    with pytest.raises(NotImplementedError):
+def _pil_available() -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec("PIL") is not None
+
+
+@pytest.mark.skipif(
+    _pil_available(), reason="PIL installed: the real path decodes"
+)
+def test_multimodal_real_decode_raises_without_codec():
+    """Without PIL the real path must fail loudly, naming the missing
+    codec — never silently fall back to the fake decoder."""
+    with pytest.raises(NotImplementedError, match="PIL"):
         multimodal.decode_media(b"bytes", "image", fake=False)
+
+
+def test_multimodal_audio_video_decode_unsupported():
+    """No audio/video codec exists in any supported environment — the
+    real path names the media type it cannot decode."""
+    with pytest.raises(NotImplementedError, match="audio"):
+        multimodal.decode_media(b"bytes", "audio", fake=False)
+
+
+@pytest.mark.skipif(
+    not _pil_available(), reason="PIL not installed in this container"
+)
+def test_multimodal_real_codec_contract(spark):
+    """With PIL installed, fake=False decodes REAL image bytes to the
+    same contract as the fake path: FEATURE_SCHEMA, 16-dim normalized
+    histogram, one output row per asset."""
+    import io
+
+    from PIL import Image
+
+    def png(shade: int) -> bytes:
+        buf = io.BytesIO()
+        Image.new("L", (8, 8), color=shade).save(buf, format="PNG")
+        return buf.getvalue()
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", png(0), 100, 8, 8, None),
+            (2, "image", png(255), 100, 8, 8, None),
+        ],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    out = multimodal.extract_features(media, fake=False)
+    assert out.schema == multimodal.FEATURE_SCHEMA
+    rows = {r.media_id: r for r in out.collect()}
+    assert set(rows) == {1, 2}
+    for r in rows.values():
+        assert len(r.feature) == 16
+        assert abs(sum(r.feature) - 1.0) < 1e-6
+    # luminance actually read from the pixels: an all-black image mass
+    # sits in bin 0, an all-white one in bin 15
+    assert rows[1].feature[0] == pytest.approx(1.0)
+    assert rows[2].feature[15] == pytest.approx(1.0)
 
 
 def test_duplicate_clusters_matches_union_find(spark):
