@@ -102,6 +102,7 @@ QUERIES: tuple[str, ...] = (
     "mv2_delta_join_repair",
     "g1_triangle_count",
     "g2_pagerank",
+    "g3_label_propagation",
     "j12_scd2_pit_join",
     "x33_chunk_dedup",
     "x34_kmv_source_overlap",
@@ -150,6 +151,10 @@ ACCOUNTED: dict[str, str] = {
     # PageRank cost is |E| join rows per iteration over the
     # checkpointed adjacency
     "g2_pagerank": "copurchase_edges",
+    # LPA's per-round join+agg+window also touches exactly |E| rows per
+    # iteration over the same checkpointed adjacency (iteration count
+    # is fixed, so the edge count is the scale driver)
+    "g3_label_propagation": "copurchase_edges",
     # KMV overlap is dominated by the distinct-shingle shuffle feeding
     # the per-source bottom-k; the exploded shingle stream is its
     # input-linear driver (sketch side is k-bounded by construction)
@@ -214,6 +219,11 @@ SCALE1000_QUERIES: tuple[str, ...] = (
     "t4_hourly_window",            # 100 M-row windowed agg, bounded keys
     "x1_exact_dedup",              # 5 M-doc hash dedup
     "x24_countmin_heavy_hitters",  # 270 M-token stream vs 16 KB sketch
+    # the LLM flagship: banded MinHash candidate pairs over 5 M docs —
+    # carries output-pair accounting so a superlinear wall-clock is
+    # provably pair-volume-driven (the per-copy token suffix keeps
+    # copies from colliding, so pair mass grows ~linearly with copies)
+    "x2b_lsh_candidate_pairs",
 )
 SCALE1000_TABLES = ("region", "nation", "events", "documents")
 
@@ -318,16 +328,19 @@ def scale_summary_md(data: dict) -> str:
     committed JSON and string-compares, so the doc CANNOT drift from
     the measurement (rounds 3 and 4 both shipped stale hand-written
     scale figures — this is the structural fix)."""
+    import statistics
+
     q = data["queries"]
     worst = max(q, key=lambda n: q[n]["ratio"])
     lines = [
         f"Worst 10x wall-clock ratio: **{data['value']}x** (`{worst}`), "
-        f"median {sorted(v['ratio'] for v in q.values())[len(q) // 2]}x "
+        f"median {round(statistics.median(v['ratio'] for v in q.values()), 2)}x "
         f"over {len(q)} queries.",
         f"Accounted-tail gate: every time ratio must stay within "
         f"rows_ratio x {data['accounting_slack']}; violations: "
         f"{data['unbounded_accounted'] or 'none'} (10x), "
-        f"{data.get('unbounded_accounted_100x') or 'none'} (100x).",
+        f"{data.get('unbounded_accounted_100x') or 'none'} (100x), "
+        f"{data.get('unbounded_accounted_1000x') or 'none'} (1000x).",
         "",
         "| query | t 1x (s) | t 10x (s) | time ratio | work driver "
         "| rows 1x → 10x | rows ratio |",
@@ -449,6 +462,10 @@ def main() -> None:
         fn = extra.get(name) or REGISTRY[name].fn
         best = float("inf")
         for _ in range(2):
+            # drop caches a previous sample populated (bench.py does the
+            # same): queries that persist() internally would otherwise
+            # time their second sample against a warm InMemoryRelation
+            spark.catalog.clearCache()
             df = fn(spark, sf_dir)
             t0 = time.perf_counter()
             df.select(
@@ -590,6 +607,9 @@ def main() -> None:
     unbounded100 = [
         n for n, v in out100.items() if "bounded" in v and not v["bounded"]
     ]
+    unbounded1000 = [
+        n for n, v in out1000.items() if "bounded" in v and not v["bounded"]
+    ]
     print(
         json.dumps(
             {
@@ -607,6 +627,7 @@ def main() -> None:
                         "scale1000_ratio_max": max(
                             v["ratio"] for v in out1000.values()
                         ),
+                        "unbounded_accounted_1000x": unbounded1000,
                     }
                     if out1000
                     else {}

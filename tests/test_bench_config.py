@@ -51,14 +51,22 @@ def test_bench_headline_is_registered_with_valid_modes():
 def test_bench_scale_queries_resolve():
     unknown = [
         n
-        for n in (*bench_scale.QUERIES, *bench_scale.SCALE100_QUERIES)
+        for n in (
+            *bench_scale.QUERIES,
+            *bench_scale.SCALE100_QUERIES,
+            *bench_scale.SCALE1000_QUERIES,
+        )
         if n not in REGISTRY and n not in _SCALE_EXTRA
     ]
     assert unknown == [], unknown
 
 
 def test_bench_scale_accounted_targets_are_timed():
-    timed = set(bench_scale.QUERIES) | set(bench_scale.SCALE100_QUERIES)
+    timed = (
+        set(bench_scale.QUERIES)
+        | set(bench_scale.SCALE100_QUERIES)
+        | set(bench_scale.SCALE1000_QUERIES)
+    )
     orphans = [n for n in bench_scale.ACCOUNTED if n not in timed]
     assert orphans == [], orphans
     valid_kinds = {

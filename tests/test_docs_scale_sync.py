@@ -53,6 +53,17 @@ def test_bench_scale_accounting_is_green():
     data = json.loads((ROOT / "BENCH_SCALE.json").read_text())
     assert data["unbounded_accounted"] == []
     assert data.get("unbounded_accounted_100x", []) == []
+    assert data.get("unbounded_accounted_1000x", []) == []
+    # the committed measurement must include the env-gated 1000x
+    # section AND its accounting list (emitted since r6) — a rerun
+    # without SPARK_GRAFT_SCALE1000=1 would silently drop the repo's
+    # largest scale evidence
+    if "scale1000" in data:
+        assert "unbounded_accounted_1000x" in data, (
+            "BENCH_SCALE.json has a scale1000 section but no "
+            "unbounded_accounted_1000x list — produced by a pre-r6 "
+            "bench_scale.py; rerun with the current harness"
+        )
     missing = [
         n
         for n, v in data["queries"].items()
