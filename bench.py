@@ -70,6 +70,7 @@ HEADLINE: dict[str, str] = {
     "x34_kmv_source_overlap": "collect",
     "g2_pagerank": "collect",
     "x33_chunk_dedup": "checksum",
+    "x3g_kmeans_clusters": "checksum",
 }
 
 

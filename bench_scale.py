@@ -114,6 +114,7 @@ QUERIES: tuple[str, ...] = (
     "o4_pareto_cumshare",
     "w14_seasonal_backtest",
     "dq5_benford_deviation",
+    "x3g_kmeans_clusters",
 )
 
 
@@ -179,6 +180,9 @@ ACCOUNTED: dict[str, str] = {
     # triangle counting's work driver is the wedge set, reported in
     # the query's own output (its row count is always 1)
     "g1_triangle_count": "wedge_count",
+    # Lloyd k-means emits one row per vector; per-pass scored rows are
+    # n x k with k fixed, so the assignment output is the linear driver
+    "x3g_kmeans_clusters": "output_rows",
 }
 
 #: time-ratio must stay under rows_ratio * this constant for every

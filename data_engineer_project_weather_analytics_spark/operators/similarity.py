@@ -354,6 +354,93 @@ def label_centroids(
     )
 
 
+#: defaults for :func:`kmeans_assign` — shared with the registered
+#: x3g query and its unrolled DuckDB oracle, which hard-wires the same
+#: k seeds and iteration count as CTE stages (the oracle is unrolled
+#: text, so these can only move together with it)
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def kmeans_assign(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = KMEANS_K,
+    n_iter: int = KMEANS_ITERS,
+) -> DataFrame:
+    """Deterministic Lloyd k-means over cosine similarity: the
+    iterative-clustering substrate behind corpus bucketing and
+    SemDeDup-style semantic dedup when no label/cell column exists
+    (x3f's coarse quantizer assumes one; this derives it from the
+    vectors alone).
+
+    Determinism, the property that makes an engine-replayable oracle
+    possible for an iterative algorithm:
+
+    * seeding — the k vectors with the smallest portable id hash
+      (``conv(substr(md5(id),1,8),16,10)`` ≡ DuckDB
+      ``('0x'||substr(md5(id),1,8))::BIGINT``), a pseudo-random but
+      engine-identical draw; no RNG state;
+    * assignment — argmax cosine with ties to the lowest cell id, via
+      one ``max(struct(sim, -cell))`` so the n×k scored rows collapse
+      map-side (no window over the product);
+    * update — :func:`cell_centroids` µ-quantized exact means
+      (integer sums, one double division), order- and
+      engine-independent, so iteration t+1 starts from bit-identical
+      centroids in both engines (induction carries to the output).
+
+    Scale shape: seeding is ``TakeOrderedAndProject`` (distributed
+    top-k, no global sort); each of the ``n_iter`` fixed iterations
+    broadcasts the k-row codebook and scans the corpus once — O(n·k)
+    scored rows per iteration with map-side partial aggregation, the
+    IVF-training cost model.  No driver-side collect: centroids stay
+    a DataFrame end to end.  k is a broadcast of k×dim doubles —
+    fine to ~10⁶ cells before the codebook itself needs sharding.
+
+    Output: ``(id, cluster_id, sim)`` — final assignment after
+    ``n_iter`` assignment passes (centroids updated between passes),
+    with the final cosine floor-quantized at 1e-4 (``sim_q``).
+    """
+    v = vectors.select(
+        F.col(id_col).alias("__vid"), _as_double(vec_col).alias("__v")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("__vid").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    seeds = v.select("__vid", "__v", h.alias("__h")).orderBy("__h", "__vid").limit(k)
+    w = Window.orderBy("__h", "__vid")  # k rows post-limit: bounded window
+    cents = seeds.select(
+        F.row_number().over(w).alias("cell"), F.col("__v").alias("centroid")
+    )
+    assigned = None
+    for it in range(n_iter):
+        scored = v.crossJoin(F.broadcast(cents)).select(
+            "__vid",
+            "__v",
+            "cell",
+            cosine(F.col("__v"), F.col("centroid")).alias("__csim"),
+        )
+        best = F.struct(F.col("__csim").alias("s"), (-F.col("cell")).alias("nc"))
+        assigned = (
+            scored.groupBy("__vid")
+            .agg(F.max(best).alias("__m"), F.first("__v").alias("__v"))
+            .select(
+                "__vid",
+                "__v",
+                (-F.col("__m.nc")).cast("int").alias("cell"),
+                F.col("__m.s").alias("__csim"),
+            )
+        )
+        if it < n_iter - 1:
+            cents = cell_centroids(assigned, "cell", "__v")
+    return assigned.select(
+        F.col("__vid").alias(id_col),
+        F.col("cell").alias("cluster_id"),
+        sim_q(F.col("__csim")).alias("sim"),
+    )
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame, id_col: str, vec_col: str, threshold: float = 0.8
 ) -> DataFrame:

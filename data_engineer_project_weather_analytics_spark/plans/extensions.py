@@ -158,6 +158,18 @@ def x3f_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x3g_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means assignment over the embedding
+    corpus (k=8, 3 assignment passes): the label-free clustering
+    substrate for corpus bucketing / IVF codebook training — x3f's
+    coarse cells derived from the vectors alone.  Portable-hash
+    seeding + µ-quantized centroid updates make the whole iteration
+    engine-replayable; the DuckDB oracle unrolls the three passes as
+    CTE stages."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_assign(emb, "vec_id", "embedding")
+
+
 def x3c_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding components (IVF coarse-quantizer)."""
     emb = load_table(spark, sf_dir, "embeddings")

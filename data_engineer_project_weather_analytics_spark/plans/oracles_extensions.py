@@ -447,6 +447,90 @@ ORACLES_EXT: dict[str, str] = {
         )
         WHERE sim >= 8000
     """,
+    # Lloyd k-means unrolled: seed (portable id hash) → assign a1 →
+    # µ-quantized means c1 → assign a2 → means c2 → final assignment.
+    # Stage-for-stage the Spark loop in similarity.kmeans_assign with
+    # KMEANS_K=8 / KMEANS_ITERS=3 (the constants are asserted against
+    # this text in tests/test_queries_oracle.py).
+    "x3g_kmeans_clusters": """
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings
+        ),
+        seed AS (
+            SELECT row_number() OVER (ORDER BY h, vec_id) AS cell,
+                   emb AS centroid
+            FROM (
+                SELECT vec_id, emb,
+                       ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS h
+                FROM v
+                ORDER BY h, vec_id LIMIT 8
+            )
+        ),
+        a1 AS (
+            SELECT vec_id, emb, cell FROM (
+                SELECT v.vec_id, v.emb, c.cell,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY list_cosine_similarity(v.emb, c.centroid)
+                                        DESC, c.cell) AS r
+                FROM v CROSS JOIN seed c
+            ) WHERE r = 1
+        ),
+        c1 AS (
+            SELECT cell, list(comp ORDER BY pos) AS centroid FROM (
+                SELECT cell, u.pos AS pos,
+                       CAST(sum(CAST(floor(CAST(u.val AS DOUBLE) * 1000000.0)
+                                     AS BIGINT)) AS DOUBLE)
+                           / (count(*) * 1000000) AS comp
+                FROM (
+                    SELECT cell,
+                           unnest(list_transform(
+                               generate_series(1, len(emb)),
+                               i -> {'pos': i, 'val': emb[i]})) AS u
+                    FROM a1
+                )
+                GROUP BY cell, u.pos
+            ) GROUP BY cell
+        ),
+        a2 AS (
+            SELECT vec_id, emb, cell FROM (
+                SELECT v.vec_id, v.emb, c.cell,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY list_cosine_similarity(v.emb, c.centroid)
+                                        DESC, c.cell) AS r
+                FROM v CROSS JOIN c1 c
+            ) WHERE r = 1
+        ),
+        c2 AS (
+            SELECT cell, list(comp ORDER BY pos) AS centroid FROM (
+                SELECT cell, u.pos AS pos,
+                       CAST(sum(CAST(floor(CAST(u.val AS DOUBLE) * 1000000.0)
+                                     AS BIGINT)) AS DOUBLE)
+                           / (count(*) * 1000000) AS comp
+                FROM (
+                    SELECT cell,
+                           unnest(list_transform(
+                               generate_series(1, len(emb)),
+                               i -> {'pos': i, 'val': emb[i]})) AS u
+                    FROM a2
+                )
+                GROUP BY cell, u.pos
+            ) GROUP BY cell
+        )
+        SELECT vec_id, CAST(cell AS INTEGER) AS cluster_id,
+               CAST(floor(cos * 10000) AS BIGINT) AS sim
+        FROM (
+            SELECT v.vec_id, c.cell,
+                   list_cosine_similarity(v.emb, c.centroid) AS cos,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_cosine_similarity(v.emb, c.centroid)
+                                    DESC, c.cell) AS r
+            FROM v CROSS JOIN c2 c
+        ) WHERE r = 1
+    """,
     "x2e_dup_clusters": f"""
         WITH RECURSIVE ds AS ({_SHINGLES}),
         sigs AS (

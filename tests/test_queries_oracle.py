@@ -29,6 +29,21 @@ def test_rows_only_query_runs(spark, name):
     assert len(df.schema.fields) > 0
 
 
+def test_kmeans_oracle_constants_in_lockstep():
+    """The x3g oracle is UNROLLED text: its seed LIMIT must equal
+    KMEANS_K and its assignment-stage count must equal KMEANS_ITERS, or
+    the two engines silently run different algorithms (the hash check
+    would catch it, but this pins the failure to the real cause)."""
+    from data_engineer_project_weather_analytics_spark.operators.similarity import (
+        KMEANS_ITERS,
+        KMEANS_K,
+    )
+
+    sql = REGISTRY["x3g_kmeans_clusters"].sql
+    assert f"LIMIT {KMEANS_K}" in sql
+    assert sql.count("PARTITION BY v.vec_id") == KMEANS_ITERS
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
