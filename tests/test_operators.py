@@ -456,6 +456,48 @@ def test_semantic_neardup_reassigns_to_nearest_centroid(spark):
     assert (1, 3) not in pairs and (2, 4) not in pairs
 
 
+def test_kmeans_assign_separates_planted_clusters(spark):
+    # two orthogonal direction groups: whatever cells the hash seeding
+    # picks, two Lloyd passes must land each group in one cluster and
+    # the groups in different clusters
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[0.99, 0.05, 0.0, 0.0]),
+        Row(vec_id=3, embedding=[0.98, 0.0, 0.05, 0.0]),
+        Row(vec_id=4, embedding=[0.0, 0.0, 1.0, 0.0]),
+        Row(vec_id=5, embedding=[0.0, 0.05, 0.99, 0.0]),
+        Row(vec_id=6, embedding=[0.05, 0.0, 0.98, 0.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    out = similarity.kmeans_assign(df, "vec_id", "embedding", k=2, n_iter=3)
+    got = {r.vec_id: r for r in out.collect()}
+    assert set(got) == {1, 2, 3, 4, 5, 6}  # every vector exactly once
+    assert len({r.cluster_id for r in got.values()}) == 2
+    assert got[1].cluster_id == got[2].cluster_id == got[3].cluster_id
+    assert got[4].cluster_id == got[5].cluster_id == got[6].cluster_id
+    assert got[1].cluster_id != got[4].cluster_id
+    for r in got.values():
+        # cosine quantized at 1e-4; cluster members sit near their
+        # centroid, far above orthogonal (~0)
+        assert 7000 <= r.sim <= 10000
+
+
+def test_kmeans_k_exceeding_corpus_and_determinism(spark):
+    rows = [
+        Row(vec_id=i, embedding=[float(i), 1.0, 0.0, 0.0]) for i in range(1, 5)
+    ]
+    df = spark.createDataFrame(rows)
+    out = similarity.kmeans_assign(df, "vec_id", "embedding", k=10, n_iter=2)
+    a = sorted(out.collect())
+    assert len(a) == 4  # k > n: the seed LIMIT yields n cells, no crash
+    assert all(1 <= r.cluster_id <= 4 for r in a)
+    # byte-for-byte deterministic across independent builds
+    b = sorted(
+        similarity.kmeans_assign(df, "vec_id", "embedding", k=10, n_iter=2).collect()
+    )
+    assert a == b
+
+
 def test_chunk_documents_windows_and_edges(spark):
     long_text = " ".join(f"t{i}" for i in range(1, 121))  # 120 tokens
     df = spark.createDataFrame(

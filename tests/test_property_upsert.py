@@ -98,3 +98,43 @@ def test_candidate_pruned_jaccard_equals_full_intersected(spark, corpus):
         for r in full.join(cand, on=["id_a", "id_b"], how="left_semi").collect()
     }
     assert pruned == intersected
+
+
+#: random keyed rows with duplicate order keys and negative values —
+#: the shapes that break naive prefix sums (ties resolved by the
+#: required unique tiebreaker, offsets over sparse/empty partitions)
+cumsum_rows_strategy = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(-100, 100)),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=cumsum_rows_strategy)
+def test_distributed_cumsum_equals_serial_for_any_input(spark, rows):
+    """For ANY keyed input (duplicate order keys, negatives, fewer rows
+    than shuffle partitions): the two-phase range-partitioned cumsum
+    must equal the single-reducer serial reference row for row."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_project_weather_analytics_spark.operators.prefix_sum import (
+        distributed_cumsum,
+    )
+
+    df = spark.createDataFrame(
+        [Row(i=i, k=k, v=v) for i, (k, v) in enumerate(rows)]
+    ).repartition(7)
+    got = {
+        r.i: r.cum
+        for r in distributed_cumsum(df, [F.col("k"), F.col("i")], "v").collect()
+    }
+    run, expected = 0, {}
+    for i in sorted(range(len(rows)), key=lambda j: (rows[j][0], j)):
+        run += rows[i][1]
+        expected[i] = run
+    assert got == expected
