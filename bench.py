@@ -71,6 +71,7 @@ HEADLINE: dict[str, str] = {
     "g2_pagerank": "collect",
     "x33_chunk_dedup": "checksum",
     "x3g_kmeans_clusters": "checksum",
+    "x42_hybrid_rrf": "collect",
 }
 
 

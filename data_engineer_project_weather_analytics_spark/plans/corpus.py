@@ -662,35 +662,11 @@ def x35_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ("spark", "query", "window")
 
 
-def x36_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-10 retrieval for a fixed keyword query — the ranking
-    half of the inverted index (x35): score docs containing any of the
-    query terms and return the 10 best.
-
-    Cross-engine determinism is the whole design here, because real
-    BM25 is ln() + float division (both non-portable):
-
-    * idf uses the Robertson odds ratio ``(N-df+0.5)/(df+0.5)`` kept
-      RATIONAL via ×2 (``(2N-2df+1) DIV (2df+1)``) and then
-      log2-stepped with the shared ``bin()`` builtin
-      (``length(bin(x)) = floor(log2 x)+1`` — the a22 rho trick):
-      a monotone, bounded (≤63), engine-exact stand-in for ln;
-    * the tf saturation term multiplies through by the quantized
-      average doc length (``avgdl_q = 100·T DIV N``, scale-invariant),
-      so with k1=1.2, b=0.75:
-      ``tfc_q = 22·tf·avgdl_q·1000 DIV (10·tf·avgdl_q + 3·avgdl_q +
-      900·dl)`` — bounded by 2200 at ANY corpus size (no term grows
-      with N or T, unlike the naive cross-multiplication whose
-      ``tf·T·1000`` overflows int64 near 10^10 tokens);
-    * score = Σ idf_log2·tfc_q — small exact integers; ties break on
-      doc_id, so the top-10 cut is deterministic.
-
-    Scale shape: the token explode filters to the query terms BEFORE
-    aggregating (vocabulary-bounded stream), df and the (N, T) totals
-    are 1-row/|terms|-row aggregates, doc length is a narrow in-row
-    expression, and the close is TakeOrderedAndProject.
-    """
-    docs = load_table(spark, sf_dir, "documents")
+def _bm25_doc_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, score_q) for every document matching any `_BM25_TERMS`
+    term — the shared all-integer BM25 scorer behind x36 (top-10
+    retrieval) and x42 (RRF fusion).  See :func:`x36_bm25_retrieval`
+    for the determinism derivation of ``idf_log2``/``tfc_q``."""
     terms_sql = ", ".join(f"'{t}'" for t in _BM25_TERMS)
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
@@ -727,7 +703,144 @@ def x36_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id")
         .agg(F.sum("term_score").alias("score_q"))
+    )
+
+
+def x36_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval for a fixed keyword query — the ranking
+    half of the inverted index (x35): score docs containing any of the
+    query terms and return the 10 best.
+
+    Cross-engine determinism is the whole design here, because real
+    BM25 is ln() + float division (both non-portable):
+
+    * idf uses the Robertson odds ratio ``(N-df+0.5)/(df+0.5)`` kept
+      RATIONAL via ×2 (``(2N-2df+1) DIV (2df+1)``) and then
+      log2-stepped with the shared ``bin()`` builtin
+      (``length(bin(x)) = floor(log2 x)+1`` — the a22 rho trick):
+      a monotone, bounded (≤63), engine-exact stand-in for ln;
+    * the tf saturation term multiplies through by the quantized
+      average doc length (``avgdl_q = 100·T DIV N``, scale-invariant),
+      so with k1=1.2, b=0.75:
+      ``tfc_q = 22·tf·avgdl_q·1000 DIV (10·tf·avgdl_q + 3·avgdl_q +
+      900·dl)`` — bounded by 2200 at ANY corpus size (no term grows
+      with N or T, unlike the naive cross-multiplication whose
+      ``tf·T·1000`` overflows int64 near 10^10 tokens);
+    * score = Σ idf_log2·tfc_q — small exact integers; ties break on
+      doc_id, so the top-10 cut is deterministic.
+
+    Scale shape: the token explode filters to the query terms BEFORE
+    aggregating (vocabulary-bounded stream), df and the (N, T) totals
+    are 1-row/|terms|-row aggregates, doc length is a narrow in-row
+    expression, and the close is TakeOrderedAndProject.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        _bm25_doc_scores(docs)
         .orderBy(F.desc("score_q"), "doc_id")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# X42 — hybrid retrieval: BM25 ⊕ dense cosine via reciprocal-rank fusion
+# --------------------------------------------------------------------------
+
+#: RRF smoothing constant (k=60, the value from Cormack/Clarke/Buettcher
+#: "Reciprocal Rank Fusion outperforms Condorcet", SIGIR'09) and the
+#: fusion depth (how deep each ranker's list goes before fusing).
+_RRF_K = 60
+_FUSE_DEPTH = 50
+_RRF_QUERY_VEC = 0
+
+
+def x42_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — the standard RAG/curation pattern: fuse a
+    lexical ranking (BM25 over the fixed `_BM25_TERMS` keyword query,
+    x36's scorer) with a dense ranking (cosine neighbors of query
+    vector ``vec_id = _RRF_QUERY_VEC``; documents and embeddings share
+    the 0..N-1 id space) by Reciprocal Rank Fusion and return the
+    top-10 fused docs.
+
+    Cross-engine determinism:
+
+    * both ranks order on INTEGER keys — BM25's exact ``score_q`` and
+      the 1e-4-quantized cosine ``floor(cos·10⁴)`` (`similarity.sim_q`,
+      the hash-proven bit-stable transform) — with doc_id tie-breaks,
+      so rank assignment cannot drift on a last-ulp float disagreement
+      the way raw-double ordering could at depth 50;
+    * the RRF reciprocal ``1/(k+rank)`` is kept integer as
+      ``1000000 DIV (60+rank)`` (distinct for every rank ≤ 940, far
+      past the fusion depth); a doc missing from one list contributes
+      0 from that ranker (COALESCE), the standard RRF convention.
+
+    Scale shape: each ranker closes with orderBy+limit
+    (TakeOrderedAndProject — no global sort) BEFORE the rank window,
+    so the unpartitioned row_number windows run over ≤ `_FUSE_DEPTH`
+    rows (a constant, not a scale surface); the dense scan broadcasts
+    the 1-row query vector (allowlisted bounded BNLJ, as x3); the
+    fusion join is |2·depth| rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    lex_top = (
+        _bm25_doc_scores(docs)
+        .orderBy(F.desc("score_q"), "doc_id")
+        .limit(_FUSE_DEPTH)
+    )
+    lex = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score_q"), F.col("doc_id")))
+        .cast("bigint")
+        .alias("lex_rank"),
+    )
+
+    q = emb.filter(F.col("vec_id") == _RRF_QUERY_VEC).select(
+        similarity._as_double("embedding").alias("__qv")
+    )
+    c = emb.filter(F.col("vec_id") != _RRF_QUERY_VEC).select(
+        F.col("vec_id").alias("doc_id"),
+        similarity._as_double("embedding").alias("__cv"),
+    )
+    sem_top = (
+        c.join(F.broadcast(q))
+        .select(
+            "doc_id",
+            similarity.sim_q(
+                similarity.cosine(F.col("__qv"), F.col("__cv"))
+            ).alias("__simq"),
+        )
+        .orderBy(F.desc("__simq"), "doc_id")
+        .limit(_FUSE_DEPTH)
+    )
+    sem = sem_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("__simq"), F.col("doc_id")))
+        .cast("bigint")
+        .alias("sem_rank"),
+    )
+
+    fused = lex.join(sem, "doc_id", "full_outer")
+    return (
+        fused.select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            (
+                F.coalesce(
+                    F.expr(f"1000000 DIV ({_RRF_K} + lex_rank)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"1000000 DIV ({_RRF_K} + sem_rank)"), F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("rrf_q"),
+        )
+        .orderBy(F.desc("rrf_q"), "doc_id")
         .limit(10)
     )
 
@@ -1804,6 +1917,89 @@ ORACLES_CORPUS: dict[str, str] = {
         SELECT doc_id, CAST(sum(idf_log2 * tfc_q) AS BIGINT) AS score_q
         FROM scored GROUP BY doc_id
         ORDER BY score_q DESC, doc_id LIMIT 10
+    """,
+    "x42_hybrid_rrf": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        qt AS (
+            SELECT doc_id, token FROM toks
+            WHERE token IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+        ),
+        tf AS (
+            SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+            FROM qt GROUP BY doc_id, token
+        ),
+        df AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS df
+            FROM tf GROUP BY token
+        ),
+        dl AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+            FROM documents
+        ),
+        totals AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS t_tokens
+            FROM documents
+        ),
+        scored AS (
+            SELECT tf.doc_id,
+                   length(bin(greatest(
+                       (2 * n_docs - 2 * df + 1) // (2 * df + 1), 1)))
+                       AS idf_log2,
+                   22 * tf * ((100 * t_tokens) // n_docs) * 1000
+                       // (10 * tf * ((100 * t_tokens) // n_docs)
+                           + 3 * ((100 * t_tokens) // n_docs)
+                           + 900 * dl) AS tfc_q
+            FROM tf
+            JOIN df USING (token)
+            JOIN dl USING (doc_id)
+            CROSS JOIN totals
+        ),
+        bm25 AS (
+            SELECT doc_id, CAST(sum(idf_log2 * tfc_q) AS BIGINT) AS score_q
+            FROM scored GROUP BY doc_id
+            ORDER BY score_q DESC, doc_id LIMIT {_FUSE_DEPTH}
+        ),
+        lex AS (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY score_q DESC, doc_id)
+                        AS BIGINT) AS lex_rank
+            FROM bm25
+        ),
+        qv AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id = {_RRF_QUERY_VEC}
+        ),
+        sem_scored AS (
+            SELECT vec_id AS doc_id,
+                   CAST(floor(list_cosine_similarity(
+                       qv.qv, CAST(embedding AS DOUBLE[])) * 10000)
+                       AS BIGINT) AS simq
+            FROM embeddings CROSS JOIN qv
+            WHERE vec_id <> {_RRF_QUERY_VEC}
+        ),
+        sem_top AS (
+            SELECT doc_id, simq FROM sem_scored
+            ORDER BY simq DESC, doc_id LIMIT {_FUSE_DEPTH}
+        ),
+        sem AS (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY simq DESC, doc_id)
+                        AS BIGINT) AS sem_rank
+            FROM sem_top
+        )
+        SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+               l.lex_rank, s.sem_rank,
+               CAST(COALESCE(1000000 // ({_RRF_K} + l.lex_rank), 0)
+                    + COALESCE(1000000 // ({_RRF_K} + s.sem_rank), 0)
+                    AS BIGINT) AS rrf_q
+        FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id
+        ORDER BY rrf_q DESC, doc_id LIMIT 10
     """,
     "x33_chunk_dedup": f"""
         WITH toks AS (

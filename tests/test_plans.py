@@ -186,6 +186,7 @@ _BOUNDED_BROADCAST_QUERIES = {
     "a25_kmv_distinct",  # 1-row sketch-summary x 1-row exact-count join
     "x30_ann_recall",  # composes x3's fixed query-vector probe set
     "x36_bm25_retrieval",  # 1-row (N, T) corpus-totals join
+    "x42_hybrid_rrf",  # 1-row query-vector probe + x36's totals join
     "j12_scd2_pit_join",  # 1-row horizon join closing open intervals
     "dq4_chisq_drift",  # 1-row split-day + 1-row totals joins
     "dq5_benford_deviation",  # 1-row digit-total join
@@ -639,3 +640,16 @@ def test_pareto_cumsum_is_range_partitioned_not_single_reducer(spark):
     assert "rangepartitioning" in plan, plan
     singles = plan.count("Exchange SinglePartition")
     assert singles <= 1, plan
+
+
+def test_hybrid_rrf_rankers_close_before_fusion(spark):
+    """x42's scale contract: each ranker's list is cut by
+    TakeOrderedAndProject (no global sort) BEFORE its rank window, so
+    the unpartitioned row_number windows only ever see <= _FUSE_DEPTH
+    rows, and the final fused top-10 is a third TakeOrdered close."""
+    plan = _formatted_plan(spark, "x42_hybrid_rrf")
+    assert plan.count("TakeOrderedAndProject") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+    # the fusion must keep docs present in only one list (RRF's 0
+    # contribution convention) — a full outer join, not inner
+    assert "FullOuter" in plan, plan
