@@ -115,6 +115,7 @@ QUERIES: tuple[str, ...] = (
     "w14_seasonal_backtest",
     "dq5_benford_deviation",
     "x3g_kmeans_clusters",
+    "x42_hybrid_rrf",
 )
 
 
