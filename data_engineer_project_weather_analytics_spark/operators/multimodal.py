@@ -176,3 +176,150 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
         F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("int").alias("sample_rate"),
     )
+
+
+#: A sampled frame row: 1 media row → `n_frames` of these.
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_ts_ms", LongType(), False),
+        StructField("frame_payload", BinaryType(), True),
+    ]
+)
+
+#: fake frame cadence: 25 fps surrogate, part of the deterministic
+#: contract (the x5c oracle replays `frame_idx * 40`).
+FRAME_INTERVAL_MS = 40
+
+
+def resize_media(
+    media: DataFrame, width: int, height: int, fake: bool = True
+) -> DataFrame:
+    """Resize every payload to ``width x height``, preserving
+    `MEDIA_SCHEMA` (same charter contract shape as decode: the fake
+    path is the always-available deterministic stand-in, the real path
+    uses PIL when importable).
+
+    * ``fake=True`` — tile-or-truncate the payload bytes to exactly
+      ``width*height`` (empty payload → that many zero bytes): a
+      pure-bytes surrogate for pixel resampling, SQL-replayable
+      (`repeat`+`substr`), so the pipeline is value-checkable
+      cross-engine (x5d) — unlike a real codec.
+    * ``fake=False`` — PIL decode → `Image.resize((w, h), NEAREST)`
+      (nearest keeps it deterministic) → PNG re-encode; raises
+      ``NotImplementedError`` naming the codec for audio/video or
+      when PIL is absent.
+
+    Batch shape: 1 row in → 1 row out, Arrow-batched `mapInPandas`;
+    width/height metadata are set to the target, ``size_bytes``
+    re-derived from the new payload.
+    """
+    # closures re-declared by value (module convention: workers must
+    # not need this module importable)
+    target = width * height
+
+    def _resize_fake(payload: bytes) -> bytes:
+        if not payload:
+            return bytes(target)
+        reps = target // len(payload) + 1
+        return (payload * reps)[:target]
+
+    def _resize_real(payload: bytes, media_type: str) -> bytes:
+        if media_type != "image":
+            raise NotImplementedError(
+                f"no codec for media_type={media_type!r}; pass fake=True "
+                "for the deterministic byte-tiling resizer"
+            )
+        try:
+            import io
+
+            from PIL import Image
+        except ImportError as exc:
+            raise NotImplementedError(
+                "image resize requires PIL, which is not installed; pass "
+                "fake=True for the deterministic byte-tiling resizer"
+            ) from exc
+        img = Image.open(io.BytesIO(payload))
+        out = io.BytesIO()
+        img.resize((width, height), Image.NEAREST).save(out, format="PNG")
+        return out.getvalue()
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            resized = [
+                _resize_fake(p if p is not None else b"")
+                if fake
+                else _resize_real(p if p is not None else b"", t)
+                for p, t in zip(batch["payload"], batch["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "media_type": batch["media_type"],
+                    "payload": resized,
+                    "size_bytes": [len(p) for p in resized],
+                    "width": width,
+                    "height": height,
+                    "sample_rate": batch["sample_rate"],
+                }
+            )
+
+    return media.mapInPandas(_resize, schema=MEDIA_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, n_frames: int = 4, fake: bool = True
+) -> DataFrame:
+    """Sample ``n_frames`` frames from every payload — the 1→N row
+    expansion stage of the video path (`FRAME_SCHEMA` output).
+
+    * ``fake=True`` — frame *i* is the contiguous byte slice
+      ``payload[i*L//n : (i+1)*L//n]`` (concatenating all frames
+      reconstructs the payload exactly — the tested invariant) at
+      ``ts = i * FRAME_INTERVAL_MS``; SQL-replayable for text
+      payloads (`substr` with the same integer-division bounds), so
+      the sampling pipeline is value-checked cross-engine (x5c).
+    * ``fake=False`` — real frame extraction needs a video codec,
+      which no supported environment ships: raises
+      ``NotImplementedError`` naming it.
+
+    Batch shape: each Arrow batch of M media rows yields one pandas
+    frame of ``M * n_frames`` rows — the expansion happens inside the
+    batch, never per-row across the Python boundary.
+    """
+    if n_frames < 1:
+        raise ValueError(f"n_frames must be >= 1, got {n_frames}")
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, idxs, tss, payloads = [], [], [], []
+            for mid, p, t in zip(
+                batch["media_id"], batch["payload"], batch["media_type"]
+            ):
+                if not fake:
+                    raise NotImplementedError(
+                        f"no frame codec for media_type={t!r} (video "
+                        "decode requires libraries not present in any "
+                        "supported environment); pass fake=True for the "
+                        "deterministic byte-slicing sampler"
+                    )
+                data = p if p is not None else b""
+                length = len(data)
+                for i in range(n_frames):
+                    ids.append(mid)
+                    idxs.append(i)
+                    tss.append(i * FRAME_INTERVAL_MS)
+                    payloads.append(
+                        data[i * length // n_frames : (i + 1) * length // n_frames]
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "frame_ts_ms": tss,
+                    "frame_payload": payloads,
+                }
+            )
+
+    return media.mapInPandas(_frames, schema=FRAME_SCHEMA)

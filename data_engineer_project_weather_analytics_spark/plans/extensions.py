@@ -808,6 +808,48 @@ def x3e_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: fake-frame cadence and geometry shared by the Spark queries and
+#: their SQL oracles (change here and in the oracle text together)
+_X5C_N_FRAMES = 4
+_X5D_W, _X5D_H = 16, 8
+
+
+def x5c_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the multimodal path — the 1→N mapInPandas
+    expansion (operators/multimodal.py:sample_frames), value-checked:
+    the fake sampler's byte slices of an ASCII payload equal `substr`
+    slices with the same integer-division bounds, so DuckDB replays
+    frame digests exactly (frames surface as md5 + length — repo rule:
+    no raw binary in checked outputs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    frames = multimodal.sample_frames(media, n_frames=_X5C_N_FRAMES, fake=True)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "frame_ts_ms",
+        F.md5(F.decode(F.col("frame_payload"), "UTF-8")).alias("frame_md5"),
+        F.octet_length("frame_payload").cast("bigint").alias("frame_len"),
+    )
+
+
+def x5d_resize_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize over the multimodal path (operators/multimodal.py:
+    resize_media, fake tile-or-truncate), value-checked: tiling ASCII
+    payload bytes to w·h equals `substr(repeat(text, ...), 1, w*h)`,
+    so DuckDB replays the resized digest exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    resized = multimodal.resize_media(media, _X5D_W, _X5D_H, fake=True)
+    return resized.select(
+        "media_id",
+        "width",
+        "height",
+        "size_bytes",
+        F.md5(F.decode(F.col("payload"), "UTF-8")).alias("payload_md5"),
+    )
+
+
 #: rows-only registrations (genuinely non-SQL-expressible paths)
 NO_ORACLE = {
     "x5_multimodal_features": _x5_multimodal_features,

@@ -988,6 +988,37 @@ ORACLES_EXT: dict[str, str] = {
                md5(text) AS payload_md5
         FROM documents
     """,
+    # replays sample_frames' fake byte-slicing: payload[i*L//n:(i+1)*L//n]
+    # == substr with the same integer-division bounds (ASCII payloads:
+    # byte slicing == char slicing); cadence i*40 ms mirrors
+    # FRAME_INTERVAL_MS
+    "x5c_frame_sample": """
+        WITH f AS (
+            SELECT doc_id AS media_id,
+                   unnest(generate_series(0, 3)) AS i,
+                   text,
+                   length(text) AS L
+            FROM documents
+        )
+        SELECT media_id,
+               CAST(i AS INTEGER) AS frame_idx,
+               CAST(i * 40 AS BIGINT) AS frame_ts_ms,
+               md5(substr(text, (i * L) // 4 + 1,
+                          ((i + 1) * L) // 4 - (i * L) // 4)) AS frame_md5,
+               CAST(((i + 1) * L) // 4 - (i * L) // 4 AS BIGINT) AS frame_len
+        FROM f
+    """,
+    # replays resize_media's fake tile-or-truncate to 16x8 = 128 bytes:
+    # (payload * reps)[:128] == substr(repeat(text, reps), 1, 128)
+    "x5d_resize_digest": """
+        SELECT doc_id AS media_id,
+               CAST(16 AS INTEGER) AS width,
+               CAST(8 AS INTEGER) AS height,
+               CAST(128 AS BIGINT) AS size_bytes,
+               md5(substr(repeat(text, 128 // length(text) + 1), 1, 128))
+                   AS payload_md5
+        FROM documents
+    """,
     "x29_source_overlap_matrix": """
         WITH sh AS (
             SELECT DISTINCT source,

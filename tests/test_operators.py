@@ -1119,3 +1119,100 @@ def test_embedding_lsh_candidates_superset_of_output(spark):
     }
     assert out  # planted near-dups produce pairs
     assert out <= cand
+
+
+def test_sample_frames_reconstructs_payload(spark):
+    """Fake frame slices concatenate back to the exact payload (the
+    contract the x5c oracle relies on), with the 25fps-surrogate
+    cadence and n_frames rows per asset — including lengths not
+    divisible by n_frames and the empty payload."""
+    media = spark.createDataFrame(
+        [
+            (1, "video", b"0123456789ab", 12, None, None, None),
+            (2, "video", b"0123456789abc", 13, None, None, None),  # 13 % 4 != 0
+            (3, "video", b"", 0, None, None, None),
+        ],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    frames = multimodal.sample_frames(media, n_frames=4, fake=True)
+    assert frames.schema == multimodal.FRAME_SCHEMA
+    rows = frames.collect()
+    assert len(rows) == 3 * 4
+    by_media = {}
+    for r in sorted(rows, key=lambda r: (r.media_id, r.frame_idx)):
+        assert r.frame_ts_ms == r.frame_idx * multimodal.FRAME_INTERVAL_MS
+        by_media.setdefault(r.media_id, b"")
+        by_media[r.media_id] += bytes(r.frame_payload)
+    assert by_media[1] == b"0123456789ab"
+    assert by_media[2] == b"0123456789abc"
+    assert by_media[3] == b""
+
+
+def test_sample_frames_real_path_names_missing_codec(spark):
+    media = spark.createDataFrame(
+        [(1, "video", b"bytes", 5, None, None, None)],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="codec"):
+        multimodal.sample_frames(media, fake=False).collect()
+    with pytest.raises(ValueError, match="n_frames"):
+        multimodal.sample_frames(media, n_frames=0)
+
+
+def test_resize_media_fake_tiles_and_truncates(spark):
+    """Fake resize emits exactly w*h bytes per payload — tiling short
+    payloads, truncating long ones, zero-filling empty ones — with
+    width/height metadata set and size_bytes re-derived."""
+    media = spark.createDataFrame(
+        [
+            (1, "image", b"ab", 2, None, None, None),       # tile
+            (2, "image", b"x" * 50, 50, None, None, None),  # truncate
+            (3, "image", b"", 0, None, None, None),         # zero-fill
+        ],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    out = multimodal.resize_media(media, 4, 3, fake=True)
+    assert out.schema == multimodal.MEDIA_SCHEMA
+    rows = {r.media_id: r for r in out.collect()}
+    assert bytes(rows[1].payload) == b"abababababab"
+    assert bytes(rows[2].payload) == b"x" * 12
+    assert bytes(rows[3].payload) == bytes(12)
+    for r in rows.values():
+        assert (r.width, r.height, r.size_bytes) == (4, 3, 12)
+
+
+@pytest.mark.skipif(
+    not _pil_available(), reason="PIL not installed in this container"
+)
+def test_resize_media_real_codec_contract(spark):
+    """With PIL installed, fake=False resizes REAL image bytes under
+    the same contract: MEDIA_SCHEMA out, target dims decodable from
+    the re-encoded payload."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (8, 8), color=128).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, "image", buf.getvalue(), buf.getbuffer().nbytes, 8, 8, None)],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    out = multimodal.resize_media(media, 4, 2, fake=False)
+    assert out.schema == multimodal.MEDIA_SCHEMA
+    row = out.collect()[0]
+    assert (row.width, row.height) == (4, 2)
+    decoded = Image.open(io.BytesIO(bytes(row.payload)))
+    assert decoded.size == (4, 2)
+
+
+@pytest.mark.skipif(
+    _pil_available(), reason="PIL installed: the real resize path works"
+)
+def test_resize_media_real_path_raises_without_codec(spark):
+    media = spark.createDataFrame(
+        [(1, "image", b"bytes", 5, None, None, None)],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="PIL"):
+        multimodal.resize_media(media, 4, 4, fake=False).collect()
