@@ -1503,6 +1503,136 @@ _LPA_STEP_CTES = "".join(
     for i in range(1, _LPA_ITERS + 1)
 )
 
+# --------------------------------------------------------------------------
+# X43 — cross-document duplicated-span fraction (exact-substring dedup
+# signal, Lee et al. 2022, arXiv:2107.06499)
+# --------------------------------------------------------------------------
+
+#: span width in whitespace tokens.  Lee et al. use 50-BPE-token
+#: spans over a suffix array; word 5-grams are the tractable
+#: distributed surrogate — the signal (what fraction of a document is
+#: verbatim-repeated elsewhere in the corpus) is the same.
+_SPAN_N = 5
+
+
+def x43_duplicate_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fraction of token spans that appear verbatim in at
+    least one OTHER document — the exact-substring duplication signal
+    of Lee et al. ("Deduplicating Training Data Makes Language Models
+    Better"): unlike MinHash (x2*) this scores partial/verbatim reuse
+    inside otherwise-distinct documents, the case whole-doc dedup
+    misses.  Complements x4g, which measures *in-document* repetition.
+
+    Positions are retained (NO per-doc distinct): a doc that repeats a
+    cross-corpus span 3 times has 3 duplicated spans, matching the
+    token-coverage framing of the paper.
+
+    Scale shape: tokenize ONCE behind a projection boundary, slice the
+    materialized array (the O(tokens²) inlining rule); one shuffle on
+    span for the distinct-doc counts, the span stream's exchange
+    reused by the count-join (same key), then one doc_id shuffle for
+    the per-doc rollup — all rows work-bounded by the span stream,
+    skew AQE-splittable.  No suffix array needed: span-hash
+    aggregation is embarrassingly parallel at 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("__toks"))
+    span = F.expr(
+        f"""
+        CASE WHEN size(__toks) >= {_SPAN_N}
+             THEN transform(
+                    sequence(0, size(__toks) - {_SPAN_N}),
+                    i -> array_join(slice(__toks, i + 1, {_SPAN_N}), ' '))
+             ELSE CAST(array() AS ARRAY<STRING>)
+        END
+        """
+    )
+    spans = toks.select("doc_id", F.explode(span).alias("span"))
+    counts = spans.groupBy("span").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    return (
+        spans.join(counts, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_spans"),
+        )
+        # one double division of two exact ints — bit-identical in
+        # both engines (the no-round() rule)
+        .withColumn("dup_frac", F.col("n_dup_spans") / F.col("n_spans"))
+    )
+
+
+# --------------------------------------------------------------------------
+# X44 — DSIR hashed-unigram importance weights (Xie et al. 2023,
+# arXiv:2302.03169)
+# --------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 64
+
+
+def x44_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling: score every document
+    by how target-like its hashed-unigram distribution is —
+    ``score(doc) = Σ_b c_b(doc) · (log p_target(b) − log p_raw(b))``
+    with the English subset as the target distribution.  High scores
+    select raw data that looks like the target domain; the canonical
+    pretraining-mixture curation op.
+
+    Determinism: the log-ratio uses the shared integer surrogate
+    ``length(bin(x)) = floor(log2 x)+1`` (the a22/x36 no-libm rule),
+    so the whole score is exact int64 arithmetic — bit-identical
+    cross-engine.  Buckets come from the portable 48-bit md5 hash
+    (``_h48 % 64``), matching x39's hashing-trick construction.
+
+    Scale shape: one token explode; one (doc, bucket) partial-agg
+    shuffle; the global bucket table is 64 rows BY CONSTRUCTION
+    (dimensionality-bounded, like x39) and BROADCAST to the per-doc
+    counts — no second big shuffle.  Both distributions come from ONE
+    aggregation over the token stream (target is a conditional sum,
+    not a second scan).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    b = toks.select(
+        "doc_id", "lang", (_h48("token") % _DSIR_BUCKETS).alias("bucket")
+    )
+    doc_counts = b.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    glob = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_n"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tgt_n"),
+    )
+
+    def _blog(col: F.Column) -> F.Column:
+        return F.length(F.bin(col))
+
+    deltas = glob.select(
+        "bucket",
+        (_blog(F.col("tgt_n") + 1) - _blog(F.col("raw_n") + 1))
+        .cast("bigint")
+        .alias("delta"),
+    )
+    return (
+        doc_counts.join(F.broadcast(deltas), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("c") * F.col("delta"))
+            .cast("bigint")
+            .alias("dsir_score"),
+            F.sum("c").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
 #: oracle twins of eligible_basket_items / copurchase_edges /
 #: copurchase_adjacency — ONE definition on the SQL side as well, so
 #: the five co-purchase oracles (g1/g2/g3 here and in lakeops,
@@ -1535,6 +1665,71 @@ SQL_COPURCHASE_ADJ_CTE = SQL_COPURCHASE_EDGES_CTE + """,
         )"""
 
 ORACLES_CORPUS: dict[str, str] = {
+    # positions retained (no DISTINCT in sp); dup = span in >=2 docs;
+    # dup_frac is one double division of exact ints (no-round rule)
+    "x43_duplicate_span_fraction": f"""
+        WITH sp AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(
+                           1, greatest(len(string_split(text, ' '))
+                                       - {_SPAN_N - 1}, 0)),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1] || ' ' ||
+                            string_split(text, ' ')[i+2] || ' ' ||
+                            string_split(text, ' ')[i+3] || ' ' ||
+                            string_split(text, ' ')[i+4])) AS span
+            FROM documents
+        ),
+        cnt AS (
+            SELECT span, count(DISTINCT doc_id) AS nd
+            FROM sp GROUP BY span
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_spans,
+               CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*) AS dup_frac
+        FROM sp JOIN cnt USING (span)
+        GROUP BY doc_id
+    """,
+    # blog = length(bin(x)) = floor(log2 x)+1, the shared no-libm
+    # surrogate; bucket = portable 48-bit md5 hash % 64 (x39 idiom)
+    "x44_dsir_importance": f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   ('0x' || substr(md5(token), 1, 12))::BIGINT
+                       % {_DSIR_BUCKETS} AS bucket
+            FROM (
+                SELECT doc_id, lang,
+                       unnest(string_split(text, ' ')) AS token
+                FROM documents
+            )
+        ),
+        doc_counts AS (
+            SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS c
+            FROM toks GROUP BY doc_id, bucket
+        ),
+        gstats AS (
+            SELECT bucket,
+                   CAST(count(*) AS BIGINT) AS raw_n,
+                   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS tgt_n
+            FROM toks GROUP BY bucket
+        ),
+        deltas AS (
+            SELECT bucket,
+                   CAST(length(bin(tgt_n + 1)) AS BIGINT)
+                   - CAST(length(bin(raw_n + 1)) AS BIGINT) AS delta
+            FROM gstats
+        )
+        SELECT doc_id,
+               CAST(sum(c * delta) AS BIGINT) AS dsir_score,
+               CAST(sum(c) AS BIGINT) AS n_tokens
+        FROM doc_counts JOIN deltas USING (bucket)
+        GROUP BY doc_id
+    """,
     "g3_label_propagation": f"""
         WITH {SQL_COPURCHASE_ADJ_CTE},
         l0 AS (

@@ -340,3 +340,83 @@ def test_copurchase_substrate_planted_graph(spark):
     assert set(adj) == {(a, b) for a, b in edges} | {
         (b, a) for a, b in edges
     }
+
+
+def test_duplicate_span_fraction_first_principles(spark):
+    """x43 recomputed driver-side from the raw corpus: per-doc span
+    counts, cross-document duplicate flags (span in >=2 DISTINCT
+    docs), and the exact-integer numerators — full-map equality, so
+    any drift in spanning, counting, or the dup predicate fails."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    n = corpus._SPAN_N
+    per_doc: dict[int, list[str]] = {}
+    for r in docs:
+        toks = r["text"].split(" ")
+        per_doc[r["doc_id"]] = [
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        ]
+    span_docs: dict[str, set[int]] = {}
+    for did, spans in per_doc.items():
+        for s in spans:
+            span_docs.setdefault(s, set()).add(did)
+    expect = {
+        did: (
+            len(spans),
+            sum(1 for s in spans if len(span_docs[s]) >= 2),
+        )
+        for did, spans in per_doc.items()
+        if spans
+    }
+    got = REGISTRY["x43_duplicate_span_fraction"].fn(spark, SF_DIR).collect()
+    assert {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"]) for r in got
+    } == expect
+    for r in got:
+        assert r["dup_frac"] == r["n_dup_spans"] / r["n_spans"]
+
+
+def test_dsir_importance_first_principles(spark):
+    """x44 recomputed driver-side: md5-48bit buckets, one global
+    (raw, target) histogram, integer blog deltas, exact per-doc
+    score — full-map equality including n_tokens."""
+    import hashlib
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    ).collect()
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:12], 16) % 64
+
+    raw = [0] * 64
+    tgt = [0] * 64
+    doc_counts: dict[int, dict[int, int]] = {}
+    for r in docs:
+        dc = doc_counts.setdefault(r["doc_id"], {})
+        for tok in r["text"].split(" "):
+            b = bucket(tok)
+            dc[b] = dc.get(b, 0) + 1
+            raw[b] += 1
+            if r["lang"] == "en":
+                tgt[b] += 1
+    delta = [(tgt[b] + 1).bit_length() - (raw[b] + 1).bit_length()
+             for b in range(64)]
+    expect = {
+        did: (
+            sum(c * delta[b] for b, c in dc.items()),
+            sum(dc.values()),
+        )
+        for did, dc in doc_counts.items()
+    }
+    got = REGISTRY["x44_dsir_importance"].fn(spark, SF_DIR).collect()
+    assert {
+        r["doc_id"]: (r["dsir_score"], r["n_tokens"]) for r in got
+    } == expect
+    # the target subset must score higher on average than the rest:
+    # the selection signal the operator exists to produce
+    langs = {r["doc_id"]: r["lang"] for r in docs}
+    en = [s for (d, (s, _)) in expect.items() if langs[d] == "en"]
+    other = [s for (d, (s, _)) in expect.items() if langs[d] != "en"]
+    assert sum(en) / len(en) > sum(other) / len(other)
