@@ -368,6 +368,7 @@ def kmeans_assign(
     vec_col: str,
     k: int = KMEANS_K,
     n_iter: int = KMEANS_ITERS,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Deterministic Lloyd k-means over cosine similarity: the
     iterative-clustering substrate behind corpus bucketing and
@@ -434,10 +435,86 @@ def kmeans_assign(
         )
         if it < n_iter - 1:
             cents = cell_centroids(assigned, "cell", "__v")
-    return assigned.select(
+    out = [
         F.col("__vid").alias(id_col),
         F.col("cell").alias("cluster_id"),
         sim_q(F.col("__csim")).alias("sim"),
+    ]
+    if keep_vec:
+        # downstream within-cell work (semdedup_keep) needs the vector
+        # next to the assignment without a second join against the
+        # source table
+        out.append(F.col("__v").alias("vec"))
+    return assigned.select(*out)
+
+
+def semdedup_keep(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = KMEANS_K,
+    n_iter: int = KMEANS_ITERS,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """SemDeDup keep/drop decision (Abbas et al., "SemDeDup: Data-
+    efficient learning at web-scale through semantic deduplication",
+    arXiv:2303.09540): cluster the embedding corpus with the label-free
+    deterministic k-means (:func:`kmeans_assign`), compare vectors only
+    WITHIN their cell, and drop every vector that has a same-cell
+    neighbor at cosine ≥ ``threshold`` with a smaller id — the greedy
+    min-id representative rule.  This is the dedup *decision* layer
+    the pair queries (x3b/x3f) stop short of.
+
+    The greedy rule is deliberately non-transitive (a<b<c chain: b and
+    c are both dropped against a even if c is only near b) — one
+    deterministic pass, no connected-components iteration, matching
+    how production dedup pipelines batch the keep decision.
+
+    Scale shape: pair work is O(Σ cell²) — the IVF trade, cell count
+    must grow with the corpus; the neighbor aggregation shuffles pair
+    rows only (already threshold-filtered); the final left join is
+    id-keyed.  The two pair-join sides scan one kmeans subtree that
+    AQE deduplicates via exchange reuse.
+
+    Output: ``(id, cluster_id, n_near, kept)`` — epsilon-neighborhood
+    degree and the 0/1 keep flag.
+    """
+    assigned = kmeans_assign(vectors, id_col, vec_col, k, n_iter, keep_vec=True)
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), "cluster_id", F.col("vec").alias("__va")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), "cluster_id", F.col("vec").alias("__vb")
+    )
+    pairs = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            sim_q(cosine(F.col("__va"), F.col("__vb")))
+            >= int(round(threshold * 10000))
+        )
+        .select("id_a", "id_b")
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("__nid"), F.col("id_b").alias("nb")
+    ).unionAll(pairs.select(F.col("id_b").alias("__nid"), F.col("id_a").alias("nb")))
+    deg = sym.groupBy("__nid").agg(
+        F.count(F.lit(1)).alias("__n_near"),
+        F.sum(F.when(F.col("nb") < F.col("__nid"), 1).otherwise(0)).alias(
+            "__n_smaller"
+        ),
+    )
+    return (
+        assigned.join(deg, assigned[id_col] == deg["__nid"], "left")
+        .select(
+            F.col(id_col),
+            F.col("cluster_id"),
+            F.coalesce("__n_near", F.lit(0)).cast("bigint").alias("n_near"),
+            F.when(F.coalesce("__n_smaller", F.lit(0)) == 0, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("kept"),
+        )
     )
 
 

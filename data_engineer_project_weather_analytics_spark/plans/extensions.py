@@ -170,6 +170,17 @@ def x3g_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_assign(emb, "vec_id", "embedding")
 
 
+def x45_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep/drop decision (Abbas et al., arXiv:2303.09540)
+    over the label-free k-means cells: a vector is dropped when a
+    same-cell neighbor at cosine ≥ 0.8 has a smaller id (greedy min-id
+    representative).  The dedup *decision* layer above x3f (pair
+    emission) and x3g (cluster assignment); the surviving corpus is
+    ``kept = 1``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semdedup_keep(emb, "vec_id", "embedding")
+
+
 def x3c_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding components (IVF coarse-quantizer)."""
     emb = load_table(spark, sf_dir, "embeddings")

@@ -231,6 +231,89 @@ _SIGNATURES = f"""
         GROUP BY doc_id, band
 """
 
+#: Lloyd k-means unrolled as a CTE chain ending in the final
+#: assignment ``a3 (vec_id, emb, cell, cos)`` — shared by the x3g
+#: assignment oracle and the x45 SemDeDup keep-decision oracle
+#: (spliced in place of the __KMEANS_CTES__ placeholder below).
+_KMEANS_CTES = """
+        v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings
+        ),
+        seed AS (
+            SELECT row_number() OVER (ORDER BY h, vec_id) AS cell,
+                   emb AS centroid
+            FROM (
+                SELECT vec_id, emb,
+                       ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS h
+                FROM v
+                ORDER BY h, vec_id LIMIT 8
+            )
+        ),
+        a1 AS (
+            SELECT vec_id, emb, cell FROM (
+                SELECT v.vec_id, v.emb, c.cell,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY list_cosine_similarity(v.emb, c.centroid)
+                                        DESC, c.cell) AS r
+                FROM v CROSS JOIN seed c
+            ) WHERE r = 1
+        ),
+        c1 AS (
+            SELECT cell, list(comp ORDER BY pos) AS centroid FROM (
+                SELECT cell, u.pos AS pos,
+                       CAST(sum(CAST(floor(CAST(u.val AS DOUBLE) * 1000000.0)
+                                     AS BIGINT)) AS DOUBLE)
+                           / (count(*) * 1000000) AS comp
+                FROM (
+                    SELECT cell,
+                           unnest(list_transform(
+                               generate_series(1, len(emb)),
+                               i -> {'pos': i, 'val': emb[i]})) AS u
+                    FROM a1
+                )
+                GROUP BY cell, u.pos
+            ) GROUP BY cell
+        ),
+        a2 AS (
+            SELECT vec_id, emb, cell FROM (
+                SELECT v.vec_id, v.emb, c.cell,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY list_cosine_similarity(v.emb, c.centroid)
+                                        DESC, c.cell) AS r
+                FROM v CROSS JOIN c1 c
+            ) WHERE r = 1
+        ),
+        c2 AS (
+            SELECT cell, list(comp ORDER BY pos) AS centroid FROM (
+                SELECT cell, u.pos AS pos,
+                       CAST(sum(CAST(floor(CAST(u.val AS DOUBLE) * 1000000.0)
+                                     AS BIGINT)) AS DOUBLE)
+                           / (count(*) * 1000000) AS comp
+                FROM (
+                    SELECT cell,
+                           unnest(list_transform(
+                               generate_series(1, len(emb)),
+                               i -> {'pos': i, 'val': emb[i]})) AS u
+                    FROM a2
+                )
+                GROUP BY cell, u.pos
+            ) GROUP BY cell
+        ),
+        a3 AS (
+            SELECT vec_id, emb, cell, cos FROM (
+                SELECT v.vec_id, v.emb, c.cell,
+                       list_cosine_similarity(v.emb, c.centroid) AS cos,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY list_cosine_similarity(v.emb, c.centroid)
+                                        DESC, c.cell) AS r
+                FROM v CROSS JOIN c2 c
+            ) WHERE r = 1
+        )"""
+
 ORACLES_EXT: dict[str, str] = {
     "x1_exact_dedup": """
         SELECT md5(text) AS text_hash,
@@ -448,88 +531,47 @@ ORACLES_EXT: dict[str, str] = {
         WHERE sim >= 8000
     """,
     # Lloyd k-means unrolled: seed (portable id hash) → assign a1 →
-    # µ-quantized means c1 → assign a2 → means c2 → final assignment.
-    # Stage-for-stage the Spark loop in similarity.kmeans_assign with
-    # KMEANS_K=8 / KMEANS_ITERS=3 (the constants are asserted against
-    # this text in tests/test_queries_oracle.py).
+    # µ-quantized means c1 → assign a2 → means c2 → final assignment
+    # a3.  Stage-for-stage the Spark loop in similarity.kmeans_assign
+    # with KMEANS_K=8 / KMEANS_ITERS=3 (the constants are asserted
+    # against this text in tests/test_queries_oracle.py).  The CTE
+    # chain is shared with x45 below via _KMEANS_CTES.
     "x3g_kmeans_clusters": """
-        WITH v AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-            FROM embeddings
-        ),
-        seed AS (
-            SELECT row_number() OVER (ORDER BY h, vec_id) AS cell,
-                   emb AS centroid
-            FROM (
-                SELECT vec_id, emb,
-                       ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS h
-                FROM v
-                ORDER BY h, vec_id LIMIT 8
-            )
-        ),
-        a1 AS (
-            SELECT vec_id, emb, cell FROM (
-                SELECT v.vec_id, v.emb, c.cell,
-                       row_number() OVER (
-                           PARTITION BY v.vec_id
-                           ORDER BY list_cosine_similarity(v.emb, c.centroid)
-                                        DESC, c.cell) AS r
-                FROM v CROSS JOIN seed c
-            ) WHERE r = 1
-        ),
-        c1 AS (
-            SELECT cell, list(comp ORDER BY pos) AS centroid FROM (
-                SELECT cell, u.pos AS pos,
-                       CAST(sum(CAST(floor(CAST(u.val AS DOUBLE) * 1000000.0)
-                                     AS BIGINT)) AS DOUBLE)
-                           / (count(*) * 1000000) AS comp
-                FROM (
-                    SELECT cell,
-                           unnest(list_transform(
-                               generate_series(1, len(emb)),
-                               i -> {'pos': i, 'val': emb[i]})) AS u
-                    FROM a1
-                )
-                GROUP BY cell, u.pos
-            ) GROUP BY cell
-        ),
-        a2 AS (
-            SELECT vec_id, emb, cell FROM (
-                SELECT v.vec_id, v.emb, c.cell,
-                       row_number() OVER (
-                           PARTITION BY v.vec_id
-                           ORDER BY list_cosine_similarity(v.emb, c.centroid)
-                                        DESC, c.cell) AS r
-                FROM v CROSS JOIN c1 c
-            ) WHERE r = 1
-        ),
-        c2 AS (
-            SELECT cell, list(comp ORDER BY pos) AS centroid FROM (
-                SELECT cell, u.pos AS pos,
-                       CAST(sum(CAST(floor(CAST(u.val AS DOUBLE) * 1000000.0)
-                                     AS BIGINT)) AS DOUBLE)
-                           / (count(*) * 1000000) AS comp
-                FROM (
-                    SELECT cell,
-                           unnest(list_transform(
-                               generate_series(1, len(emb)),
-                               i -> {'pos': i, 'val': emb[i]})) AS u
-                    FROM a2
-                )
-                GROUP BY cell, u.pos
-            ) GROUP BY cell
-        )
+        WITH __KMEANS_CTES__
         SELECT vec_id, CAST(cell AS INTEGER) AS cluster_id,
                CAST(floor(cos * 10000) AS BIGINT) AS sim
-        FROM (
-            SELECT v.vec_id, c.cell,
-                   list_cosine_similarity(v.emb, c.centroid) AS cos,
-                   row_number() OVER (
-                       PARTITION BY v.vec_id
-                       ORDER BY list_cosine_similarity(v.emb, c.centroid)
-                                    DESC, c.cell) AS r
-            FROM v CROSS JOIN c2 c
-        ) WHERE r = 1
+        FROM a3
+    """,
+    # greedy min-id SemDeDup over the same unrolled k-means cells: a
+    # vector is kept iff no within-cell neighbor at cosine >= 0.8 has
+    # a smaller id; n_near is the epsilon-neighborhood degree.
+    "x45_semdedup_keep": """
+        WITH __KMEANS_CTES__,
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM a3 a
+            JOIN a3 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE CAST(floor(list_cosine_similarity(a.emb, b.emb) * 10000)
+                       AS BIGINT) >= 8000
+        ),
+        sym AS (
+            SELECT id_a AS vid, id_b AS nb FROM pairs
+            UNION ALL
+            SELECT id_b, id_a FROM pairs
+        ),
+        deg AS (
+            SELECT vid,
+                   CAST(count(*) AS BIGINT) AS n_near,
+                   CAST(sum(CASE WHEN nb < vid THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_smaller
+            FROM sym GROUP BY vid
+        )
+        SELECT a3.vec_id,
+               CAST(a3.cell AS INTEGER) AS cluster_id,
+               CAST(coalesce(d.n_near, 0) AS BIGINT) AS n_near,
+               CAST(CASE WHEN coalesce(d.n_smaller, 0) = 0
+                         THEN 1 ELSE 0 END AS INTEGER) AS kept
+        FROM a3 LEFT JOIN deg d ON d.vid = a3.vec_id
     """,
     "x2e_dup_clusters": f"""
         WITH RECURSIVE ds AS ({_SHINGLES}),
@@ -1047,3 +1089,7 @@ for _name in ("x3_cosine_topk", "x3e_ivf_topk"):
     ORACLES_EXT[_name] = ORACLES_EXT[_name].replace(
         "__ANN_TOPK__", str(ANN_TOPK)
     )
+
+for _name in ("x3g_kmeans_clusters", "x45_semdedup_keep"):
+    ORACLES_EXT[_name] = ORACLES_EXT[_name].replace(
+        "__KMEANS_CTES__", _KMEANS_CTES)

@@ -1216,3 +1216,32 @@ def test_resize_media_real_path_raises_without_codec(spark):
     )
     with pytest.raises(Exception, match="PIL"):
         multimodal.resize_media(media, 4, 4, fake=False).collect()
+
+
+def test_semdedup_keep_greedy_min_id(spark):
+    # two orthogonal groups; inside group A, 1/2/3 are mutual near-dups
+    # (cosine > 0.8) so only min-id 1 survives; in group B, 4 and 5 are
+    # near-dups (5 dropped) while 6 is distinct enough to survive
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[0.99, 0.05, 0.0, 0.0]),
+        Row(vec_id=3, embedding=[0.98, 0.0, 0.05, 0.0]),
+        Row(vec_id=4, embedding=[0.0, 0.0, 1.0, 0.0]),
+        Row(vec_id=5, embedding=[0.0, 0.05, 0.99, 0.0]),
+        Row(vec_id=6, embedding=[0.0, 0.7, 0.7, 0.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r.vec_id: r
+        for r in similarity.semdedup_keep(
+            df, "vec_id", "embedding", k=2, n_iter=3, threshold=0.8
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5, 6}  # decision for EVERY vector
+    assert {v: out[v].kept for v in out} == {
+        1: 1, 2: 0, 3: 0, 4: 1, 5: 0, 6: 1
+    }
+    # degrees: 1-2-3 form a triangle; 4-5 a pair; 6 isolated
+    assert {v: out[v].n_near for v in out} == {
+        1: 2, 2: 2, 3: 2, 4: 1, 5: 1, 6: 0
+    }

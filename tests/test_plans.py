@@ -168,6 +168,7 @@ _BOUNDED_BROADCAST_QUERIES = {
     "x3e_ivf_topk",
     "x3f_semantic_neardup",  # vector x codebook product (|cells| rows)
     "x3g_kmeans_clusters",  # vector x k-row codebook product per Lloyd pass
+    "x45_semdedup_keep",  # same k-row codebook product (kmeans substrate)
     "x9_tfidf_keywords",
     "tpch_q22_dormant_customers",
     "tpch_q15_top_supplier",   # 1-row max join
