@@ -116,6 +116,15 @@ QUERIES: tuple[str, ...] = (
     "dq5_benford_deviation",
     "x3g_kmeans_clusters",
     "x42_hybrid_rrf",
+    "x43_duplicate_span_fraction",
+    "x44_dsir_importance",
+    # registered fixed-k form AND the deployment auto-k form: fixed k
+    # makes the within-cell pair stream quadratic in the corpus (the
+    # accounting proves the time is pair-bought), auto-k keeps cells
+    # constant-size and the pair stream linear — the pair of entries
+    # IS the scale argument for recommended_kmeans_k
+    "x45_semdedup_keep",
+    "x45_semdedup_auto",
 )
 
 
@@ -184,6 +193,17 @@ ACCOUNTED: dict[str, str] = {
     # Lloyd k-means emits one row per vector; per-pass scored rows are
     # n x k with k fixed, so the assignment output is the linear driver
     "x3g_kmeans_clusters": "output_rows",
+    # the 5-gram span stream drives both of x43's shuffles (the span
+    # count-distinct and the 1:1 count-join back onto the spans)
+    "x43_duplicate_span_fraction": "span_stream",
+    # DSIR is one token explode + a 64-row broadcast — token-linear
+    "x44_dsir_importance": "token_stream",
+    # SemDeDup's cost is the within-cell pair set Σ c·(c−1)/2: with
+    # the registered fixed k it grows ~quadratically in the corpus
+    # (the accounting bounds it); the auto-k variant holds cells at
+    # ~250 vectors so the same driver grows ~linearly
+    "x45_semdedup_keep": "cell_pair_stream",
+    "x45_semdedup_auto": "cell_pair_stream",
 }
 
 #: time-ratio must stay under rows_ratio * this constant for every
@@ -229,6 +249,9 @@ SCALE1000_QUERIES: tuple[str, ...] = (
     # provably pair-volume-driven (the per-copy token suffix keeps
     # copies from colliding, so pair mass grows ~linearly with copies)
     "x2b_lsh_candidate_pairs",
+    # DSIR importance scoring: one 270 M-token explode against a
+    # 64-row broadcast bucket table — the token-linear curation op
+    "x44_dsir_importance",
 )
 SCALE1000_TABLES = ("region", "nation", "events", "documents")
 
@@ -457,7 +480,23 @@ def main() -> None:
             dim=64, seed=42, n_tables=4, max_bucket=EMB_LSH_MAX_BUCKET,
         )
 
-    extra = {"x3b_embedding_neardup_auto": x3b_auto}
+    def x45_auto(spark_, sf_dir):
+        # The registered x45 pins k=KMEANS_K so its DuckDB oracle can
+        # unroll the Lloyd passes; a scale deployment sizes the cell
+        # count to the corpus (recommended_kmeans_k), which holds the
+        # within-cell pair stream linear — the configuration whose
+        # scaling this bench grades (same pattern as x3b_auto).
+        from data_engineer_project_weather_analytics_spark.operators import similarity
+        from data_engineer_project_weather_analytics_spark.sources.catalog import load_table
+
+        emb = load_table(spark_, sf_dir, "embeddings")
+        k = similarity.recommended_kmeans_k(emb.count())
+        return similarity.semdedup_keep(emb, "vec_id", "embedding", k=k)
+
+    extra = {
+        "x3b_embedding_neardup_auto": x3b_auto,
+        "x45_semdedup_auto": x45_auto,
+    }
 
     def run(name: str, sf_dir: str) -> float:
         """Best-of-2 wall-clock: a single sample is exposed to GC
@@ -510,6 +549,38 @@ def main() -> None:
             return copurchase_adjacency(
                 load_table(spark, sf_dir, "lineitem")
             ).count()
+        if kind == "span_stream":
+            from data_engineer_project_weather_analytics_spark.plans.corpus import _SPAN_N
+
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            return int(
+                docs.select(
+                    F.sum(
+                        F.greatest(
+                            F.size(F.split("text", " ")) - (_SPAN_N - 1),
+                            F.lit(0),
+                        )
+                    )
+                ).first()[0]
+            )
+        if kind == "cell_pair_stream":
+            from data_engineer_project_weather_analytics_spark.operators import similarity
+            from data_engineer_project_weather_analytics_spark.sources.catalog import load_table
+
+            emb = load_table(spark, sf_dir, "embeddings")
+            k = (
+                similarity.recommended_kmeans_k(emb.count())
+                if name.endswith("_auto")
+                else similarity.KMEANS_K
+            )
+            per = similarity.kmeans_assign(
+                emb, "vec_id", "embedding", k=k
+            ).groupBy("cluster_id").count()
+            return int(
+                per.select(
+                    F.sum(F.col("count") * (F.col("count") - 1) / 2)
+                ).first()[0]
+            )
         if kind == "shingle_stream":
             docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
             return int(

@@ -541,6 +541,18 @@ def embedding_neardup_pairs(
     )
 
 
+def recommended_kmeans_k(n_vectors: int, target_cell: int = 250) -> int:
+    """Cell count that keeps the EXPECTED cell population near
+    ``target_cell`` — the deployment policy for :func:`semdedup_keep`:
+    within-cell pair work is O(Σ cell²), so a FIXED k makes the pair
+    stream quadratic in the corpus while k ∝ n keeps cells
+    constant-size and the pair stream linear (the IVF trade;
+    :func:`recommended_n_planes` is the same policy for LSH buckets).
+    Floored at ``KMEANS_K`` so small corpora keep the registered
+    oracle-checked configuration."""
+    return max(KMEANS_K, n_vectors // target_cell)
+
+
 def recommended_n_planes(n_vectors: int, target_bucket: int = 256) -> int:
     """Plane count that keeps the EXPECTED bucket population near
     ``target_bucket``: 2^planes buckets per table ⇒

@@ -22,7 +22,7 @@ from data_engineer_project_weather_analytics_spark.plans.registry import (  # no
 
 #: bench_scale names resolved through its local `extra` dict rather
 #: than the registry (scale-configuration variants of registered ops)
-_SCALE_EXTRA = {"x3b_embedding_neardup_auto"}
+_SCALE_EXTRA = {"x3b_embedding_neardup_auto", "x45_semdedup_auto"}
 
 
 def test_bench_headline_is_registered_with_valid_modes():
@@ -74,6 +74,8 @@ def test_bench_scale_accounted_targets_are_timed():
         "candidate_pairs",
         "token_stream",
         "shingle_stream",
+        "span_stream",
+        "cell_pair_stream",
         "wedge_count",
         "copurchase_edges",
     }
