@@ -1528,12 +1528,16 @@ def x43_duplicate_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-coverage framing of the paper.
 
     Scale shape: tokenize ONCE behind a projection boundary, slice the
-    materialized array (the O(tokens²) inlining rule); one shuffle on
-    span for the distinct-doc counts, the span stream's exchange
-    reused by the count-join (same key), then one doc_id shuffle for
-    the per-doc rollup — all rows work-bounded by the span stream,
-    skew AQE-splittable.  No suffix array needed: span-hash
-    aggregation is embarrassingly parallel at 100 TB.
+    materialized array (the O(tokens²) inlining rule); the corpus is
+    exploded exactly ONCE — per-doc occurrence counts are grouped on
+    (span, doc_id) with map-side partial aggregation, the distinct-doc
+    count ``nd`` is then a count window over span on that already
+    combined stream (one (span,doc) row per pair ≡ count DISTINCT
+    doc), and the per-doc rollup is the final doc_id shuffle.  A
+    join-back of a separate count aggregate would scan + explode the
+    corpus twice (the dominant cost at 100 TB); the window form pays
+    one extra small-stream exchange instead.  No suffix array needed:
+    span-hash aggregation is embarrassingly parallel at 100 TB.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("__toks"))
@@ -1548,15 +1552,18 @@ def x43_duplicate_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     spans = toks.select("doc_id", F.explode(span).alias("span"))
-    counts = spans.groupBy("span").agg(
-        F.count_distinct("doc_id").alias("nd")
+    occ = spans.groupBy("span", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_occ")
     )
+    # one row per (span, doc) ⇒ a plain count over the span window IS
+    # the distinct-doc count, with no second pass over the corpus
+    nd = F.count(F.lit(1)).over(Window.partitionBy("span"))
     return (
-        spans.join(counts, "span")
+        occ.withColumn("nd", nd)
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            F.sum("n_occ").cast("bigint").alias("n_spans"),
+            F.sum(F.when(F.col("nd") >= 2, F.col("n_occ")).otherwise(0))
             .cast("bigint")
             .alias("n_dup_spans"),
         )
@@ -1630,6 +1637,58 @@ def x44_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dsir_score"),
             F.sum("c").cast("bigint").alias("n_tokens"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# X46 — deterministic stratified mixture sampling (the resampling step
+# of a pretraining-mixture pipeline: DSIR/Pile-style per-source rates)
+# --------------------------------------------------------------------------
+
+#: per-language keep rates in basis points (of 10 000): downsample the
+#: over-represented head language, keep the tail.  A real pipeline
+#: feeds this spec from a mixture planner; the mechanism under test is
+#: the deterministic hash-threshold Bernoulli + broadcast spec join.
+_MIX_RATES_BP: dict[str, int] = {
+    "en": 5000, "de": 8000, "fr": 8000, "es": 8000, "zh": 8000,
+}
+
+_MIX_SEED = "mix1"
+
+
+def x46_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling: keep a document iff
+    ``hash(seed, doc_id) % 10000 < rate_bp(lang)`` against a
+    per-language mixture spec — the resampling step that turns
+    importance scores (x44) or a mixture plan into an actual training
+    subset.  Hash-threshold Bernoulli (not ``TABLESAMPLE``/``rand()``)
+    so the sample is reproducible across engines, runs, and
+    partitionings, and composable: tightening a rate yields a strict
+    subset of the previous sample.
+
+    Scale shape: one corpus scan, the spec is a broadcast literal
+    table (real specs run to thousands of sources — a join, not a
+    CASE chain), filter evaluated map-side — ZERO data shuffles; at
+    100 TB this is a pure streaming pass.  Hash is the portable
+    md5-prefix idiom (`_h48`), bit-identical in DuckDB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    spec = F.broadcast(
+        spark.createDataFrame(
+            sorted(_MIX_RATES_BP.items()), "lang string, rate_bp int"
+        )
+    )
+    h = _h48(f"concat('{_MIX_SEED}:', CAST(doc_id AS STRING))")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+            (h % 10000).alias("__u"),
+        )
+        .join(spec, "lang")
+        .where(F.col("__u") < F.col("rate_bp"))
+        .select("doc_id", "lang", "n_tokens")
     )
 
 
@@ -1729,6 +1788,19 @@ ORACLES_CORPUS: dict[str, str] = {
                CAST(sum(c) AS BIGINT) AS n_tokens
         FROM doc_counts JOIN deltas USING (bucket)
         GROUP BY doc_id
+    """,
+    # hash-threshold Bernoulli: portable 48-bit md5 prefix, same seed
+    # string — the kept set must be bit-identical across engines
+    "x46_mixture_sample": f"""
+        WITH spec(lang, rate_bp) AS (VALUES {", ".join(
+            f"('{lang}', {bp})" for lang, bp in sorted(_MIX_RATES_BP.items())
+        )})
+        SELECT d.doc_id, d.lang,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents d JOIN spec s ON s.lang = d.lang
+        WHERE ('0x' || substr(md5('{_MIX_SEED}:' ||
+                   CAST(d.doc_id AS VARCHAR)), 1, 12))::BIGINT
+              % 10000 < s.rate_bp
     """,
     "g3_label_propagation": f"""
         WITH {SQL_COPURCHASE_ADJ_CTE},

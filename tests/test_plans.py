@@ -4,6 +4,8 @@ scale must survive refactors.  Each assertion is a scale invariant the
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from data_engineer_project_weather_analytics_spark.plans.registry import REGISTRY
@@ -654,3 +656,53 @@ def test_hybrid_rrf_rankers_close_before_fusion(spark):
     # the fusion must keep docs present in only one list (RRF's 0
     # contribution convention) — a full outer join, not inner
     assert "FullOuter" in plan, plan
+
+
+def test_duplicate_span_fraction_single_corpus_scan(spark):
+    """x43 must read + explode the corpus exactly ONCE: the
+    distinct-doc count is a window over the (span, doc)-combined
+    stream, not a join-back of a separate aggregate (which would plan
+    a second FileScan+Generate of documents — the dominant cost,
+    doubled, at 100 TB)."""
+    static = _formatted_plan(spark, "x43_duplicate_span_fraction")
+    scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", static))
+    gen_ids = set(re.findall(r"\((\d+)\) Generate", static))
+    assert len(scan_ids) == 1, (
+        f"expected 1 corpus scan, got {sorted(scan_ids)}:\n{static}"
+    )
+    assert len(gen_ids) == 1, (
+        f"expected 1 span explode, got {sorted(gen_ids)}:\n{static}"
+    )
+
+
+def test_dsir_bucket_table_broadcasts(spark):
+    """x44's global bucket table is 64 rows BY CONSTRUCTION — it must
+    reach the per-doc counts as a broadcast hash join (a shuffle join
+    here would re-partition the whole doc-count stream against a
+    dimensionality-bounded side)."""
+    static = _formatted_plan(spark, "x44_dsir_importance")
+    assert "BroadcastHashJoin" in static, static
+
+
+def test_mixture_sample_is_shuffle_free(spark):
+    """x46 is a pure map-side streaming pass: the mixture spec joins
+    as a broadcast and the hash-threshold filter evaluates per-row —
+    any `Exchange hashpartitioning` here means the sampler would
+    shuffle 100 TB to keep a subset of it."""
+    static = _formatted_plan(spark, "x46_mixture_sample")
+    assert "BroadcastHashJoin" in static, static
+    assert "Exchange hashpartitioning" not in static, static
+
+
+def test_semdedup_pair_join_shuffles_on_cell_only(spark):
+    """x45's within-cell pair join must be a hash join keyed on the
+    cluster id (the IVF trade: pair work bounded by Σ cell²), never a
+    nested-loop over the corpus; the k-row codebook products inside
+    the kmeans substrate are the only nested-loop sites (bounded
+    broadcast allowlist)."""
+    static = _formatted_plan(spark, "x45_semdedup_keep")
+    joins = [
+        ln for ln in static.splitlines() if "SortMergeJoin" in ln or
+        ("BroadcastHashJoin" in ln) or "ShuffledHashJoin" in ln
+    ]
+    assert joins, "no hash join found for the cell pair join:\n" + static
