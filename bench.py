@@ -72,6 +72,10 @@ HEADLINE: dict[str, str] = {
     "x33_chunk_dedup": "checksum",
     "x3g_kmeans_clusters": "checksum",
     "x42_hybrid_rrf": "collect",
+    "x43_duplicate_span_fraction": "checksum",
+    "x44_dsir_importance": "checksum",
+    "x45_semdedup_keep": "checksum",
+    "x46_mixture_sample": "checksum",
 }
 
 
