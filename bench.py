@@ -76,6 +76,7 @@ HEADLINE: dict[str, str] = {
     "x44_dsir_importance": "checksum",
     "x45_semdedup_keep": "checksum",
     "x46_mixture_sample": "checksum",
+    "x48_sequence_packing": "checksum",
 }
 
 

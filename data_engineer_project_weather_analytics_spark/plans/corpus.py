@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_engineer_project_weather_analytics_spark.operators import dedup, similarity
+from data_engineer_project_weather_analytics_spark.operators.prefix_sum import distributed_cumsum
 from data_engineer_project_weather_analytics_spark.plans.analytics import ORACLES_ANALYTICS
 from data_engineer_project_weather_analytics_spark.plans.oracles_extensions import (
     _OK_BUCKETS,
@@ -872,8 +873,6 @@ def o4_pareto_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-invariance of the prefix sum is what makes the two
     formulations equal.
     """
-    from data_engineer_project_weather_analytics_spark.operators.prefix_sum import distributed_cumsum
-
     orders = load_table(spark, sf_dir, "orders")
     spend = (
         orders.select(
@@ -1692,6 +1691,54 @@ def x46_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# X48 — training-sequence packing layout (GPT-style concat-and-chop)
+# --------------------------------------------------------------------------
+
+#: training sequence length in tokens.  Documents average ~50 tokens,
+#: so most pack whole into one sequence and a minority straddle a
+#: boundary — both branches of the layout arithmetic get exercised.
+_PACK_SEQ_LEN = 512
+
+
+def x48_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic packing layout for LM training: concatenate the
+    corpus token stream in doc_id order and chop it into fixed
+    ``_PACK_SEQ_LEN``-token sequences; emit, per document, its global
+    start offset, the sequence it starts in, and how many sequences it
+    straddles — the metadata a loader needs to materialize packed
+    batches (and the attention-mask bookkeeping for boundary docs).
+
+    The layout is a pure function of the global running token count,
+    so the whole op is the distributed prefix-sum substrate
+    (operators/prefix_sum.py — range-repartition, parallel local
+    cumsums, a parallelism-sized offset table) plus in-row integer
+    arithmetic: NO single-reducer window over the corpus, the scale
+    trap a naive ``Window.orderBy`` would plan.  Every output is exact
+    int64, bit-identical to a single-node window oracle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    cum = distributed_cumsum(toks, ["doc_id"], "n_tokens", "cum_tokens")
+    start = F.col("cum_tokens") - F.col("n_tokens")
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        start.alias("start_offset"),
+        F.expr(f"(cum_tokens - n_tokens) DIV {_PACK_SEQ_LEN}").alias(
+            "start_seq"
+        ),
+        F.expr(
+            f"(cum_tokens - 1) DIV {_PACK_SEQ_LEN}"
+            f" - (cum_tokens - n_tokens) DIV {_PACK_SEQ_LEN} + 1"
+        )
+        .cast("bigint")
+        .alias("n_seqs_spanned"),
+    )
+
+
 #: oracle twins of eligible_basket_items / copurchase_edges /
 #: copurchase_adjacency — ONE definition on the SQL side as well, so
 #: the five co-purchase oracles (g1/g2/g3 here and in lakeops,
@@ -1801,6 +1848,32 @@ ORACLES_CORPUS: dict[str, str] = {
         WHERE ('0x' || substr(md5('{_MIX_SEED}:' ||
                    CAST(d.doc_id AS VARCHAR)), 1, 12))::BIGINT
               % 10000 < s.rate_bp
+    """,
+    # single-node window cumsum is legitimate on the oracle side
+    # (DuckDB is one node anyway); partition-invariance of the
+    # distributed prefix sum makes the formulations equal.  sum() in a
+    # DuckDB window is HUGEINT → CAST to BIGINT (r2 rule); offsets are
+    # non-negative so // (trunc) ≡ Spark DIV (floor).
+    "x48_sequence_packing": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, n_tokens,
+                   CAST(sum(n_tokens) OVER (
+                       ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS cum_tokens
+            FROM toks
+        )
+        SELECT doc_id, n_tokens,
+               cum_tokens - n_tokens AS start_offset,
+               (cum_tokens - n_tokens) // {_PACK_SEQ_LEN} AS start_seq,
+               CAST((cum_tokens - 1) // {_PACK_SEQ_LEN}
+                    - (cum_tokens - n_tokens) // {_PACK_SEQ_LEN} + 1
+                    AS BIGINT) AS n_seqs_spanned
+        FROM cum
     """,
     "g3_label_propagation": f"""
         WITH {SQL_COPURCHASE_ADJ_CTE},

@@ -420,3 +420,42 @@ def test_dsir_importance_first_principles(spark):
     en = [s for (d, (s, _)) in expect.items() if langs[d] == "en"]
     other = [s for (d, (s, _)) in expect.items() if langs[d] != "en"]
     assert sum(en) / len(en) > sum(other) / len(other)
+
+
+def test_mixture_sample_partitioning_invariant_and_monotone(spark):
+    """x46's two headline claims, which the oracle can't express:
+    (1) the kept set is invariant under re-partitioning (a rand()- or
+    TABLESAMPLE-based sampler fails this — the sample would change
+    with the physical split); (2) tightening every rate yields a
+    STRICT SUBSET (hash-threshold monotonicity), the property that
+    lets a pipeline re-cut a mixture without resampling churn."""
+    from data_engineer_project_weather_analytics_spark.sources.catalog import load_table
+
+    base = {
+        r["doc_id"] for r in REGISTRY["x46_mixture_sample"].fn(spark, SF_DIR).collect()
+    }
+    assert base, "sample came back empty"
+
+    docs = load_table(spark, SF_DIR, "documents").repartition(13)
+    h = corpus._h48(
+        f"concat('{corpus._MIX_SEED}:', CAST(doc_id AS STRING))"
+    )
+    spec = F.broadcast(
+        spark.createDataFrame(
+            sorted(corpus._MIX_RATES_BP.items()), "lang string, rate_bp int"
+        )
+    )
+    shuffled = (
+        docs.select("doc_id", "lang", (h % 10000).alias("__u"))
+        .join(spec, "lang")
+        .where(F.col("__u") < F.col("rate_bp"))
+    )
+    assert {r["doc_id"] for r in shuffled.collect()} == base
+
+    tighter = (
+        docs.select("doc_id", "lang", (h % 10000).alias("__u"))
+        .join(spec, "lang")
+        .where(F.col("__u") < F.col("rate_bp") - 2500)
+    )
+    tight_ids = {r["doc_id"] for r in tighter.collect()}
+    assert tight_ids < base  # strict subset, non-empty gap

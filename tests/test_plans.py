@@ -645,6 +645,17 @@ def test_pareto_cumsum_is_range_partitioned_not_single_reducer(spark):
     assert singles <= 1, plan
 
 
+def test_sequence_packing_is_range_partitioned_not_single_reducer(spark):
+    """x48's packing layout rides the distributed prefix sum: range
+    repartition + PARTITIONed local windows; the only SinglePartition
+    exchange allowed is the parallelism-sized offsets table — a naive
+    Window.orderBy over the corpus would single-reduce 100 TB."""
+    plan = _formatted_plan(spark, "x48_sequence_packing")
+    assert "rangepartitioning" in plan, plan
+    singles = plan.count("Exchange SinglePartition")
+    assert singles <= 1, plan
+
+
 def test_hybrid_rrf_rankers_close_before_fusion(spark):
     """x42's scale contract: each ranker's list is cut by
     TakeOrderedAndProject (no global sort) BEFORE its rank window, so
