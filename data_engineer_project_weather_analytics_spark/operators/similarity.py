@@ -383,9 +383,16 @@ def kmeans_assign(
       (``conv(substr(md5(id),1,8),16,10)`` ≡ DuckDB
       ``('0x'||substr(md5(id),1,8))::BIGINT``), a pseudo-random but
       engine-identical draw; no RNG state;
-    * assignment — argmax cosine with ties to the lowest cell id, via
-      one ``max(struct(sim, -cell))`` so the n×k scored rows collapse
-      map-side (no window over the product);
+    * assignment — argmax over the 1e-4-QUANTIZED cosine (``sim_q``)
+      with ties to the lowest cell id, via one ``max(struct(simq,
+      -cell))`` so the n×k scored rows collapse map-side (no window
+      over the product).  Quantized, not raw: Spark's fold-based
+      dot/(sqrt·sqrt) and DuckDB's ``list_cosine_similarity`` are
+      different expression trees, so a last-ulp near-tie between two
+      centroids could flip an assignment cross-engine and the
+      divergence would compound through the centroid updates — the
+      x42 integer-key ordering rule applied to the Lloyd loop (the
+      oracle CTEs a1/a2/a3 order on the same floored value);
     * update — :func:`cell_centroids` µ-quantized exact means
       (integer sums, one double division), order- and
       engine-independent, so iteration t+1 starts from bit-identical
@@ -420,9 +427,9 @@ def kmeans_assign(
             "__vid",
             "__v",
             "cell",
-            cosine(F.col("__v"), F.col("centroid")).alias("__csim"),
+            sim_q(cosine(F.col("__v"), F.col("centroid"))).alias("__cs"),
         )
-        best = F.struct(F.col("__csim").alias("s"), (-F.col("cell")).alias("nc"))
+        best = F.struct(F.col("__cs").alias("s"), (-F.col("cell")).alias("nc"))
         assigned = (
             scored.groupBy("__vid")
             .agg(F.max(best).alias("__m"), F.first("__v").alias("__v"))
@@ -430,7 +437,7 @@ def kmeans_assign(
                 "__vid",
                 "__v",
                 (-F.col("__m.nc")).cast("int").alias("cell"),
-                F.col("__m.s").alias("__csim"),
+                F.col("__m.s").alias("__cs"),
             )
         )
         if it < n_iter - 1:
@@ -438,12 +445,168 @@ def kmeans_assign(
     out = [
         F.col("__vid").alias(id_col),
         F.col("cell").alias("cluster_id"),
-        sim_q(F.col("__csim")).alias("sim"),
+        F.col("__cs").alias("sim"),
     ]
     if keep_vec:
         # downstream within-cell work (semdedup_keep) needs the vector
         # next to the assignment without a second join against the
         # source table
+        out.append(F.col("__v").alias("vec"))
+    return assigned.select(*out)
+
+
+#: largest fine codebook that is still broadcast whole in
+#: :func:`kmeans_assign_two_level` — 65536 cells × 64 dims × 8 B ≈
+#: 33 MB per executor.  Above it the fine-centroid join falls back to a
+#: shuffled hash join on the coarse id, so the codebook SHARDS across
+#: the cluster instead of being replicated into every executor (the
+#: flat :func:`kmeans_assign` docstring's "fine to ~10⁶ cells" ceiling
+#: removed).
+FINE_CODEBOOK_BROADCAST_MAX_K = 65536
+
+
+def kmeans_assign_two_level(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_iter: int = KMEANS_ITERS,
+    coarse_k: int | None = None,
+    keep_vec: bool = False,
+    keep_coarse: bool = False,
+    broadcast_fine: bool | None = None,
+) -> DataFrame:
+    """Two-level (coarse→fine) Lloyd assignment — the scale-safe form
+    of :func:`kmeans_assign` for corpus-sized k (the
+    :func:`recommended_kmeans_k` deployment policy makes k ∝ n, so the
+    flat n×k assignment stream is QUADRATIC in the corpus; this is the
+    round-6 SemDeDup scale finding).
+
+    Per pass, instead of scoring every vector against all k centroids:
+
+    1. route each FINE centroid to its nearest coarse centroid
+       (k × √k scored rows — codebook-sized, never corpus-sized);
+    2. rebuild the occupied-coarse codebook as the µ-quantized mean of
+       its member fine centroids (so every coarse cell a vector can
+       pick has ≥ 1 fine centroid — the routing join can never drop a
+       vector);
+    3. argmax each vector over the ~√k coarse centroids (broadcast);
+    4. join vectors to fine centroids ON THE COARSE ID and argmax
+       within the routed cell — E[k/√k] = √k candidates per vector.
+
+    Scored rows per pass: O(n·√k) instead of O(n·k) — with k = n/250
+    that is O(n^1.5/16) instead of O(n²/250).  The fine-centroid join
+    broadcasts only while the codebook is small
+    (``FINE_CODEBOOK_BROADCAST_MAX_K``); past that it is a shuffled
+    hash join on the coarse id, so the codebook shards instead of
+    replicating (``broadcast_fine`` overrides for tests).
+
+    Single-probe approximation: a vector only sees fine centroids
+    routed to ITS coarse cell, so the winner can differ from the flat
+    argmax near coarse-cell boundaries — the standard IVF trade, fine
+    for dedup cell formation (SemDeDup is itself approximate; Abbas et
+    al. §3 cluster with exactly this kind of quantizer).  Same
+    determinism contract as the flat form: portable-hash seeding (the
+    first ``coarse_k`` fine seeds double as coarse seeds), quantized
+    argmax with ties to the lowest id, µ-quantized centroid means.
+
+    Output: ``(id, cluster_id, sim)`` (+ ``coarse_id`` when
+    ``keep_coarse`` — the work-accounting hook, + ``vec`` when
+    ``keep_vec``)."""
+    if coarse_k is None:
+        coarse_k = max(2, math.isqrt(k))
+    if broadcast_fine is None:
+        broadcast_fine = k <= FINE_CODEBOOK_BROADCAST_MAX_K
+    v = vectors.select(
+        F.col(id_col).alias("__vid"), _as_double(vec_col).alias("__v")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("__vid").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    seeds = v.select("__vid", "__v", h.alias("__h")).orderBy("__h", "__vid").limit(k)
+    w = Window.orderBy("__h", "__vid")  # k rows post-limit: bounded window
+    fine = seeds.select(
+        F.row_number().over(w).alias("cell"), F.col("__v").alias("centroid")
+    )
+    coarse = fine.filter(F.col("cell") <= coarse_k).select(
+        F.col("cell").alias("coarse"), F.col("centroid").alias("ccent")
+    )
+    assigned = None
+    for it in range(n_iter):
+        # 1. fine → coarse routing (codebook × coarse codebook product)
+        fbest = F.struct(F.col("__cs").alias("s"), (-F.col("coarse")).alias("nc"))
+        fmap = (
+            fine.crossJoin(F.broadcast(coarse))
+            .select(
+                "cell",
+                "centroid",
+                "coarse",
+                sim_q(cosine(F.col("centroid"), F.col("ccent"))).alias("__cs"),
+            )
+            .groupBy("cell")
+            .agg(F.max(fbest).alias("__m"), F.first("centroid").alias("centroid"))
+            .select(
+                "cell", "centroid", (-F.col("__m.nc")).cast("int").alias("coarse")
+            )
+        )
+        # 2. occupied-coarse codebook (µ-quantized mean of member fine
+        #    centroids) — every coarse id here has ≥1 fine centroid
+        occ = cell_centroids(
+            fmap.select(F.col("coarse").alias("cc"), "centroid"), "cc", "centroid"
+        ).select(F.col("cell").alias("coarse"), F.col("centroid").alias("ccent"))
+        # 3. vector → coarse argmax (n × |occ| rows, tiny broadcast)
+        vbest = F.struct(F.col("__cs").alias("s"), (-F.col("coarse")).alias("nc"))
+        vc = (
+            v.crossJoin(F.broadcast(occ))
+            .select(
+                "__vid",
+                "__v",
+                "coarse",
+                sim_q(cosine(F.col("__v"), F.col("ccent"))).alias("__cs"),
+            )
+            .groupBy("__vid")
+            .agg(F.max(vbest).alias("__m"), F.first("__v").alias("__v"))
+            .select("__vid", "__v", (-F.col("__m.nc")).cast("int").alias("coarse"))
+        )
+        # 4. fine argmax WITHIN the routed coarse cell — equi-join on
+        #    the coarse id; sharded (shuffle_hash) once the codebook
+        #    outgrows a sane broadcast
+        fj = fmap.select("coarse", "cell", "centroid")
+        fj = F.broadcast(fj) if broadcast_fine else fj.hint("shuffle_hash")
+        scored = vc.join(fj, "coarse").select(
+            "__vid",
+            "__v",
+            "coarse",
+            "cell",
+            sim_q(cosine(F.col("__v"), F.col("centroid"))).alias("__cs"),
+        )
+        cbest = F.struct(F.col("__cs").alias("s"), (-F.col("cell")).alias("nc"))
+        assigned = (
+            scored.groupBy("__vid")
+            .agg(
+                F.max(cbest).alias("__m"),
+                F.first("__v").alias("__v"),
+                F.first("coarse").alias("coarse"),
+            )
+            .select(
+                "__vid",
+                "__v",
+                "coarse",
+                (-F.col("__m.nc")).cast("int").alias("cell"),
+                F.col("__m.s").alias("__cs"),
+            )
+        )
+        if it < n_iter - 1:
+            fine = cell_centroids(assigned, "cell", "__v")
+            coarse = occ
+    out = [
+        F.col("__vid").alias(id_col),
+        F.col("cell").alias("cluster_id"),
+        F.col("__cs").alias("sim"),
+    ]
+    if keep_coarse:
+        out.append(F.col("coarse").alias("coarse_id"))
+    if keep_vec:
         out.append(F.col("__v").alias("vec"))
     return assigned.select(*out)
 
@@ -455,6 +618,9 @@ def semdedup_keep(
     k: int = KMEANS_K,
     n_iter: int = KMEANS_ITERS,
     threshold: float = 0.8,
+    two_level: bool = False,
+    coarse_k: int | None = None,
+    broadcast_fine: bool | None = None,
 ) -> DataFrame:
     """SemDeDup keep/drop decision (Abbas et al., "SemDeDup: Data-
     efficient learning at web-scale through semantic deduplication",
@@ -471,15 +637,33 @@ def semdedup_keep(
     how production dedup pipelines batch the keep decision.
 
     Scale shape: pair work is O(Σ cell²) — the IVF trade, cell count
-    must grow with the corpus; the neighbor aggregation shuffles pair
-    rows only (already threshold-filtered); the final left join is
-    id-keyed.  The two pair-join sides scan one kmeans subtree that
-    AQE deduplicates via exchange reuse.
+    must grow with the corpus (:func:`recommended_kmeans_k`); the
+    neighbor aggregation shuffles pair rows only (already
+    threshold-filtered); the final left join is id-keyed.  The two
+    pair-join sides scan one kmeans subtree that AQE deduplicates via
+    exchange reuse.  With k ∝ n the FLAT assignment stream is itself
+    quadratic (n·k scored rows per pass) — the deployment form passes
+    ``two_level=True`` to route through
+    :func:`kmeans_assign_two_level` (O(n·√k) per pass, shardable
+    codebook); the registered fixed-k x45 keeps the flat form its
+    unrolled DuckDB oracle replays.
 
     Output: ``(id, cluster_id, n_near, kept)`` — epsilon-neighborhood
     degree and the 0/1 keep flag.
     """
-    assigned = kmeans_assign(vectors, id_col, vec_col, k, n_iter, keep_vec=True)
+    if two_level:
+        assigned = kmeans_assign_two_level(
+            vectors,
+            id_col,
+            vec_col,
+            k,
+            n_iter,
+            coarse_k=coarse_k,
+            keep_vec=True,
+            broadcast_fine=broadcast_fine,
+        )
+    else:
+        assigned = kmeans_assign(vectors, id_col, vec_col, k, n_iter, keep_vec=True)
     a = assigned.select(
         F.col(id_col).alias("id_a"), "cluster_id", F.col("vec").alias("__va")
     )

@@ -861,9 +861,43 @@ def x5d_resize_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x3b_embedding_neardup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployment form of x3b: the hyperplane count sized to the
+    corpus (``recommended_n_planes``, holding expected bucket width
+    constant) instead of the fixed 6 planes the oracle replays as SQL
+    literals.  Rows-only by necessity — the plane count depends on a
+    runtime ``count()``, so no fixed SQL text can replay it — but
+    registering it makes the scale-critical configuration part of the
+    driver's correctness surface (schema + row-count guarded; its 10×
+    wall-clock is accounted in BENCH_SCALE.json)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_lsh(
+        emb, "vec_id", "embedding", threshold=0.8, n_planes=None,
+        dim=64, seed=42, n_tables=4, max_bucket=EMB_LSH_MAX_BUCKET,
+    )
+
+
+def x45_semdedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployment form of x45: cell count sized to the corpus
+    (``recommended_kmeans_k``, holding expected cell width constant so
+    the within-cell pair stream stays linear) AND the two-level
+    coarse→fine assignment (``kmeans_assign_two_level``, O(n·√k)
+    scored rows per Lloyd pass where the flat form's n·k is quadratic
+    when k ∝ n — the round-6 scale finding).  Rows-only by necessity —
+    k depends on a runtime ``count()`` — but registered so the
+    deployment path is schema/row-count guarded by the driver; its
+    10×/100×/1000× wall-clock carries full work accounting in
+    BENCH_SCALE.json."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = similarity.recommended_kmeans_k(emb.count())
+    return similarity.semdedup_keep(emb, "vec_id", "embedding", k=k, two_level=True)
+
+
 #: rows-only registrations (genuinely non-SQL-expressible paths)
 NO_ORACLE = {
     "x5_multimodal_features": _x5_multimodal_features,
+    "x3b_embedding_neardup_auto": x3b_embedding_neardup_auto,
+    "x45_semdedup_auto": x45_semdedup_auto,
 }
 
 

@@ -232,7 +232,7 @@ _SIGNATURES = f"""
 """
 
 #: Lloyd k-means unrolled as a CTE chain ending in the final
-#: assignment ``a3 (vec_id, emb, cell, cos)`` — shared by the x3g
+#: assignment ``a3 (vec_id, emb, cell, simq)`` — shared by the x3g
 #: assignment oracle and the x45 SemDeDup keep-decision oracle
 #: (spliced in place of the __KMEANS_CTES__ placeholder below).
 _KMEANS_CTES = """
@@ -251,12 +251,18 @@ _KMEANS_CTES = """
             )
         ),
         a1 AS (
+            -- argmax on the 1e-4-floored cosine, ties to the lowest
+            -- cell: DuckDB's list_cosine_similarity and Spark's fold
+            -- tree differ in the last ulp, so ordering on the raw
+            -- double could flip a near-tie and compound through the
+            -- centroid updates (x42 integer-key rule)
             SELECT vec_id, emb, cell FROM (
                 SELECT v.vec_id, v.emb, c.cell,
                        row_number() OVER (
                            PARTITION BY v.vec_id
-                           ORDER BY list_cosine_similarity(v.emb, c.centroid)
-                                        DESC, c.cell) AS r
+                           ORDER BY CAST(floor(list_cosine_similarity(
+                                        v.emb, c.centroid) * 10000)
+                                        AS BIGINT) DESC, c.cell) AS r
                 FROM v CROSS JOIN seed c
             ) WHERE r = 1
         ),
@@ -281,8 +287,9 @@ _KMEANS_CTES = """
                 SELECT v.vec_id, v.emb, c.cell,
                        row_number() OVER (
                            PARTITION BY v.vec_id
-                           ORDER BY list_cosine_similarity(v.emb, c.centroid)
-                                        DESC, c.cell) AS r
+                           ORDER BY CAST(floor(list_cosine_similarity(
+                                        v.emb, c.centroid) * 10000)
+                                        AS BIGINT) DESC, c.cell) AS r
                 FROM v CROSS JOIN c1 c
             ) WHERE r = 1
         ),
@@ -303,13 +310,15 @@ _KMEANS_CTES = """
             ) GROUP BY cell
         ),
         a3 AS (
-            SELECT vec_id, emb, cell, cos FROM (
+            SELECT vec_id, emb, cell, simq FROM (
                 SELECT v.vec_id, v.emb, c.cell,
-                       list_cosine_similarity(v.emb, c.centroid) AS cos,
+                       CAST(floor(list_cosine_similarity(
+                            v.emb, c.centroid) * 10000) AS BIGINT) AS simq,
                        row_number() OVER (
                            PARTITION BY v.vec_id
-                           ORDER BY list_cosine_similarity(v.emb, c.centroid)
-                                        DESC, c.cell) AS r
+                           ORDER BY CAST(floor(list_cosine_similarity(
+                                        v.emb, c.centroid) * 10000)
+                                        AS BIGINT) DESC, c.cell) AS r
                 FROM v CROSS JOIN c2 c
             ) WHERE r = 1
         )"""
@@ -539,7 +548,7 @@ ORACLES_EXT: dict[str, str] = {
     "x3g_kmeans_clusters": """
         WITH __KMEANS_CTES__
         SELECT vec_id, CAST(cell AS INTEGER) AS cluster_id,
-               CAST(floor(cos * 10000) AS BIGINT) AS sim
+               simq AS sim
         FROM a3
     """,
     # greedy min-id SemDeDup over the same unrolled k-means cells: a

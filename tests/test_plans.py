@@ -171,6 +171,7 @@ _BOUNDED_BROADCAST_QUERIES = {
     "x3f_semantic_neardup",  # vector x codebook product (|cells| rows)
     "x3g_kmeans_clusters",  # vector x k-row codebook product per Lloyd pass
     "x45_semdedup_keep",  # same k-row codebook product (kmeans substrate)
+    "x45_semdedup_auto",  # two-level kmeans: coarse-codebook products
     "x9_tfidf_keywords",
     "tpch_q22_dormant_customers",
     "tpch_q15_top_supplier",   # 1-row max join
@@ -717,3 +718,54 @@ def test_semdedup_pair_join_shuffles_on_cell_only(spark):
         ("BroadcastHashJoin" in ln) or "ShuffledHashJoin" in ln
     ]
     assert joins, "no hash join found for the cell pair join:\n" + static
+
+
+def test_two_level_kmeans_fine_codebook_shards_past_broadcast_ceiling(spark):
+    """The two-level assignment removes the flat form's single point
+    of failure — one broadcast of ALL k×dim centroid doubles (dead
+    near 10⁶ cells).  Past FINE_CODEBOOK_BROADCAST_MAX_K the fine
+    join must plan as a SHUFFLED hash join on the coarse id (the
+    codebook shards across executors); under it, a broadcast join
+    (latency at bench scale).  Exercised via the broadcast_fine
+    override because no local testdata has 65k+ vectors (the x22
+    forced-SMJ precedent: assert the strategy switch, not the size)."""
+    from data_engineer_project_weather_analytics_spark.operators import similarity
+    from data_engineer_project_weather_analytics_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    sharded = similarity.kmeans_assign_two_level(
+        emb, "vec_id", "embedding", k=32, broadcast_fine=False
+    )
+    plan = sharded._jdf.queryExecution().sparkPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan
+    bcast = similarity.kmeans_assign_two_level(
+        emb, "vec_id", "embedding", k=32, broadcast_fine=True
+    )
+    plan_b = bcast._jdf.queryExecution().sparkPlan().toString()
+    assert "ShuffledHashJoin" not in plan_b and "BroadcastHashJoin" in plan_b, plan_b
+    # the default is size-conditional on k itself
+    assert similarity.FINE_CODEBOOK_BROADCAST_MAX_K == 65536
+
+
+def test_two_level_kmeans_agrees_with_flat_when_one_coarse_cell(spark):
+    """Degenerate-routing equivalence: with a single coarse cell every
+    fine centroid is routed to it and every vector sees the FULL fine
+    codebook — the two-level argmax must then reproduce the flat
+    assignment bit-for-bit (same seeds, same quantized ordering, same
+    µ-quantized centroid updates).  This pins the two forms to one
+    algorithm so the hierarchical path can't silently drift."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_project_weather_analytics_spark.operators import similarity
+    from data_engineer_project_weather_analytics_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    flat = similarity.kmeans_assign(emb, "vec_id", "embedding", k=8)
+    two = similarity.kmeans_assign_two_level(
+        emb, "vec_id", "embedding", k=8, coarse_k=1
+    )
+    h = lambda df: df.select(  # noqa: E731
+        F.bit_xor(F.xxhash64("vec_id", "cluster_id", "sim"))
+    ).first()[0]
+    assert flat.count() == two.count()
+    assert h(flat) == h(two)
