@@ -40,9 +40,10 @@ work-driven: emitted-pair counts (MinHash LSH), candidate-pair counts
 (embedding LSH verify input), or the exploded token stream (x24 CMS)
 at both scales, with time-ratio required <= rows_ratio *
 ACCOUNTING_SLACK.  The
-scale100 section times the five cheapest scale-critical queries on a
-100x replica of the tables they touch — the spot-check for cliffs the
-10x run hides.
+scale100 section times the cheap scale-critical queries on a 100x
+replica of the tables they touch — the spot-check for cliffs the 10x
+run hides; the env-gated scale1000 section is the largest committed
+evidence (100 M events / 5 M docs / 2 M vectors).
 """
 
 from __future__ import annotations
@@ -200,10 +201,16 @@ ACCOUNTED: dict[str, str] = {
     "x44_dsir_importance": "token_stream",
     # SemDeDup's cost is the within-cell pair set Σ c·(c−1)/2: with
     # the registered fixed k it grows ~quadratically in the corpus
-    # (the accounting bounds it); the auto-k variant holds cells at
-    # ~250 vectors so the same driver grows ~linearly
+    # (the accounting bounds it)
     "x45_semdedup_keep": "cell_pair_stream",
-    "x45_semdedup_auto": "cell_pair_stream",
+    # the auto-k deployment form holds cells at ~250 vectors, so the
+    # pair stream is linear — but with k ∝ n the ASSIGNMENT stream is
+    # the dominant work (the round-6 unbounded finding: the flat n·k
+    # form burned 17x wall at 10x corpus against a pair-only driver).
+    # The two-level form scores O(n·√k) rows per pass; this driver
+    # counts ALL of it: coarse scoring + routed fine scoring per Lloyd
+    # pass, plus the within-cell verify pairs
+    "x45_semdedup_auto": "semdedup_auto_work",
 }
 
 #: time-ratio must stay under rows_ratio * this constant for every
@@ -227,10 +234,15 @@ SCALE100_QUERIES: tuple[str, ...] = (
     # carries candidate-pair accounting so its superlinear wall-clock
     # is provably pair-volume-driven, not a plan cliff
     "x2b_lsh_candidate_pairs",
+    # the round-6 scale finding, repaired: two-level auto-k SemDeDup
+    # over 200 k vectors (k=800, coarse=28) with full work accounting
+    # (assignment stream + verify pairs) — the 10x point is where the
+    # flat form's violation showed, this is the proof one decade up
+    "x45_semdedup_auto",
 )
 SCALE100_TABLES = (
     "region", "nation", "customer", "supplier", "orders", "lineitem",
-    "events", "documents",
+    "events", "documents", "embeddings",
 )
 
 #: the 1000x section (SPARK_GRAFT_SCALE1000=1): three orders of
@@ -252,8 +264,14 @@ SCALE1000_QUERIES: tuple[str, ...] = (
     # DSIR importance scoring: one 270 M-token explode against a
     # 64-row broadcast bucket table — the token-linear curation op
     "x44_dsir_importance",
+    # the heaviest round-6 text op (5.18x at 10x): the 5-gram span
+    # stream over 5 M docs drives both of its shuffles
+    "x43_duplicate_span_fraction",
+    # auto-k SemDeDup at 2 M vectors (k=8000, coarse=89): the largest
+    # committed point for the repaired two-level assignment
+    "x45_semdedup_auto",
 )
-SCALE1000_TABLES = ("region", "nation", "events", "documents")
+SCALE1000_TABLES = ("region", "nation", "events", "documents", "embeddings")
 
 
 def build_replica(
@@ -465,45 +483,16 @@ def main() -> None:
     spark.read.parquet(f"{BASE_DIR}/lineitem.parquet").count()
     spark.read.parquet(f"{SCALE_DIR}/lineitem.parquet").count()
 
-    def x3b_auto(spark_, sf_dir):
-        # The registered x3b pins n_planes=6 so its DuckDB oracle can
-        # replay the hyperplanes as SQL literals; a scale deployment
-        # uses the corpus-sized default (n_planes=None), which is the
-        # configuration whose scaling this bench is meant to grade.
-        from data_engineer_project_weather_analytics_spark.operators import similarity
-        from data_engineer_project_weather_analytics_spark.plans.extensions import EMB_LSH_MAX_BUCKET
-        from data_engineer_project_weather_analytics_spark.sources.catalog import load_table
-
-        emb = load_table(spark_, sf_dir, "embeddings")
-        return similarity.embedding_neardup_lsh(
-            emb, "vec_id", "embedding", threshold=0.8, n_planes=None,
-            dim=64, seed=42, n_tables=4, max_bucket=EMB_LSH_MAX_BUCKET,
-        )
-
-    def x45_auto(spark_, sf_dir):
-        # The registered x45 pins k=KMEANS_K so its DuckDB oracle can
-        # unroll the Lloyd passes; a scale deployment sizes the cell
-        # count to the corpus (recommended_kmeans_k), which holds the
-        # within-cell pair stream linear — the configuration whose
-        # scaling this bench grades (same pattern as x3b_auto).
-        from data_engineer_project_weather_analytics_spark.operators import similarity
-        from data_engineer_project_weather_analytics_spark.sources.catalog import load_table
-
-        emb = load_table(spark_, sf_dir, "embeddings")
-        k = similarity.recommended_kmeans_k(emb.count())
-        return similarity.semdedup_keep(emb, "vec_id", "embedding", k=k)
-
-    extra = {
-        "x3b_embedding_neardup_auto": x3b_auto,
-        "x45_semdedup_auto": x45_auto,
-    }
+    # the auto-k deployment forms (x3b_embedding_neardup_auto,
+    # x45_semdedup_auto) are registered rows-only queries since r7 —
+    # REGISTRY serves them like everything else
 
     def run(name: str, sf_dir: str) -> float:
         """Best-of-2 wall-clock: a single sample is exposed to GC
         pauses / allocation stalls (a GCLocker hiccup once turned
         x23's real 2.3x into a recorded 10.5x); the min of two runs is
         the plan's cost, not the JVM's bad luck."""
-        fn = extra.get(name) or REGISTRY[name].fn
+        fn = REGISTRY[name].fn
         best = float("inf")
         for _ in range(2):
             # drop caches a previous sample populated (bench.py does the
@@ -524,7 +513,7 @@ def main() -> None:
             table = kind.split(":", 1)[1]
             return spark.read.parquet(f"{sf_dir}/{table}.parquet").count()
         if kind == "output_rows":
-            fn = extra.get(name) or REGISTRY[name].fn
+            fn = REGISTRY[name].fn
             return fn(spark, sf_dir).count()
         if kind == "candidate_pairs":
             from data_engineer_project_weather_analytics_spark.operators import similarity
@@ -568,19 +557,54 @@ def main() -> None:
             from data_engineer_project_weather_analytics_spark.sources.catalog import load_table
 
             emb = load_table(spark, sf_dir, "embeddings")
-            k = (
-                similarity.recommended_kmeans_k(emb.count())
-                if name.endswith("_auto")
-                else similarity.KMEANS_K
-            )
             per = similarity.kmeans_assign(
-                emb, "vec_id", "embedding", k=k
+                emb, "vec_id", "embedding", k=similarity.KMEANS_K
             ).groupBy("cluster_id").count()
             return int(
                 per.select(
                     F.sum(F.col("count") * (F.col("count") - 1) / 2)
                 ).first()[0]
             )
+        if kind == "semdedup_auto_work":
+            # ALL the work the two-level auto-k SemDeDup does, measured
+            # from one extra assignment run:
+            #   KMEANS_ITERS * (n * |occupied coarse cells|     (step 3)
+            #                   + Σ_coarse n_vectors * n_fine)  (step 4)
+            #   + Σ_cell pairs                                  (verify)
+            # Fine-cell counts come from the FINAL assignment, so a
+            # fine cell that ends a pass empty is not counted — a <1%
+            # undercount at these scales (stated for honesty); the
+            # codebook-sized streams (fine→coarse routing, centroid
+            # rebuilds) are k·√k rows, orders below the vector terms.
+            from data_engineer_project_weather_analytics_spark.operators import similarity
+            from data_engineer_project_weather_analytics_spark.sources.catalog import load_table
+
+            emb = load_table(spark, sf_dir, "embeddings")
+            n = emb.count()
+            k = similarity.recommended_kmeans_k(n)
+            a = similarity.kmeans_assign_two_level(
+                emb, "vec_id", "embedding", k=k, keep_coarse=True
+            ).persist()
+            try:
+                n_occ = a.select("coarse_id").distinct().count()
+                fine_scored = int(
+                    a.groupBy("coarse_id")
+                    .agg(
+                        F.count(F.lit(1)).alias("nv"),
+                        F.countDistinct("cluster_id").alias("nf"),
+                    )
+                    .select(F.sum(F.col("nv") * F.col("nf")))
+                    .first()[0]
+                )
+                pairs = int(
+                    a.groupBy("cluster_id")
+                    .count()
+                    .select(F.sum(F.col("count") * (F.col("count") - 1) / 2))
+                    .first()[0]
+                )
+            finally:
+                a.unpersist()
+            return similarity.KMEANS_ITERS * (n * n_occ + fine_scored) + pairs
         if kind == "shingle_stream":
             docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
             return int(

@@ -1060,13 +1060,19 @@ ORACLES_EXT: dict[str, str] = {
         FROM f
     """,
     # replays resize_media's fake tile-or-truncate to 16x8 = 128 bytes:
-    # (payload * reps)[:128] == substr(repeat(text, reps), 1, 128)
+    # (payload * reps)[:128] == substr(repeat(text, reps), 1, 128).
+    # The CASE replays the fake resizer's empty-payload branch (128
+    # zero bytes) — without it DuckDB divides by zero on an empty doc
+    # where Spark is total (ADVICE r6); current testdata has no empty
+    # docs, but the oracle must stay total anyway.
     "x5d_resize_digest": """
         SELECT doc_id AS media_id,
                CAST(16 AS INTEGER) AS width,
                CAST(8 AS INTEGER) AS height,
                CAST(128 AS BIGINT) AS size_bytes,
-               md5(substr(repeat(text, 128 // length(text) + 1), 1, 128))
+               md5(CASE WHEN length(text) = 0 THEN repeat(chr(0), 128)
+                        ELSE substr(repeat(text, 128 // length(text) + 1),
+                                    1, 128) END)
                    AS payload_md5
         FROM documents
     """,

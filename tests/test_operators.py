@@ -1245,3 +1245,50 @@ def test_semdedup_keep_greedy_min_id(spark):
     assert {v: out[v].n_near for v in out} == {
         1: 2, 2: 2, 3: 2, 4: 1, 5: 1, 6: 0
     }
+
+
+def test_x5d_oracle_total_on_empty_payload(spark):
+    """The x5d oracle divides by length(text): an empty document must
+    hit its replayed zero-byte branch (md5 of 128 NUL bytes) and match
+    the Spark fake resizer's empty-payload branch exactly (ADVICE r6 —
+    the shipped testdata has no empty docs, so this drives the branch
+    through BOTH engines on a synthetic corpus)."""
+    import hashlib
+
+    import duckdb
+
+    from data_engineer_project_weather_analytics_spark.plans.registry import REGISTRY
+
+    docs = spark.createDataFrame([(1, ""), (2, "ab")], "doc_id bigint, text string")
+    media = multimodal.documents_as_media(docs)
+    resized = multimodal.resize_media(media, 16, 8, fake=True)
+    got = {
+        r.media_id: hashlib.md5(bytes(r.payload)).hexdigest()
+        for r in resized.collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        "SELECT * FROM (VALUES (1, ''), (2, 'ab')) t(doc_id, text)"
+    )
+    want = dict(
+        con.execute(
+            "SELECT media_id, payload_md5 FROM ("
+            + REGISTRY["x5d_resize_digest"].sql
+            + ")"
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+    assert got[1] == hashlib.md5(bytes(128)).hexdigest()
+
+
+def test_documents_testdata_is_ascii(spark):
+    """The x5c/x5d oracles slice BYTES on the Spark side but CHARS in
+    SQL (substr): those agree only while every document is single-byte
+    (ASCII).  Assert the assumption on the corpus the oracle checks run
+    against, so a future non-ASCII testdata drop fails HERE with the
+    real cause instead of as an opaque hash mismatch (ADVICE r6)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    n_multibyte = docs.filter(F.octet_length("text") != F.length("text")).count()
+    assert n_multibyte == 0
