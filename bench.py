@@ -77,6 +77,9 @@ HEADLINE: dict[str, str] = {
     "x45_semdedup_keep": "checksum",
     "x46_mixture_sample": "checksum",
     "x48_sequence_packing": "checksum",
+    "x49_span_dedup_rewrite": "checksum",
+    "x50_pq_topk": "collect",
+    "x51_ivfpq_topk": "collect",
 }
 
 

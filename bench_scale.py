@@ -56,6 +56,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# the 1000x section streams 100 M-event / 5 M-doc / 2 M-vector
+# replicas through 32 concurrent tasks: the repo's 8g default heap
+# leaves < 256 MB/task and OOMed the first round-7 run — size the
+# bench JVM like a real executor (still overridable from the env)
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+
 BASE_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
 SCALE_DIR = os.environ.get(
@@ -126,6 +132,9 @@ QUERIES: tuple[str, ...] = (
     # IS the scale argument for recommended_kmeans_k
     "x45_semdedup_keep",
     "x45_semdedup_auto",
+    "x49_span_dedup_rewrite",
+    "x50_pq_topk",
+    "x51_ivfpq_topk",
 )
 
 
@@ -197,6 +206,16 @@ ACCOUNTED: dict[str, str] = {
     # the 5-gram span stream drives both of x43's shuffles (the span
     # count-distinct and the 1:1 count-join back onto the spans)
     "x43_duplicate_span_fraction": "span_stream",
+    # the rewrite manifest runs two windows over the SAME span
+    # occurrence stream (span-hash first-occurrence, per-doc gap sum)
+    "x49_span_dedup_rewrite": "span_stream",
+    # PQ coding scans the embedding corpus against a constant 16-row
+    # broadcast codebook; ADC scoring is |queries| * n broadcast rows —
+    # both input-linear in the corpus
+    "x50_pq_topk": "input_rows:embeddings",
+    # IVFADC adds the centroid pass (corpus-linear) and PRUNES the ADC
+    # scan to probed cells — still corpus-bounded
+    "x51_ivfpq_topk": "input_rows:embeddings",
     # DSIR is one token explode + a 64-row broadcast — token-linear
     "x44_dsir_importance": "token_stream",
     # SemDeDup's cost is the within-cell pair set Σ c·(c−1)/2: with
@@ -239,6 +258,10 @@ SCALE100_QUERIES: tuple[str, ...] = (
     # (assignment stream + verify pairs) — the 10x point is where the
     # flat form's violation showed, this is the proof one decade up
     "x45_semdedup_auto",
+    # PQ/ADC over 500 k vectors: the in-memory-index ANN must stay
+    # corpus-linear (broadcast codebook + distance tables, one ranking
+    # window) — a cliff here means the coding left whole-stage codegen
+    "x50_pq_topk",
 )
 SCALE100_TABLES = (
     "region", "nation", "customer", "supplier", "orders", "lineitem",
@@ -270,6 +293,9 @@ SCALE1000_QUERIES: tuple[str, ...] = (
     # auto-k SemDeDup at 2 M vectors (k=8000, coarse=89): the largest
     # committed point for the repaired two-level assignment
     "x45_semdedup_auto",
+    # the span-rewrite sibling of x43 at 5 M docs: two windows over a
+    # ~250 M-span stream — the heaviest new round-7 text op
+    "x49_span_dedup_rewrite",
 )
 SCALE1000_TABLES = ("region", "nation", "events", "documents", "embeddings")
 

@@ -465,6 +465,35 @@ def kmeans_assign(
 FINE_CODEBOOK_BROADCAST_MAX_K = 65536
 
 
+#: packed-argmax encoding: (simq + 20000) * 2^33 + (2^33 - 1 - id) —
+#: max() of this single BIGINT is "highest quantized cosine, ties to
+#: the lowest id" (the struct-max ordering), but unlike max(struct) +
+#: first(array<double>) it HASH-aggregates with map-side partial
+#: combine: the n×√k scored product collapses to n packed longs before
+#: any shuffle, and no sort ever carries the 64-dim vector payload
+#: (the 8 GB-heap OOM at the 2 M-vector 1000x point: SortAggregate
+#: copying UnsafeArrayData per scored row).  simq ∈ [-10000, 10000] ⇒
+#: packed < 2.6e17; ids (cells) must stay < 2^33.
+_ARGMAX_BASE = 1 << 33
+
+
+def _pack_argmax(simq: Column, id_col: Column) -> Column:
+    return (simq + F.lit(20000)).cast("long") * F.lit(_ARGMAX_BASE) + (
+        F.lit(_ARGMAX_BASE - 1) - id_col.cast("long")
+    )
+
+
+def _unpack_argmax_id(packed: Column) -> Column:
+    return F.lit(_ARGMAX_BASE - 1) - (packed % F.lit(_ARGMAX_BASE))
+
+
+def _unpack_argmax_simq(packed: Column) -> Column:
+    # packed is always positive (simq + 20000 >= 10000), so the
+    # arithmetic shift IS the exact integer division by 2^33 — never
+    # `/`, which Spark evaluates as double division
+    return F.shiftright(packed, 33) - F.lit(20000)
+
+
 def kmeans_assign_two_level(
     vectors: DataFrame,
     id_col: str,
@@ -554,47 +583,53 @@ def kmeans_assign_two_level(
         occ = cell_centroids(
             fmap.select(F.col("coarse").alias("cc"), "centroid"), "cc", "centroid"
         ).select(F.col("cell").alias("coarse"), F.col("centroid").alias("ccent"))
-        # 3. vector → coarse argmax (n × |occ| rows, tiny broadcast)
-        vbest = F.struct(F.col("__cs").alias("s"), (-F.col("coarse")).alias("nc"))
-        vc = (
+        # 3. vector → coarse argmax (n × |occ| rows, tiny broadcast).
+        #    The scored product carries the vector ONLY transiently
+        #    inside the pipelined project→hash-agg stage: the agg state
+        #    is one packed long per vector (map-side combine), never a
+        #    sort of array rows — see _pack_argmax.
+        s3 = (
             v.crossJoin(F.broadcast(occ))
             .select(
                 "__vid",
-                "__v",
-                "coarse",
-                sim_q(cosine(F.col("__v"), F.col("ccent"))).alias("__cs"),
+                _pack_argmax(
+                    sim_q(cosine(F.col("__v"), F.col("ccent"))),
+                    F.col("coarse"),
+                ).alias("__p"),
             )
             .groupBy("__vid")
-            .agg(F.max(vbest).alias("__m"), F.first("__v").alias("__v"))
-            .select("__vid", "__v", (-F.col("__m.nc")).cast("int").alias("coarse"))
+            .agg(F.max("__p").alias("__p"))
+            .select(
+                "__vid", _unpack_argmax_id(F.col("__p")).cast("int").alias("coarse")
+            )
         )
+        # reattach the vector by id (n narrow rows — the payload moves
+        # ONCE per pass, not once per scored candidate)
+        vc = v.join(s3, "__vid")
         # 4. fine argmax WITHIN the routed coarse cell — equi-join on
         #    the coarse id; sharded (shuffle_hash) once the codebook
         #    outgrows a sane broadcast
         fj = fmap.select("coarse", "cell", "centroid")
         fj = F.broadcast(fj) if broadcast_fine else fj.hint("shuffle_hash")
-        scored = vc.join(fj, "coarse").select(
-            "__vid",
-            "__v",
-            "coarse",
-            "cell",
-            sim_q(cosine(F.col("__v"), F.col("centroid"))).alias("__cs"),
-        )
-        cbest = F.struct(F.col("__cs").alias("s"), (-F.col("cell")).alias("nc"))
-        assigned = (
-            scored.groupBy("__vid")
-            .agg(
-                F.max(cbest).alias("__m"),
-                F.first("__v").alias("__v"),
-                F.first("coarse").alias("coarse"),
-            )
+        s4 = (
+            vc.join(fj, "coarse")
             .select(
                 "__vid",
-                "__v",
-                "coarse",
-                (-F.col("__m.nc")).cast("int").alias("cell"),
-                F.col("__m.s").alias("__cs"),
+                _pack_argmax(
+                    sim_q(cosine(F.col("__v"), F.col("centroid"))),
+                    F.col("cell"),
+                ).alias("__p"),
             )
+            .groupBy("__vid")
+            .agg(F.max("__p").alias("__p"))
+            .select(
+                "__vid",
+                _unpack_argmax_id(F.col("__p")).cast("int").alias("cell"),
+                _unpack_argmax_simq(F.col("__p")).alias("__cs"),
+            )
+        )
+        assigned = s4.join(vc, "__vid").select(
+            "__vid", "__v", "coarse", "cell", "__cs"
         )
         if it < n_iter - 1:
             fine = cell_centroids(assigned, "cell", "__v")
@@ -854,4 +889,221 @@ def embedding_neardup_lsh(
             sim_q(cosine(F.col("__va"), F.col("__vb"))).alias("sim"),
         )
         .filter(F.col("sim") >= int(round(threshold * 10000)))
+    )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) ANN — the memory-scaling step past SQ8
+# --------------------------------------------------------------------------
+
+
+def _pq_quantize(v: DataFrame) -> DataFrame:
+    """Add the int64 component quantization ``qv`` (the x23 shared
+    tree ``floor(x · (127/max))`` — one global 1-row broadcast max, so
+    both engines replay the exact same doubles)."""
+    mx = v.agg(F.max(F.array_max(F.transform("emb", F.abs))).alias("m"))
+    return v.join(F.broadcast(mx)).select(
+        *v.columns,
+        # x * (127/m), NOT (x*127)/m — the x23 shared-tree rule
+        F.transform(
+            "emb", lambda x: F.floor(x * (F.lit(127.0) / F.col("m"))).cast("bigint")
+        ).alias("qv"),
+    )
+
+
+def _pq_codebook(qz: DataFrame, n_codewords: int) -> DataFrame:
+    """ONE row holding the sampled codebook — the ``n_codewords``
+    lowest-id vectors as (cb_id, cqv) structs in id order.  A
+    deterministic seeding baseline (the x3e µ-quantized-cells
+    precedent); production would k-means each subspace without
+    changing the plumbing."""
+    return qz.filter(F.col("vec_id") < n_codewords).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("vec_id").alias("cb_id"), F.col("qv").alias("cqv"))
+            )
+        ).alias("cb")
+    )
+
+
+def _pq_sqdist_expr(d4: int) -> str:
+    """Exact int64 squared L2 between one subspace slice of ``qv`` and
+    codeword ``c`` (order-independent integer sum)."""
+    return (
+        f"aggregate(zip_with(slice(qv, s * {d4} + 1, {d4}),"
+        f" slice(c.cqv, s * {d4} + 1, {d4}),"
+        f" (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+    )
+
+
+def _pq_codes_expr(m: int, d4: int, n_codewords: int) -> str:
+    """Per-subspace argmin codes — ordered on ``dist·n_codewords +
+    cb_id`` (the integer-key ranking rule), evaluated entirely in
+    whole-stage codegen."""
+    return (
+        f"transform(sequence(0, {m - 1}), s ->"
+        f" CAST(array_min(transform(cb, c -> {_pq_sqdist_expr(d4)}"
+        f" * {n_codewords} + c.cb_id)) % {n_codewords} AS INT))"
+    )
+
+
+def _pq_dtab_expr(m: int, d4: int) -> str:
+    """Per-query ADC distance table: m × n_codewords exact int64
+    query→codeword distances (codebook array order = cb_id order)."""
+    return (
+        f"transform(sequence(0, {m - 1}), s ->"
+        f" transform(cb, c -> {_pq_sqdist_expr(d4)}))"
+    )
+
+
+def _pq_adc_expr(m: int) -> str:
+    """ADC score: Σ_s dtab[s][code_s] — table lookups only, the
+    candidate vector itself is never read at query time."""
+    return (
+        f"CAST(aggregate(sequence(0, {m - 1}), 0L, (acc, s) ->"
+        f" acc + element_at(element_at(dtab, s + 1),"
+        f" element_at(codes, s + 1) + 1)) AS BIGINT)"
+    )
+
+
+def pq_topk(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    dim: int,
+    m: int = 4,
+    n_codewords: int = 16,
+    n_queries: int = 8,
+    k: int = 10,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC), Jégou et al., "Product Quantization for Nearest Neighbor
+    Search" (TPAMI 2011): split each vector into ``m`` subspaces,
+    code every subvector as its nearest codeword, and score candidates
+    by summing per-subspace query→codeword distance-table lookups —
+    the candidate vector itself is never read at query time.  Where
+    SQ8 (x23) compresses 4× (float32→int8 per component), PQ stores
+    ``m`` codes per vector (here 4 × 4 bits): the index that still
+    fits in memory when 100 TB of float32 embeddings cannot.
+
+    Engine determinism: components quantize with the x23 shared tree;
+    every distance is an exact int64 sum of squared int differences
+    (order-independent), and the per-subspace argmin orders on
+    ``dist · n_codewords + codeword_id`` — the integer-key rule.
+
+    Scale shape: the codebook is ONE collected row cross-joined
+    broadcast (bounded-BNLJ allowlist); code assignment runs entirely
+    in whole-stage codegen (nested ``transform``/``aggregate`` HOFs,
+    no shuffle, no UDF); the query distance tables are |queries|·m·16
+    ints broadcast; the only wide operation is the final per-query
+    top-k ranking window, which ``rank ≤ k`` plans as WindowGroupLimit
+    (map-side group-limit before the query_id exchange).
+    """
+    d4 = dim // m
+    assert d4 * m == dim, "dim must divide into m equal subspaces"
+    v = vectors.select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("emb"))
+    qz = _pq_quantize(v)
+    withcb = qz.crossJoin(F.broadcast(_pq_codebook(qz, n_codewords)))
+    codes = withcb.select(
+        "vec_id", F.expr(_pq_codes_expr(m, d4, n_codewords)).alias("codes")
+    )
+    dtab = withcb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.expr(_pq_dtab_expr(m, d4)).alias("dtab"),
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(dtab))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(_pq_adc_expr(m)).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    *,
+    dim: int,
+    m: int = 4,
+    n_codewords: int = 16,
+    n_queries: int = 8,
+    k: int = 10,
+    n_probe_cells: int = 2,
+) -> DataFrame:
+    """IVFADC (Jégou et al. §V): the inverted-file coarse quantizer
+    (:func:`ivf_topk`'s cell probe) composed with PQ/ADC scoring — the
+    production 100 TB ANN shape, where IVF prunes the SCAN to the
+    probed cells' posting lists and PQ shrinks what each posting-list
+    entry STORES to m codes.  This variant codes raw vectors (IVF-Flat
+    + PQ codes); classic IVFADC codes residuals x − centroid, a recall
+    refinement that changes none of the plumbing measured here.
+
+    Cell probe ranking uses the 1e-4-quantized centroid cosine
+    (integer-key rule — stricter than x3e's raw-double probe order);
+    centroids are µ-quantized exact means (:func:`cell_centroids`), so
+    both engines rank identical doubles.  ADC is exact int64.
+
+    Scale shape: centroids and codebook are tiny broadcasts; coding is
+    map-side HOFs; the candidate join shuffles BY CELL ID only (the
+    inverted-file trade: each query touches |probes|/|cells| of the
+    corpus), then the per-query top-k window group-limits map-side.
+    """
+    d4 = dim // m
+    assert d4 * m == dim, "dim must divide into m equal subspaces"
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(cell_col).alias("cell"),
+        _as_double(vec_col).alias("emb"),
+    )
+    qz = _pq_quantize(v)
+    withcb = qz.crossJoin(F.broadcast(_pq_codebook(qz, n_codewords)))
+    codes = withcb.select(
+        "vec_id", "cell", F.expr(_pq_codes_expr(m, d4, n_codewords)).alias("codes")
+    )
+    q = withcb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("__qemb"),
+        F.expr(_pq_dtab_expr(m, d4)).alias("dtab"),
+    )
+    cents = cell_centroids(vectors, cell_col, vec_col)
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("__csimq").desc(), F.col("cell")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("__csimq", sim_q(cosine(F.col("__qemb"), F.col("centroid"))))
+        .withColumn("__r", F.row_number().over(probe_w))
+        .filter(F.col("__r") <= n_probe_cells)
+        .select("query_id", "cell", "dtab")
+    )
+    scored = (
+        codes.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(_pq_adc_expr(m)).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
     )

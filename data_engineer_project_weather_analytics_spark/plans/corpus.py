@@ -1739,6 +1739,104 @@ def x48_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# X49 — exact-substring dedup REWRITE (Lee et al. removal semantics)
+# --------------------------------------------------------------------------
+
+#: combined (doc_id, pos) ordering key: pos < 2^20 tokens per document
+#: (docs average ~50 tokens; a 1 M-token document would overflow the
+#: packing, so the cap is asserted structurally by the span explode —
+#: sequence() of a larger doc still fits, the KEY just needs pos
+#: disjoint from doc_id bits; 2^20 leaves doc_id ≈ 8.8e12 headroom).
+_SPAN_KEY_SHIFT = 1 << 20
+
+
+def x49_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup *removal* layout (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): x43 measures the
+    duplicated-span fraction; this op decides WHAT to cut.  Every
+    ``_SPAN_N``-token span occurrence that is not the corpus-global
+    first occurrence of its span (first = smallest (doc_id, pos)) is
+    marked removed; the output is the per-document rewrite manifest —
+    total tokens, removed occurrences, and the number of tokens covered
+    by at least one removed span (the union of overlapping length-N
+    intervals), plus the retained fraction a loader applies.
+
+    Scale shape — the corpus is tokenized and exploded exactly ONCE,
+    and the interval union costs NO extra explode or distinct: because
+    all spans have equal length N, the union length per document is
+    ``Σ min(N, pos_i − prev_removed_pos)`` over removed occurrences in
+    position order, computed with one ignore-nulls running-last window.
+    Two shuffles total: the span-hash window (count + global-min key,
+    both streaming aggregates — no sort) and the per-document window,
+    whose partitioning the final groupBy(doc_id) reuses.  Spans travel
+    as 48-bit md5 hashes (`_h48` idiom), not strings — constant-width
+    shuffle rows at 100 TB.  A naive form would explode the N covered
+    token indices per removed occurrence and count DISTINCT (doc, idx):
+    N× the shuffle volume plus a distinct — the gap form is exact for
+    equal-length intervals and linear.
+
+    Documents with fewer than ``_SPAN_N`` tokens have no spans and are
+    trivially fully retained; they are omitted (same domain as x43).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("__toks"))
+    span_structs = F.expr(
+        f"""
+        CASE WHEN size(__toks) >= {_SPAN_N}
+             THEN transform(
+                    sequence(0, size(__toks) - {_SPAN_N}),
+                    i -> named_struct(
+                        'pos', CAST(i AS BIGINT),
+                        'spanh', CAST(conv(substring(md5(
+                            array_join(slice(__toks, i + 1, {_SPAN_N}), ' ')
+                        ), 1, 12), 16, 10) AS BIGINT)))
+             ELSE CAST(array() AS ARRAY<STRUCT<pos: BIGINT, spanh: BIGINT>>)
+        END
+        """
+    )
+    occ = toks.select(
+        "doc_id", F.explode(span_structs).alias("o")
+    ).select("doc_id", F.col("o.pos").alias("pos"), F.col("o.spanh").alias("spanh"))
+
+    ws = Window.partitionBy("spanh")
+    key = F.col("doc_id") * _SPAN_KEY_SHIFT + F.col("pos")
+    flagged = occ.select(
+        "doc_id",
+        "pos",
+        (
+            (F.count(F.lit(1)).over(ws) >= 2) & (key != F.min(key).over(ws))
+        ).alias("rm"),
+    )
+
+    wd = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prev = F.last(F.when(F.col("rm"), F.col("pos")), ignorenulls=True).over(wd)
+    contrib = F.when(
+        F.col("rm"),
+        F.least(
+            F.lit(_SPAN_N),
+            F.col("pos") - F.coalesce(prev, F.col("pos") - _SPAN_N),
+        ),
+    ).otherwise(F.lit(0))
+    n_tokens = (F.count(F.lit(1)) + (_SPAN_N - 1)).cast("bigint")
+    return (
+        flagged.withColumn("c", contrib)
+        .groupBy("doc_id")
+        .agg(
+            n_tokens.alias("n_tokens"),
+            F.sum(F.col("rm").cast("int")).cast("bigint").alias("removed_occ"),
+            F.sum("c").cast("bigint").alias("removed_tokens"),
+        )
+        # one double division of two exact ints (the no-round rule)
+        .withColumn(
+            "retained_frac",
+            (F.col("n_tokens") - F.col("removed_tokens")) / F.col("n_tokens"),
+        )
+    )
+
+
 #: oracle twins of eligible_basket_items / copurchase_edges /
 #: copurchase_adjacency — ONE definition on the SQL side as well, so
 #: the five co-purchase oracles (g1/g2/g3 here and in lakeops,
@@ -1799,6 +1897,55 @@ ORACLES_CORPUS: dict[str, str] = {
                    / count(*) AS dup_frac
         FROM sp JOIN cnt USING (span)
         GROUP BY doc_id
+    """,
+    # removal = not the corpus-global first (doc_id, pos) of the span;
+    # interval union per doc = Σ min(N, gap to previous removed pos)
+    # (exact for equal-length spans); spans travel as 48-bit md5 ints
+    "x49_span_dedup_rewrite": f"""
+        WITH base AS (
+            SELECT doc_id, string_split(text, ' ') AS t,
+                   greatest(len(string_split(text, ' ')) - {_SPAN_N - 1},
+                            0) AS m
+            FROM documents
+        ),
+        occ AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, m),
+                       i -> CAST(i - 1 AS BIGINT))) AS pos,
+                   unnest(list_transform(generate_series(1, m),
+                       i -> ('0x' || substr(md5(
+                                 t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                 || ' ' || t[i+3] || ' ' || t[i+4]),
+                             1, 12))::BIGINT)) AS spanh
+            FROM base
+        ),
+        flagged AS (
+            SELECT doc_id, pos,
+                   (count(*) OVER (PARTITION BY spanh) >= 2
+                    AND doc_id * {_SPAN_KEY_SHIFT} + pos
+                        <> min(doc_id * {_SPAN_KEY_SHIFT} + pos)
+                               OVER (PARTITION BY spanh)) AS rm
+            FROM occ
+        ),
+        contrib AS (
+            SELECT doc_id, rm,
+                   CASE WHEN rm THEN least({_SPAN_N}, pos - coalesce(
+                       last_value(CASE WHEN rm THEN pos END IGNORE NULLS)
+                           OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING),
+                       pos - {_SPAN_N}))
+                   ELSE 0 END AS c
+            FROM flagged
+        )
+        SELECT doc_id,
+               CAST(count(*) + {_SPAN_N - 1} AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT)
+                   AS removed_occ,
+               CAST(sum(c) AS BIGINT) AS removed_tokens,
+               CAST(count(*) + {_SPAN_N - 1} - sum(c) AS DOUBLE)
+                   / (count(*) + {_SPAN_N - 1}) AS retained_frac
+        FROM contrib GROUP BY doc_id
     """,
     # blog = length(bin(x)) = floor(log2 x)+1, the shared no-libm
     # surrogate; bucket = portable 48-bit md5 hash % 64 (x39 idiom)

@@ -819,6 +819,74 @@ def x3e_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: PQ geometry shared with the x50 oracle's spliced literals (the
+#: oracle replays the codebook relationally; a drift here silently
+#: runs two different quantizers — pinned by the lockstep test)
+_PQ_DIM = 64
+_PQ_M = 4
+_PQ_CODEWORDS = 16
+_PQ_QUERIES = 8
+_PQ_TOPK = 10
+
+
+def x50_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-10 (operators/similarity.py:
+    pq_topk): the memory-bound ANN step past SQ8 — m=4 4-bit codes per
+    vector instead of 64 int8 components, with query-time scoring done
+    entirely from broadcast distance tables.  Candidate coding runs in
+    whole-stage codegen over a one-row broadcast codebook; exact int64
+    distances end-to-end, so DuckDB replays the full path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(
+        emb, "vec_id", "embedding",
+        dim=_PQ_DIM, m=_PQ_M, n_codewords=_PQ_CODEWORDS,
+        n_queries=_PQ_QUERIES, k=_PQ_TOPK,
+    )
+
+
+def x51_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (operators/similarity.py:ivfpq_topk): x3e's inverted-file
+    cell probe composed with x50's PQ/ADC scoring — IVF prunes the scan
+    to 2 probed cells per query, PQ shrinks every posting-list entry to
+    m=4 codes.  The production 100 TB ANN shape; shares the PQ oracle
+    CTE chain with x50 and the label-cell centroid chain with x3e."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(
+        emb, "vec_id", "embedding", "label",
+        dim=_PQ_DIM, m=_PQ_M, n_codewords=_PQ_CODEWORDS,
+        n_queries=_PQ_QUERIES, k=_PQ_TOPK, n_probe_cells=2,
+    )
+
+
+def x52_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the PQ/ADC index (x50) against the exact cosine
+    top-k over the same 8 queries — the quality dial for the
+    compressed index, graded exactly like x30 grades the LSH path:
+    overlap count as exact integer ppm (n_hit·1e6 DIV k).  A rank flip
+    INSIDE the top-k does not move the grade (set overlap), so the
+    only cross-engine surface is the top-k boundary itself (the x3
+    precedent).  Both inputs are top-k-bounded: the comparison join
+    touches |queries|·k rows regardless of corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_topk(
+        emb, "vec_id", "embedding",
+        queries=emb.filter(F.col("vec_id") < _PQ_QUERIES), k=_PQ_TOPK,
+    ).select("query_id", "neighbor_id")
+    pq = x50_pq_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__hit")
+    )
+    return (
+        exact.join(pq, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("__hit").alias("n_hit"))
+        .select(
+            "query_id",
+            "n_hit",
+            F.expr(f"n_hit * 1000000 DIV {_PQ_TOPK}").alias("recall_ppm"),
+        )
+    )
+
+
 #: fake-frame cadence and geometry shared by the Spark queries and
 #: their SQL oracles (change here and in the oracle text together)
 _X5C_N_FRAMES = 4

@@ -323,6 +323,52 @@ _KMEANS_CTES = """
             ) WHERE r = 1
         )"""
 
+
+#: shared PQ replay chain (x50 standalone ADC, x51 IVFADC): the x23
+#: quantizer tree, exploded components, all vector->codeword subspace
+#: distances (exact int64), argmin codes on dist*16+cb_id, and the
+#: 8-query ADC distance tables.  Spliced into both oracles so the two
+#: PQ queries can never drift from each other (the _KMEANS_CTES rule).
+_PQ_CTES = """pv AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings
+        ),
+        mx AS (
+            SELECT max(list_max(list_transform(emb, x -> abs(x)))) AS m
+            FROM pv
+        ),
+        qz AS (
+            SELECT vec_id,
+                   list_transform(
+                       emb, x -> CAST(floor(x * (127.0 / m)) AS BIGINT)
+                   ) AS qv
+            FROM pv, mx
+        ),
+        pcomp AS (
+            SELECT vec_id,
+                   unnest(generate_series(1, 64)) AS i,
+                   unnest(qv) AS q
+            FROM qz
+        ),
+        pcomps AS (
+            SELECT vec_id, CAST((i - 1) // 16 AS INT) AS s, i, q FROM pcomp
+        ),
+        cdist AS (
+            SELECT a.vec_id, c.vec_id AS cb_id, a.s,
+                   CAST(sum((a.q - c.q) * (a.q - c.q)) AS BIGINT) AS d
+            FROM pcomps a JOIN pcomps c ON a.i = c.i AND c.vec_id < 16
+            GROUP BY a.vec_id, c.vec_id, a.s
+        ),
+        codes AS (
+            SELECT vec_id, s, CAST(min(d * 16 + cb_id) % 16 AS INT) AS code
+            FROM cdist GROUP BY vec_id, s
+        ),
+        dtab AS (
+            SELECT vec_id AS query_id, s, cb_id, d
+            FROM cdist WHERE vec_id < 8
+        )"""
+
+
 ORACLES_EXT: dict[str, str] = {
     "x1_exact_dedup": """
         SELECT md5(text) AS text_hash,
@@ -444,6 +490,128 @@ ORACLES_EXT: dict[str, str] = {
                CAST(floor(cos * 10000) AS BIGINT) AS sim
         FROM scored
         QUALIFY rank <= __ANN_TOPK__
+    """,
+    # PQ/ADC replay: same x23 quantizer tree floor(x*(127/max)); every
+    # distance an exact int64 sum of squared diffs (order-independent),
+    # argmin on dist*16+cb_id (integer-key ranking rule).  Constants
+    # (m=4 subspaces of 16 dims, 16 codewords = vec_id<16, 8 queries,
+    # top-10) are spliced literals — keep in lockstep with extensions
+    # ._PQ_* (pinned by test_pq_oracle_constants_in_lockstep).
+    "x50_pq_topk": """
+        WITH __PQ_CTES__,
+        adc AS (
+            SELECT t.query_id, c.vec_id AS neighbor_id,
+                   CAST(sum(t.d) AS BIGINT) AS adc_dist
+            FROM codes c JOIN dtab t ON t.s = c.s AND t.cb_id = c.code
+            WHERE c.vec_id <> t.query_id
+            GROUP BY t.query_id, c.vec_id
+        )
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY adc_dist, neighbor_id) AS INTEGER) AS rank,
+               adc_dist
+        FROM adc
+        QUALIFY rank <= 10
+    """,
+    # IVFADC: probe 2 cells per query on the 1e-4-quantized centroid
+    # cosine (mu-quantized exact-mean centroids, the x3e chain), then
+    # ADC-score ONLY candidates in probed cells via the shared PQ codes
+    "x51_ivfpq_topk": """
+        WITH __PQ_CTES__,
+        vl AS (
+            SELECT vec_id, label AS cell, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings
+        ),
+        ccomp AS (
+            SELECT cell, u.pos AS pos,
+                   CAST(sum(CAST(floor(CAST(u.val AS DOUBLE) * 1000000.0)
+                                 AS BIGINT)) AS DOUBLE)
+                       / (count(*) * 1000000) AS comp
+            FROM (
+                SELECT cell,
+                       unnest(list_transform(
+                           generate_series(1, len(emb)),
+                           i -> {'pos': i, 'val': emb[i]})) AS u
+                FROM vl
+            )
+            GROUP BY cell, u.pos
+        ),
+        cent AS (
+            SELECT cell, list(comp ORDER BY pos) AS centroid
+            FROM ccomp GROUP BY cell
+        ),
+        q AS (SELECT vec_id AS query_id, emb AS qemb FROM vl
+              WHERE vec_id < 8),
+        probes AS (
+            SELECT query_id, cell FROM (
+                SELECT q.query_id, c.cell,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY CAST(floor(
+                               list_cosine_similarity(q.qemb, c.centroid)
+                               * 10000) AS BIGINT) DESC, c.cell) AS r
+                FROM q CROSS JOIN cent c
+            ) WHERE r <= 2
+        ),
+        adc AS (
+            SELECT t.query_id, c.vec_id AS neighbor_id,
+                   CAST(sum(t.d) AS BIGINT) AS adc_dist
+            FROM codes c
+            JOIN vl ON vl.vec_id = c.vec_id
+            JOIN probes p ON p.cell = vl.cell
+            JOIN dtab t ON t.query_id = p.query_id
+                       AND t.s = c.s AND t.cb_id = c.code
+            WHERE c.vec_id <> t.query_id
+            GROUP BY t.query_id, c.vec_id
+        )
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY adc_dist, neighbor_id) AS INTEGER) AS rank,
+               adc_dist
+        FROM adc
+        QUALIFY rank <= 10
+    """,
+    # recall of the PQ index vs the exact cosine top-10 over the same
+    # 8 queries: set overlap, integer ppm (x30's grading recipe)
+    "x52_pq_recall": """
+        WITH __PQ_CTES__,
+        padc AS (
+            SELECT t.query_id, c.vec_id AS neighbor_id,
+                   CAST(sum(t.d) AS BIGINT) AS adc_dist
+            FROM codes c JOIN dtab t ON t.s = c.s AND t.cb_id = c.code
+            WHERE c.vec_id <> t.query_id
+            GROUP BY t.query_id, c.vec_id
+        ),
+        pq AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY adc_dist, neighbor_id) AS r
+                FROM padc
+            ) WHERE r <= 10
+        ),
+        q AS (SELECT vec_id AS query_id, emb AS qemb FROM pv
+              WHERE vec_id < 8),
+        ex AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(q.qemb, c.emb)
+                                        DESC, c.vec_id) AS r
+                FROM pv c CROSS JOIN q
+                WHERE c.vec_id <> q.query_id
+            ) WHERE r <= 10
+        )
+        SELECT e.query_id,
+               CAST(count(p.neighbor_id) AS BIGINT) AS n_hit,
+               CAST(count(p.neighbor_id) * 1000000 // 10 AS BIGINT)
+                   AS recall_ppm
+        FROM ex e LEFT JOIN pq p USING (query_id, neighbor_id)
+        GROUP BY e.query_id
     """,
     "x3b_embedding_neardup": _x3b_lsh_oracle(),
     "x3d_ann_lsh": _x3d_lsh_ann_oracle(),
@@ -1108,3 +1276,7 @@ for _name in ("x3_cosine_topk", "x3e_ivf_topk"):
 for _name in ("x3g_kmeans_clusters", "x45_semdedup_keep"):
     ORACLES_EXT[_name] = ORACLES_EXT[_name].replace(
         "__KMEANS_CTES__", _KMEANS_CTES)
+
+for _name in ("x50_pq_topk", "x51_ivfpq_topk", "x52_pq_recall"):
+    ORACLES_EXT[_name] = ORACLES_EXT[_name].replace(
+        "__PQ_CTES__", _PQ_CTES)

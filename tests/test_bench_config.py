@@ -76,6 +76,7 @@ def test_bench_scale_accounted_targets_are_timed():
         "shingle_stream",
         "span_stream",
         "cell_pair_stream",
+        "semdedup_auto_work",
         "wedge_count",
         "copurchase_edges",
     }

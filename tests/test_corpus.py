@@ -459,3 +459,226 @@ def test_mixture_sample_partitioning_invariant_and_monotone(spark):
     )
     tight_ids = {r["doc_id"] for r in tighter.collect()}
     assert tight_ids < base  # strict subset, non-empty gap
+
+
+def test_span_dedup_rewrite_first_principles(spark):
+    """x49 recomputed driver-side from the raw corpus with a LITERAL
+    interval union (a set of covered token indices) — independent of
+    the query's gap-sum trick, so it verifies that min(N, gap) over
+    removed occurrences in position order IS the union length for
+    equal-length spans, plus the global-first-occurrence keep rule."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    n = corpus._SPAN_N
+    occ: dict[int, list[tuple[int, str]]] = {}
+    for r in docs:
+        toks = r["text"].split(" ")
+        occ[r["doc_id"]] = [
+            (i, " ".join(toks[i : i + n]))
+            for i in range(len(toks) - n + 1)
+        ]
+    first: dict[str, tuple[int, int]] = {}
+    count: dict[str, int] = {}
+    for did, lst in occ.items():
+        for pos, s in lst:
+            count[s] = count.get(s, 0) + 1
+            if s not in first or (did, pos) < first[s]:
+                first[s] = (did, pos)
+    expect = {}
+    for did, lst in occ.items():
+        if not lst:
+            continue
+        removed = [
+            pos
+            for pos, s in lst
+            if count[s] >= 2 and first[s] != (did, pos)
+        ]
+        covered: set[int] = set()
+        for pos in removed:
+            covered.update(range(pos, pos + n))
+        expect[did] = (len(lst) + n - 1, len(removed), len(covered))
+    got = REGISTRY["x49_span_dedup_rewrite"].fn(spark, SF_DIR).collect()
+    assert {
+        r["doc_id"]: (r["n_tokens"], r["removed_occ"], r["removed_tokens"])
+        for r in got
+    } == expect
+    for r in got:
+        assert r["retained_frac"] == (
+            (r["n_tokens"] - r["removed_tokens"]) / r["n_tokens"]
+        )
+    # the corpus actually exercises the removal branch
+    assert any(r["removed_occ"] > 0 for r in got)
+
+
+def test_pq_topk_first_principles(spark):
+    """x50 recomputed with numpy as a third engine: same quantizer
+    tree floor(x * (127/max)) in float64, per-subspace argmin on
+    dist*16+cb_id, ADC sums, top-10 by (adc, id) — full-map equality
+    for every query, so coding, table lookup, and ranking are all
+    pinned to an independent implementation."""
+    import numpy as np
+
+    from data_engineer_project_weather_analytics_spark.plans.extensions import (
+        _PQ_CODEWORDS,
+        _PQ_DIM,
+        _PQ_M,
+        _PQ_QUERIES,
+        _PQ_TOPK,
+    )
+
+    rows = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    v = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    scale = 127.0 / np.abs(v).max()
+    qv = np.floor(v * scale).astype(np.int64)
+    d4 = _PQ_DIM // _PQ_M
+    order = np.argsort(ids)
+    cb = qv[order][: _PQ_CODEWORDS]  # vec_id 0..15 sorted
+    assert (ids[order][: _PQ_CODEWORDS] == np.arange(_PQ_CODEWORDS)).all()
+
+    def subdist(a, b, s):
+        d = a[s * d4 : (s + 1) * d4] - b[s * d4 : (s + 1) * d4]
+        return int((d * d).sum())
+
+    codes = {
+        int(ids[i]): [
+            min(
+                range(_PQ_CODEWORDS),
+                key=lambda j: subdist(qv[i], cb[j], s) * _PQ_CODEWORDS + j,
+            )
+            for s in range(_PQ_M)
+        ]
+        for i in range(len(ids))
+    }
+    expect = {}
+    for qi in range(len(ids)):
+        qid = int(ids[qi])
+        if qid >= _PQ_QUERIES:
+            continue
+        dtab = [
+            [subdist(qv[qi], cb[j], s) for j in range(_PQ_CODEWORDS)]
+            for s in range(_PQ_M)
+        ]
+        scored = sorted(
+            (
+                sum(dtab[s][codes[int(cid)][s]] for s in range(_PQ_M)),
+                int(cid),
+            )
+            for cid in ids
+            if int(cid) != qid
+        )
+        expect[qid] = [
+            (cid, rank + 1, adc)
+            for rank, (adc, cid) in enumerate(scored[:_PQ_TOPK])
+        ]
+    got = REGISTRY["x50_pq_topk"].fn(spark, SF_DIR).collect()
+    got_map: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        got_map.setdefault(r["query_id"], []).append(
+            (r["neighbor_id"], r["rank"], r["adc_dist"])
+        )
+    assert got_map == expect
+
+
+def test_ivfpq_topk_first_principles(spark):
+    """x51 recomputed driver-side: µ-quantized exact-mean centroids,
+    probe ranking on floor(cos·1e4) with the cosine computed by the
+    SAME sequential left-fold tree Spark's aggregate() uses (Python
+    floats are IEEE doubles, so the replication is bit-exact), then
+    ADC restricted to candidates in the 2 probed cells — full-map
+    equality for every query."""
+    import numpy as np
+
+    from data_engineer_project_weather_analytics_spark.plans.extensions import (
+        _PQ_CODEWORDS,
+        _PQ_DIM,
+        _PQ_M,
+        _PQ_QUERIES,
+        _PQ_TOPK,
+    )
+
+    rows = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding", "label"
+    ).collect()
+    ids = [r["vec_id"] for r in rows]
+    cells = {r["vec_id"]: r["label"] for r in rows}
+    v = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    byid = {int(i): v[n] for n, i in enumerate(ids)}
+    scale = 127.0 / np.abs(v).max()
+    qv = {i: np.floor(x * scale).astype(np.int64) for i, x in byid.items()}
+    d4 = _PQ_DIM // _PQ_M
+    cb = [qv[j] for j in range(_PQ_CODEWORDS)]
+
+    def subdist(a, b, s):
+        d = a[s * d4 : (s + 1) * d4] - b[s * d4 : (s + 1) * d4]
+        return int((d * d).sum())
+
+    codes = {
+        i: [
+            min(
+                range(_PQ_CODEWORDS),
+                key=lambda j: subdist(qv[i], cb[j], s) * _PQ_CODEWORDS + j,
+            )
+            for s in range(_PQ_M)
+        ]
+        for i in byid
+    }
+    # µ-quantized exact-mean centroids (cell_centroids replication)
+    percell: dict[int, list[np.ndarray]] = {}
+    for i, x in byid.items():
+        percell.setdefault(cells[i], []).append(x)
+    cents = {
+        c: [
+            int(sum(int(np.floor(x[p] * 1000000.0)) for x in xs))
+            / (len(xs) * 1000000)
+            for p in range(_PQ_DIM)
+        ]
+        for c, xs in percell.items()
+    }
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def cos(a, b):
+        import math
+
+        return fold_dot(a, b) / (
+            math.sqrt(fold_dot(a, a)) * math.sqrt(fold_dot(b, b))
+        )
+
+    expect = {}
+    for qid in range(_PQ_QUERIES):
+        ranked = sorted(
+            cents,
+            key=lambda c: (-int(np.floor(cos(byid[qid], cents[c]) * 10000.0)), c),
+        )
+        probed = set(ranked[:2])
+        dtab = [
+            [subdist(qv[qid], cb[j], s) for j in range(_PQ_CODEWORDS)]
+            for s in range(_PQ_M)
+        ]
+        scored = sorted(
+            (
+                sum(dtab[s][codes[cid][s]] for s in range(_PQ_M)),
+                cid,
+            )
+            for cid in byid
+            if cid != qid and cells[cid] in probed
+        )
+        expect[qid] = [
+            (cid, rank + 1, adc)
+            for rank, (adc, cid) in enumerate(scored[:_PQ_TOPK])
+        ]
+    got = REGISTRY["x51_ivfpq_topk"].fn(spark, SF_DIR).collect()
+    got_map: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        got_map.setdefault(r["query_id"], []).append(
+            (r["neighbor_id"], r["rank"], r["adc_dist"])
+        )
+    assert got_map == expect

@@ -181,6 +181,9 @@ _BOUNDED_BROADCAST_QUERIES = {
     "x20_boilerplate_detect",  # 1-row corpus-count join
     "x22_bigram_pmi",  # 1-row corpus-token-count join
     "x23_sq8_topk",  # 1-row quantizer-scale join + fixed query-vector set
+    "x50_pq_topk",  # 1-row codebook product + fixed query distance tables
+    "x51_ivfpq_topk",  # same codebook product + |cells|-row centroid probe
+    "x52_pq_recall",  # composes x50's codebook product + x3's exact probe
     "j9_bloom_prune_join",  # 2048-word bloom bitmap + 1-row count join
     "g1_triangle_count",  # 1-row count joins
     "a22_hll_distinct",  # 1-row sketch-total x 1-row exact-count join
@@ -769,3 +772,51 @@ def test_two_level_kmeans_agrees_with_flat_when_one_coarse_cell(spark):
     ).first()[0]
     assert flat.count() == two.count()
     assert h(flat) == h(two)
+
+
+def test_span_rewrite_single_corpus_scan(spark):
+    """x49 (removal manifest) inherits x43's single-scan rule AND the
+    equal-length interval-union trick: no second FileScan of documents,
+    no extra Generate to explode covered token indices (the union is a
+    gap sum over one ignore-nulls window), and at most the two planned
+    exchanges (span-hash window, per-doc window — whose partitioning
+    the final doc_id rollup reuses)."""
+    static = _formatted_plan(spark, "x49_span_dedup_rewrite")
+    scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", static))
+    gen_ids = set(re.findall(r"\((\d+)\) Generate", static))
+    assert len(scan_ids) == 1, (
+        f"expected 1 corpus scan, got {sorted(scan_ids)}:\n{static}"
+    )
+    assert len(gen_ids) == 1, (
+        f"expected 1 span explode, got {sorted(gen_ids)}:\n{static}"
+    )
+    hash_exchanges = [
+        ln for ln in static.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hash_exchanges) <= 2, hash_exchanges
+
+
+def test_ivfpq_candidate_join_is_broadcast_on_cell(spark):
+    """x51's candidate restriction must reach the coded corpus as a
+    BroadcastHashJoin ON THE CELL ID (probes are |queries|·n_probe
+    rows) — a shuffle here would re-partition the whole corpus to
+    prune it; the ranking window still group-limits map-side."""
+    static = _formatted_plan(spark, "x51_ivfpq_topk")
+    assert "BroadcastHashJoin" in static, static
+    assert "WindowGroupLimit" in static, static
+
+
+def test_pq_adc_coding_is_mapside_with_window_group_limit(spark):
+    """x50's candidate coding must stay map-side — a one-row broadcast
+    codebook product evaluated in HOFs, never a shuffle of the corpus —
+    so the ONLY hash exchange is the final per-query ranking window,
+    and rank<=k must plan WindowGroupLimit (map-side group-limit before
+    that exchange)."""
+    static = _formatted_plan(spark, "x50_pq_topk")
+    assert "WindowGroupLimit" in static, static
+    hash_exchanges = [
+        ln for ln in static.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hash_exchanges) <= 1, hash_exchanges

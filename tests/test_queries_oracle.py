@@ -51,3 +51,35 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_pq_oracle_constants_in_lockstep():
+    """The x50 oracle replays the PQ geometry as SPLICED LITERALS —
+    dim, subspace width, codeword count (and its argmin key base),
+    query count, top-k.  A drift in extensions._PQ_* silently runs two
+    different quantizers (the kmeans-constants rule applied to PQ)."""
+    from data_engineer_project_weather_analytics_spark.plans.extensions import (
+        _PQ_CODEWORDS,
+        _PQ_DIM,
+        _PQ_M,
+        _PQ_QUERIES,
+        _PQ_TOPK,
+    )
+
+    width = _PQ_DIM // _PQ_M
+    for name in ("x50_pq_topk", "x51_ivfpq_topk"):
+        sql = REGISTRY[name].sql
+        assert f"generate_series(1, {_PQ_DIM})" in sql, name
+        assert f"(i - 1) // {width} AS INT" in sql, name
+        assert f"c.vec_id < {_PQ_CODEWORDS}" in sql, name
+        assert f"min(d * {_PQ_CODEWORDS} + cb_id) % {_PQ_CODEWORDS}" in sql, name
+        assert f"vec_id < {_PQ_QUERIES}" in sql, name
+        assert f"rank <= {_PQ_TOPK}" in sql, name
+    # the IVF side of x51: 2-cell probe on the quantized centroid cosine
+    sql51 = REGISTRY["x51_ivfpq_topk"].sql
+    assert "r <= 2" in sql51 and "* 10000) AS BIGINT) DESC" in sql51
+    # x52 grades vs exact top-_PQ_TOPK over the same _PQ_QUERIES
+    sql52 = REGISTRY["x52_pq_recall"].sql
+    assert f"r <= {_PQ_TOPK}" in sql52
+    assert f"vec_id < {_PQ_QUERIES}" in sql52
+    assert f"// {_PQ_TOPK}" in sql52
