@@ -80,6 +80,7 @@ HEADLINE: dict[str, str] = {
     "x49_span_dedup_rewrite": "checksum",
     "x50_pq_topk": "collect",
     "x51_ivfpq_topk": "collect",
+    "x53_incremental_neardup": "checksum",
 }
 
 

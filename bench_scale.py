@@ -135,6 +135,7 @@ QUERIES: tuple[str, ...] = (
     "x49_span_dedup_rewrite",
     "x50_pq_topk",
     "x51_ivfpq_topk",
+    "x53_incremental_neardup",
 )
 
 
@@ -158,6 +159,9 @@ ACCOUNTED: dict[str, str] = {
     # mass exactly like the LSH pair queries
     "x38_prefix_filter_neardup": "output_rows",
     "x37_containment_pairs": "output_rows",
+    # incremental probe: verified cross-split pair output grows with
+    # the duplicate mass, exactly like the bootstrap pair queries
+    "x53_incremental_neardup": "output_rows",
     # the curation pipeline's output is the curated corpus itself
     "x16_curation_pipeline": "output_rows",
     # tf-idf keyword output is top-k per surviving doc — input-linear

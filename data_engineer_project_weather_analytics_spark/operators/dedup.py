@@ -217,6 +217,67 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_candidate_pairs_cross(
+    signatures: DataFrame,
+    id_col: str,
+    side_col: str,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Cross-side LSH candidates: (corpus, batch) pairs agreeing on
+    ≥1 band — the probe step of INCREMENTAL near-dedup, where an
+    incoming batch is checked against an existing corpus without ever
+    forming within-corpus pairs (the steady-state production shape;
+    :func:`lsh_candidate_pairs` is the bootstrap).
+
+    Same pre-counted bucket cap as the full form (width = ALL rows in
+    the bucket, so the kept-bucket set is identical to the bootstrap
+    run's — an incremental pass never probes a bucket the full pass
+    would have dropped as degenerate); each kept bucket then emits the
+    corpus-ids × batch-ids cross product via sorted arrays, never a
+    signature self-join (the signature pipeline is computed ONCE).
+
+    ``side_col`` must be 'train' (corpus) / 'test' (batch) per row
+    (:func:`..text.deterministic_split` shape).  Output:
+    ``(id_a ∈ corpus, id_b ∈ batch)``, distinct."""
+    if max_bucket is not None:
+        kept = (
+            signatures.groupBy("band", "minhash")
+            .agg(F.count(F.lit(1)).alias("__width"))
+            .filter(
+                (F.col("__width") >= 2) & (F.col("__width") <= max_bucket)
+            )
+            .select("band", "minhash")
+        )
+        signatures = signatures.join(kept, ["band", "minhash"], "left_semi")
+    buckets = (
+        signatures.groupBy("band", "minhash")
+        .agg(
+            F.sort_array(
+                F.collect_set(
+                    F.when(F.col(side_col) == "train", F.col(id_col))
+                )
+            ).alias("ids_a"),
+            F.sort_array(
+                F.collect_set(
+                    F.when(F.col(side_col) == "test", F.col(id_col))
+                )
+            ).alias("ids_b"),
+        )
+        .filter((F.size("ids_a") > 0) & (F.size("ids_b") > 0))
+    )
+    pairs = F.expr(
+        """
+        flatten(transform(ids_a, x ->
+            transform(ids_b, y -> struct(x AS id_a, y AS id_b))))
+        """
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+    )
+
+
 def jaccard_for_candidates(
     ds: DataFrame,
     id_col: str,

@@ -115,6 +115,38 @@ def x2f_lsh_verified_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x53_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup: an INCOMING batch LSH-probed against an
+    EXISTING corpus and Jaccard-verified — x1b's steady-state
+    ingestion shape applied to the x2f near-dup pipeline.  The
+    deterministic id-hash split stands in for the corpus/batch
+    boundary (train = corpus, test = batch).
+
+    Scale shape: signatures and set sizes come from ONE aggregation
+    over ONE shingle explode (minhash_with_sizes); candidates are the
+    corpus×batch cross product WITHIN kept buckets only
+    (lsh_candidate_pairs_cross — same pre-counted [2, max] bucket cap
+    as the bootstrap, so no within-corpus pairs and no signature
+    self-join); the exact-Jaccard verifier touches candidate pairs
+    only.  At 100 TB the corpus side's signature table would be a
+    materialized index updated per batch — the probe and verify
+    stages measured here are the recurring cost."""
+    docs = load_table(spark, sf_dir, "documents")
+    ds = dedup.doc_shingles(docs, "doc_id", "text", n=3)
+    sigs, sizes = dedup.minhash_with_sizes(ds, "doc_id", n_bands=8)
+    sided = sigs.withColumn("side", text.deterministic_split("doc_id"))
+    cand = dedup.lsh_candidate_pairs_cross(
+        sided, "doc_id", "side", max_bucket=LSH_MAX_BUCKET
+    )
+    return dedup.jaccard_for_candidates(
+        ds, "doc_id", cand, threshold=0.1, sizes=sizes
+    ).select(
+        F.col("id_a").alias("corpus_doc_id"),
+        F.col("id_b").alias("batch_doc_id"),
+        "jaccard",
+    )
+
+
 def x2d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprint per document (md5-nibble bit votes)."""
     docs = load_table(spark, sf_dir, "documents")

@@ -453,6 +453,43 @@ ORACLES_EXT: dict[str, str] = {
         WHERE CAST(n_inter AS DOUBLE) /
                   (sa.set_size + sb.set_size - n_inter) >= 0.1
     """,
+    # cross-side candidates only (corpus = md5(id) < 'cd', batch = the
+    # rest); same kept-bucket cap as x2b/x2f, same verifier
+    "x53_incremental_neardup": f"""
+        WITH ds AS ({_SHINGLES}),
+        sigs AS (
+            SELECT doc_id, CAST(band AS INTEGER) AS band,
+                   min(substr(md5(shingle) || md5(shingle || '#'),
+                              8 * band + 1, 8)) AS minhash
+            FROM ds CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band) b
+            GROUP BY doc_id, band
+        ),
+        ok_buckets AS ({_OK_BUCKETS}),
+        candidates AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sigs a
+            JOIN sigs b ON a.band = b.band AND a.minhash = b.minhash
+            JOIN ok_buckets ob ON ob.band = a.band AND ob.minhash = a.minhash
+            WHERE md5(CAST(a.doc_id AS VARCHAR)) < 'cd'
+              AND md5(CAST(b.doc_id AS VARCHAR)) >= 'cd'
+        ),
+        sizes AS (SELECT doc_id, count(*) AS set_size FROM ds GROUP BY doc_id),
+        inter AS (
+            SELECT c.id_a, c.id_b, count(*) AS n_inter
+            FROM candidates c
+            JOIN ds a ON a.doc_id = c.id_a
+            JOIN ds b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+            GROUP BY c.id_a, c.id_b
+        )
+        SELECT id_a AS corpus_doc_id, id_b AS batch_doc_id,
+               CAST(n_inter AS DOUBLE) /
+                   (sa.set_size + sb.set_size - n_inter) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_inter AS DOUBLE) /
+                  (sa.set_size + sb.set_size - n_inter) >= 0.1
+    """,
     "x2d_simhash": """
         WITH tok AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents

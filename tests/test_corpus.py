@@ -682,3 +682,24 @@ def test_ivfpq_topk_first_principles(spark):
             (r["neighbor_id"], r["rank"], r["adc_dist"])
         )
     assert got_map == expect
+
+
+def test_incremental_neardup_straddles_split_and_matches_exact(spark):
+    """x53's every output pair must straddle the corpus/batch split,
+    and its verified jaccard must equal the full exact computation
+    (x2c) for that pair — the incremental probe changes WHICH pairs
+    are examined, never their grade.  (LSH misses are allowed: x53 ⊆
+    cross-split x2c, not equality.)"""
+    import hashlib
+
+    got = REGISTRY["x53_incremental_neardup"].fn(spark, SF_DIR).collect()
+    assert got, "testdata has cross-split near-dups; empty means broken"
+    exact = {
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"])): r["jaccard"]
+        for r in REGISTRY["x2c_ngram_jaccard"].fn(spark, SF_DIR).collect()
+    }
+    for r in got:
+        c, b = r["corpus_doc_id"], r["batch_doc_id"]
+        assert hashlib.md5(str(c).encode()).hexdigest() < "cd", r
+        assert hashlib.md5(str(b).encode()).hexdigest() >= "cd", r
+        assert exact[(min(c, b), max(c, b))] == r["jaccard"], r
