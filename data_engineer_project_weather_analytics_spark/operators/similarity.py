@@ -88,7 +88,15 @@ def cosine_topk(
             cosine(F.col("__qv"), F.col("__cv")).alias("__cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id"))
+    # rank on the 1e-4-QUANTIZED cosine with neighbor_id tiebreak (the
+    # x42 integer-key ordering rule): Spark's fold-based dot/(sqrt·sqrt)
+    # and DuckDB's list_cosine_similarity are different IEEE expression
+    # trees, so a raw-double ordering could flip the top-k BOUNDARY on a
+    # last-ulp near-tie — and any recall grade built on this exact side
+    # (x52) would turn that flip into a grade change (ADVICE r7)
+    w = Window.partitionBy("query_id").orderBy(
+        sim_q(F.col("__cos")).desc(), F.col("neighbor_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

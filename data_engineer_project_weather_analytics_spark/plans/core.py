@@ -537,11 +537,17 @@ def _a8b_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.abs(F.col("approx_events") - F.col("exact_events")) * 20
            <= F.col("exact_events"))
     )
+    # the error bound travels IN the output schema (integer ppm, the
+    # a25/x30 grading recipe) so the rows-only driver check records not
+    # just "a row survived the 5% filter" but the measured error itself
+    err_ppm = lambda a, e: F.expr(f"abs({a} - {e}) * 1000000 DIV {e}")  # noqa: E731
     return agg.select(
         "approx_users",
         "approx_events",
         "exact_users",
         "exact_events",
+        err_ppm("approx_users", "exact_users").alias("users_err_ppm"),
+        err_ppm("approx_events", "exact_events").alias("events_err_ppm"),
         within.alias("within_5pct"),
     ).filter(F.col("within_5pct"))
 

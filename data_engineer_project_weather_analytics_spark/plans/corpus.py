@@ -1514,6 +1514,16 @@ _LPA_STEP_CTES = "".join(
 _SPAN_N = 5
 
 
+def _span_concat_sql(term: str) -> str:
+    """The N-token span concat for the x43/x49 oracles, GENERATED from
+    ``_SPAN_N`` (``term[i] || ' ' || term[i+1] || ...``) — a hardcoded
+    5-term concat would silently hash different spans in the two
+    engines if ``_SPAN_N`` ever moved (ADVICE r7)."""
+    return " || ' ' || ".join(
+        f"{term}[i]" if j == 0 else f"{term}[i+{j}]" for j in range(_SPAN_N)
+    )
+
+
 def x43_duplicate_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document fraction of token spans that appear verbatim in at
     least one OTHER document — the exact-substring duplication signal
@@ -1744,10 +1754,10 @@ def x48_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 #: combined (doc_id, pos) ordering key: pos < 2^20 tokens per document
-#: (docs average ~50 tokens; a 1 M-token document would overflow the
-#: packing, so the cap is asserted structurally by the span explode —
-#: sequence() of a larger doc still fits, the KEY just needs pos
-#: disjoint from doc_id bits; 2^20 leaves doc_id ≈ 8.8e12 headroom).
+#: (docs average ~50 tokens; 2^20 leaves doc_id ≈ 8.8e12 headroom).
+#: A document large enough to overflow the packing fails LOUDLY — the
+#: span explode in x49 raise_error()s on any doc whose max pos would
+#: reach this shift, instead of silently reordering keys (ADVICE r7).
 _SPAN_KEY_SHIFT = 1 << 20
 
 
@@ -1781,9 +1791,19 @@ def x49_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("__toks"))
+    # fail LOUDLY on a document whose max span position would overflow
+    # the (doc_id, pos) packing (ADVICE r7: a >1 M-token doc would
+    # otherwise silently corrupt the global first-occurrence ordering
+    # and keep the WRONG span) — one integer compare per document,
+    # raise_error only on the poisoned branch
     span_structs = F.expr(
         f"""
-        CASE WHEN size(__toks) >= {_SPAN_N}
+        CASE WHEN size(__toks) - {_SPAN_N} >= {_SPAN_KEY_SHIFT}
+             THEN raise_error(concat(
+                      'x49: document exceeds the ', '{_SPAN_KEY_SHIFT}',
+                      '-token span-key capacity (pos would overflow the ',
+                      '(doc_id, pos) packing) - split the document first'))
+             WHEN size(__toks) >= {_SPAN_N}
              THEN transform(
                     sequence(0, size(__toks) - {_SPAN_N}),
                     i -> named_struct(
@@ -1878,11 +1898,7 @@ ORACLES_CORPUS: dict[str, str] = {
                        generate_series(
                            1, greatest(len(string_split(text, ' '))
                                        - {_SPAN_N - 1}, 0)),
-                       i -> string_split(text, ' ')[i] || ' ' ||
-                            string_split(text, ' ')[i+1] || ' ' ||
-                            string_split(text, ' ')[i+2] || ' ' ||
-                            string_split(text, ' ')[i+3] || ' ' ||
-                            string_split(text, ' ')[i+4])) AS span
+                       i -> {_span_concat_sql("string_split(text, ' ')")})) AS span
             FROM documents
         ),
         cnt AS (
@@ -1913,9 +1929,7 @@ ORACLES_CORPUS: dict[str, str] = {
                    unnest(list_transform(generate_series(1, m),
                        i -> CAST(i - 1 AS BIGINT))) AS pos,
                    unnest(list_transform(generate_series(1, m),
-                       i -> ('0x' || substr(md5(
-                                 t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                                 || ' ' || t[i+3] || ' ' || t[i+4]),
+                       i -> ('0x' || substr(md5({_span_concat_sql("t")}),
                              1, 12))::BIGINT)) AS spanh
             FROM base
         ),

@@ -510,6 +510,9 @@ ORACLES_EXT: dict[str, str] = {
             "(CASE WHEN v{i} > 0 THEN '1' ELSE '0' END)".format(i=i + 1) for i in range(16)
         ),
     ),
+    # rank on the 1e-4-quantized cosine (integer-key rule, ADVICE r7):
+    # both engines order identical BIGINTs, so a last-ulp engine drift
+    # in the raw double can never flip the top-k boundary
     "x3_cosine_topk": """
         WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                    FROM embeddings WHERE vec_id < 10),
@@ -523,7 +526,9 @@ ORACLES_EXT: dict[str, str] = {
         )
         SELECT query_id, neighbor_id,
                CAST(row_number() OVER (
-                   PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
+                   PARTITION BY query_id
+                   ORDER BY CAST(floor(cos * 10000) AS BIGINT) DESC,
+                            neighbor_id) AS INTEGER) AS rank,
                CAST(floor(cos * 10000) AS BIGINT) AS sim
         FROM scored
         QUALIFY rank <= __ANN_TOPK__
@@ -633,11 +638,16 @@ ORACLES_EXT: dict[str, str] = {
         q AS (SELECT vec_id AS query_id, emb AS qemb FROM pv
               WHERE vec_id < 8),
         ex AS (
+            -- exact side ranks on the 1e-4-quantized cosine (the x42
+            -- integer-key rule; ADVICE r7): a raw-double top-10
+            -- boundary flip would change n_hit, turning last-ulp
+            -- engine drift into a grade change
             SELECT query_id, neighbor_id FROM (
                 SELECT q.query_id, c.vec_id AS neighbor_id,
                        row_number() OVER (
                            PARTITION BY q.query_id
-                           ORDER BY list_cosine_similarity(q.qemb, c.emb)
+                           ORDER BY CAST(floor(list_cosine_similarity(
+                                        q.qemb, c.emb) * 10000) AS BIGINT)
                                         DESC, c.vec_id) AS r
                 FROM pv c CROSS JOIN q
                 WHERE c.vec_id <> q.query_id

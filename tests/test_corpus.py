@@ -4,6 +4,7 @@ engines agree; these prove the agreed answer is the RIGHT one)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from data_engineer_project_weather_analytics_spark.plans import corpus
@@ -509,6 +510,21 @@ def test_span_dedup_rewrite_first_principles(spark):
         )
     # the corpus actually exercises the removal branch
     assert any(r["removed_occ"] > 0 for r in got)
+
+
+def test_span_dedup_rewrite_overflow_guard(spark, tmp_path):
+    """A document whose max span position would overflow the
+    (doc_id, pos) packing must fail LOUDLY (raise_error), never
+    silently reorder the global first-occurrence key (ADVICE r7)."""
+    from pyspark.errors import SparkRuntimeException
+
+    n_toks = corpus._SPAN_KEY_SHIFT + corpus._SPAN_N  # max pos == shift
+    big = " ".join(str(i % 97) for i in range(n_toks))
+    spark.createDataFrame(
+        [(1, big)], "doc_id long, text string"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    with pytest.raises(SparkRuntimeException, match="span-key capacity"):
+        REGISTRY["x49_span_dedup_rewrite"].fn(spark, str(tmp_path)).collect()
 
 
 def test_pq_topk_first_principles(spark):

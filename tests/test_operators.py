@@ -1088,6 +1088,10 @@ def test_a8b_approx_distinct_self_grades(spark):
     row = NO_ORACLE["a8b_approx_count_distinct"](spark, SF_DIR).collect()[0]
     assert row.within_5pct is True, row
     assert row.exact_users > 0 and row.exact_events > 0
+    # the measured error itself travels in the schema (integer ppm) so
+    # the driver's rows-only record pins the bound, not just the flag
+    assert 0 <= row.users_err_ppm <= 50_000, row
+    assert 0 <= row.events_err_ppm <= 50_000, row
 
 
 def test_embedding_lsh_candidates_superset_of_output(spark):
