@@ -28,6 +28,76 @@ from data_engineer_project_weather_analytics_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# --------------------------------------------------------------------------
+# Load sentinel (VERDICT r7 task 2) — three rounds (r4, r6, r7) recorded
+# ghost regressions where queries with ZERO code changes read 1.5-5x high
+# because a concurrent process (usually a pytest tail) was eating the
+# machine at record time.  Before timing anything, bench.py measures a
+# fixed calibration probe — the 7-column lineitem scan consumed through
+# the same bit_xor(xxhash64) checksum as the wide queries — and compares
+# it to the committed idle-machine reference.  Under sustained load it
+# retries after a pause; if the machine never quiets it REFUSES to emit
+# the JSON line (exit 1, diagnostic on stderr) rather than commit a
+# contaminated artifact.  SPARK_GRAFT_BENCH_FORCE=1 overrides (the
+# load_factor still lands in the JSON for audit).
+# --------------------------------------------------------------------------
+
+#: best-of probe time on the idle reference machine (local[32], sf0.1,
+#: measured r8 over 6 samples: 0.595-0.716 s warm).  The sentinel only
+#: applies at the default sf0.1 — other SF dirs have no reference.
+CALIBRATION_REF_SEC = 0.60
+LOAD_FACTOR_MAX = 1.5
+CALIBRATION_RETRIES = 5
+CALIBRATION_RETRY_SLEEP_SEC = 30
+
+_PROBE_COLS = (
+    "l_quantity l_extendedprice l_discount l_tax "
+    "l_returnflag l_linestatus l_shipdate"
+).split()
+
+
+def measure_load_factor(spark) -> float:
+    """Best-of-3 calibration probe over the committed reference."""
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(*_PROBE_COLS)
+        df.select(F.bit_xor(F.xxhash64(*_PROBE_COLS)).alias("c")).collect()
+        best = min(best, time.perf_counter() - t0)
+    return best / CALIBRATION_REF_SEC
+
+
+def check_load_sentinel(spark) -> float | None:
+    """Return the measured load factor, or None when no reference
+    applies (non-default SF dir).  Exits 1 under sustained load."""
+    if not SF_DIR.rstrip("/").endswith("sf0.1"):
+        return None
+    lf = measure_load_factor(spark)
+    for _ in range(CALIBRATION_RETRIES):
+        if lf <= LOAD_FACTOR_MAX:
+            return lf
+        print(
+            f"bench: load sentinel tripped (factor {lf:.2f} > "
+            f"{LOAD_FACTOR_MAX}); retrying in {CALIBRATION_RETRY_SLEEP_SEC}s",
+            file=sys.stderr,
+        )
+        time.sleep(CALIBRATION_RETRY_SLEEP_SEC)
+        lf = measure_load_factor(spark)
+    if lf > LOAD_FACTOR_MAX and os.environ.get("SPARK_GRAFT_BENCH_FORCE") != "1":
+        print(
+            f"bench REFUSED: measured load factor {lf:.2f} exceeds "
+            f"{LOAD_FACTOR_MAX}x the idle reference after "
+            f"{CALIBRATION_RETRIES} retries - a concurrent process is "
+            "inflating every query (the r4/r6/r7 ghost-regression "
+            "signature).  Quiet the machine and rerun, or set "
+            "SPARK_GRAFT_BENCH_FORCE=1 to emit anyway.",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+    return lf
+
 #: Headline set: the reference workload (dashboard + upsert) plus the
 #: volume joins and the extension ops that matter at corpus scale.
 #: mode: "collect" (small result) vs "checksum" (wide per-row result —
@@ -81,6 +151,7 @@ HEADLINE: dict[str, str] = {
     "x50_pq_topk": "collect",
     "x51_ivfpq_topk": "collect",
     "x53_incremental_neardup": "checksum",
+    "x54_incremental_semdedup": "checksum",
 }
 
 
@@ -91,6 +162,8 @@ def main() -> None:
     # warm the JVM + file listing once so per-query numbers measure the
     # queries, not session bring-up
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    load_factor = check_load_sentinel(spark)
 
     timings: dict[str, float] = {}
     for name, mode in HEADLINE.items():
@@ -150,6 +223,9 @@ def main() -> None:
                 ),
                 "baseline17_total": round(
                     sum(timings[n] for n in baseline17 if n in timings), 3
+                ),
+                "load_factor": (
+                    round(load_factor, 3) if load_factor is not None else None
                 ),
             }
         )

@@ -136,6 +136,7 @@ QUERIES: tuple[str, ...] = (
     "x50_pq_topk",
     "x51_ivfpq_topk",
     "x53_incremental_neardup",
+    "x54_incremental_semdedup",
 )
 
 
@@ -234,6 +235,13 @@ ACCOUNTED: dict[str, str] = {
     # counts ALL of it: coarse scoring + routed fine scoring per Lloyd
     # pass, plus the within-cell verify pairs
     "x45_semdedup_auto": "semdedup_auto_work",
+    # incremental probe: the work driver is the batch x same-cell
+    # corpus-survivor candidate stream the verify scores (the thresholded
+    # keep decision can drop to zero rows while the probe still did real
+    # pair work — the x3b candidate_pairs framing); with the registered
+    # fixed k the cells grow with the corpus, so the stream is
+    # superlinear by construction and the accounting bounds it
+    "x54_incremental_semdedup": "probe_pair_stream",
 }
 
 #: time-ratio must stay under rows_ratio * this constant for every
@@ -595,6 +603,18 @@ def main() -> None:
                     F.sum(F.col("count") * (F.col("count") - 1) / 2)
                 ).first()[0]
             )
+        if kind == "probe_pair_stream":
+            from pyspark.sql import functions as FF
+
+            from data_engineer_project_weather_analytics_spark.operators import similarity
+            from data_engineer_project_weather_analytics_spark.sources.catalog import load_table
+
+            emb = load_table(spark, sf_dir, "embeddings")
+            h = FF.md5(FF.col("vec_id").cast("string"))
+            return similarity.semdedup_incremental_candidates(
+                emb.filter(h < "cd"), emb.filter(h >= "cd"),
+                "vec_id", "embedding",
+            ).count()
         if kind == "semdedup_auto_work":
             # ALL the work the two-level auto-k SemDeDup does, measured
             # from one extra assignment run:

@@ -370,6 +370,59 @@ KMEANS_K = 8
 KMEANS_ITERS = 3
 
 
+def _batch_assign(v: DataFrame, cents: DataFrame) -> DataFrame:
+    """One Lloyd assignment pass of ``v`` (``__vid``, ``__v``) against a
+    broadcast codebook ``cents`` (``cell``, ``centroid``): argmax over
+    the 1e-4-quantized cosine, ties to the lowest cell, collapsing the
+    n×k scored product map-side via ``max(struct)`` — the shared inner
+    step of :func:`kmeans_assign` (in-loop) and the incremental probe
+    (:func:`semdedup_incremental`, assigning a NEW batch to existing
+    cells without re-clustering)."""
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        "__vid",
+        "__v",
+        "cell",
+        sim_q(cosine(F.col("__v"), F.col("centroid"))).alias("__cs"),
+    )
+    best = F.struct(F.col("__cs").alias("s"), (-F.col("cell")).alias("nc"))
+    return (
+        scored.groupBy("__vid")
+        .agg(F.max(best).alias("__m"), F.first("__v").alias("__v"))
+        .select(
+            "__vid",
+            "__v",
+            (-F.col("__m.nc")).cast("int").alias("cell"),
+            F.col("__m.s").alias("__cs"),
+        )
+    )
+
+
+def _kmeans_fit(
+    v: DataFrame, k: int, n_iter: int
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic Lloyd loop over ``v`` (``__vid``, ``__v``); returns
+    ``(assigned, cents)`` where ``assigned`` is the final per-vector
+    assignment (``__vid``, ``__v``, ``cell``, ``__cs``) and ``cents``
+    the codebook THAT ASSIGNMENT used (the centroids after ``n_iter-1``
+    updates — what an incremental consumer must probe against to be
+    consistent with the stored assignment).  Semantics and determinism
+    contract documented on :func:`kmeans_assign`, which wraps this."""
+    h = F.conv(
+        F.substring(F.md5(F.col("__vid").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    seeds = v.select("__vid", "__v", h.alias("__h")).orderBy("__h", "__vid").limit(k)
+    w = Window.orderBy("__h", "__vid")  # k rows post-limit: bounded window
+    cents = seeds.select(
+        F.row_number().over(w).alias("cell"), F.col("__v").alias("centroid")
+    )
+    assigned = None
+    for it in range(n_iter):
+        assigned = _batch_assign(v, cents)
+        if it < n_iter - 1:
+            cents = cell_centroids(assigned, "cell", "__v")
+    return assigned, cents
+
+
 def kmeans_assign(
     vectors: DataFrame,
     id_col: str,
@@ -421,35 +474,7 @@ def kmeans_assign(
     v = vectors.select(
         F.col(id_col).alias("__vid"), _as_double(vec_col).alias("__v")
     )
-    h = F.conv(
-        F.substring(F.md5(F.col("__vid").cast("string")), 1, 8), 16, 10
-    ).cast("long")
-    seeds = v.select("__vid", "__v", h.alias("__h")).orderBy("__h", "__vid").limit(k)
-    w = Window.orderBy("__h", "__vid")  # k rows post-limit: bounded window
-    cents = seeds.select(
-        F.row_number().over(w).alias("cell"), F.col("__v").alias("centroid")
-    )
-    assigned = None
-    for it in range(n_iter):
-        scored = v.crossJoin(F.broadcast(cents)).select(
-            "__vid",
-            "__v",
-            "cell",
-            sim_q(cosine(F.col("__v"), F.col("centroid"))).alias("__cs"),
-        )
-        best = F.struct(F.col("__cs").alias("s"), (-F.col("cell")).alias("nc"))
-        assigned = (
-            scored.groupBy("__vid")
-            .agg(F.max(best).alias("__m"), F.first("__v").alias("__v"))
-            .select(
-                "__vid",
-                "__v",
-                (-F.col("__m.nc")).cast("int").alias("cell"),
-                F.col("__m.s").alias("__cs"),
-            )
-        )
-        if it < n_iter - 1:
-            cents = cell_centroids(assigned, "cell", "__v")
+    assigned, _cents = _kmeans_fit(v, k, n_iter)
     out = [
         F.col("__vid").alias(id_col),
         F.col("cell").alias("cluster_id"),
@@ -738,6 +763,150 @@ def semdedup_keep(
             F.col("cluster_id"),
             F.coalesce("__n_near", F.lit(0)).cast("bigint").alias("n_near"),
             F.when(F.coalesce("__n_smaller", F.lit(0)) == 0, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("kept"),
+        )
+    )
+
+
+def semdedup_corpus_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = KMEANS_K,
+    n_iter: int = KMEANS_ITERS,
+    threshold: float = 0.8,
+) -> tuple[DataFrame, DataFrame]:
+    """The materialized state an INCREMENTAL SemDeDup probe runs
+    against: ``(survivors, cents)`` where ``survivors`` is the corpus'
+    greedy min-id keep set with its cell and vector
+    (``cell, corpus_id, __cv``) and ``cents`` the codebook the corpus
+    assignment used (``cell, centroid`` — :func:`_kmeans_fit`'s final
+    centroids, NOT re-derived from the assignment, so a probed batch
+    sees exactly the geometry the stored assignment saw).
+
+    In production both sides live as tables updated per ingestion
+    batch; here they are recomputed per query — the probe/verify
+    stages measured by x54 are the recurring cost (the x53 framing)."""
+    cv = corpus.select(
+        F.col(id_col).alias("__vid"), _as_double(vec_col).alias("__v")
+    )
+    assigned, cents = _kmeans_fit(cv, k, n_iter)
+    a = assigned.select(
+        F.col("__vid").alias("id_a"), "cell", F.col("__v").alias("__va")
+    )
+    b = assigned.select(
+        F.col("__vid").alias("id_b"), "cell", F.col("__v").alias("__vb")
+    )
+    thr = int(round(threshold * 10000))
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(sim_q(cosine(F.col("__va"), F.col("__vb"))) >= thr)
+        .select("id_a", "id_b")
+    )
+    # a corpus vector is dropped iff a SMALLER-id same-cell neighbor is
+    # near it (the x45 greedy rule) — only the drop side is needed here
+    dropped = pairs.select(F.col("id_b").alias("__did")).distinct()
+    survivors = assigned.join(
+        dropped, assigned["__vid"] == dropped["__did"], "left_anti"
+    ).select(
+        "cell", F.col("__vid").alias("corpus_id"), F.col("__v").alias("__cv")
+    )
+    return survivors, cents
+
+
+def semdedup_incremental_candidates(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = KMEANS_K,
+    n_iter: int = KMEANS_ITERS,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The distinct ``(batch_id, corpus_id)`` candidate pairs the
+    incremental probe scores — the operator's true WORK driver (the
+    keep decision is the thresholded aggregate of these; bench_scale's
+    accounting counts THIS), mirroring
+    :func:`embedding_lsh_candidates` for the LSH family."""
+    survivors, cents = semdedup_corpus_index(
+        corpus, id_col, vec_col, k, n_iter, threshold
+    )
+    bv = batch.select(
+        F.col(id_col).alias("__vid"), _as_double(vec_col).alias("__v")
+    )
+    bassigned = _batch_assign(bv, cents)
+    return bassigned.join(survivors, "cell").select(
+        F.col("__vid").alias("batch_id"), "corpus_id"
+    )
+
+
+def semdedup_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = KMEANS_K,
+    n_iter: int = KMEANS_ITERS,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental semantic dedup — the embedding member of the
+    steady-state ingestion triad (exact: x1b anti-join on
+    fingerprints; MinHash: x53 cross-side LSH probe; this: SemDeDup
+    against an existing corpus).  A NEW batch is assigned to the
+    EXISTING k-means cells (one broadcast-codebook probe pass — the
+    x51 coarse-probe shape; no corpus re-clustering) and each batch
+    vector is kept iff NO same-cell corpus SURVIVOR sits at cosine ≥
+    ``threshold`` (every corpus vector precedes every batch vector in
+    the greedy ordering, so any near survivor wins; dropped corpus
+    vectors are represented by their survivor, the SemDeDup
+    representative rule).  No within-corpus and no within-batch pairs:
+    the recurring cost is |batch| × E[survivors/cell], not O(corpus²).
+
+    Scale shape: the codebook is a k-row broadcast (two-level probing
+    past ``FINE_CODEBOOK_BROADCAST_MAX_K`` slots in unchanged — the
+    probe is :func:`_batch_assign`); the probe join shuffles batch and
+    survivor rows BY CELL only; the keep aggregation collapses the
+    candidate stream map-side.
+
+    Output per batch vector: ``(id, cluster_id, n_corpus_near,
+    best_sim, kept)`` — neighbor degree among corpus survivors, the
+    best quantized similarity (NULL when no survivor is near: the
+    nullable-BIGINT rule, x31/x42 precedent), and the 0/1 keep flag.
+    """
+    survivors, cents = semdedup_corpus_index(
+        corpus, id_col, vec_col, k, n_iter, threshold
+    )
+    bv = batch.select(
+        F.col(id_col).alias("__vid"), _as_double(vec_col).alias("__v")
+    )
+    bassigned = _batch_assign(bv, cents)
+    thr = int(round(threshold * 10000))
+    near = (
+        bassigned.join(survivors, "cell")
+        .select(
+            "__vid",
+            sim_q(cosine(F.col("__v"), F.col("__cv"))).alias("__sim"),
+        )
+        .filter(F.col("__sim") >= thr)
+        .groupBy("__vid")
+        .agg(
+            F.count(F.lit(1)).alias("__n_near"),
+            F.max("__sim").alias("__best"),
+        )
+    )
+    return (
+        bassigned.join(near, "__vid", "left")
+        .select(
+            F.col("__vid").alias(id_col),
+            F.col("cell").alias("cluster_id"),
+            F.coalesce("__n_near", F.lit(0)).cast("bigint").alias(
+                "n_corpus_near"
+            ),
+            F.col("__best").alias("best_sim"),
+            F.when(F.col("__n_near").isNull(), 1)
             .otherwise(0)
             .cast("int")
             .alias("kept"),

@@ -213,6 +213,29 @@ def x45_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semdedup_keep(emb, "vec_id", "embedding")
 
 
+def x54_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental semantic dedup (operators/similarity.py:
+    semdedup_incremental): an INCOMING embedding batch probed against
+    the EXISTING corpus' k-means cells and kept only if no same-cell
+    corpus SURVIVOR sits at cosine ≥ 0.8 — the embedding member of the
+    steady-state ingestion triad (x1b exact, x53 MinHash).  The
+    deterministic id-hash split stands in for the corpus/batch
+    boundary (train = corpus, test = batch), exactly like x53.  No
+    corpus re-clustering and no within-corpus or within-batch pairs:
+    the recurring cost is the batch-side probe + same-cell survivor
+    verify, which bench_scale accounts as the candidate-pair stream.
+    The DuckDB oracle replays the whole path by splicing the unrolled
+    k-means CTE chain with the corpus predicate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    split = text.deterministic_split("vec_id")
+    corpus = emb.filter(split == "train")
+    batch = emb.filter(split == "test")
+    return similarity.semdedup_incremental(
+        corpus, batch, "vec_id", "embedding",
+        k=similarity.KMEANS_K, n_iter=similarity.KMEANS_ITERS, threshold=0.8,
+    )
+
+
 def x3c_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding components (IVF coarse-quantizer)."""
     emb = load_table(spark, sf_dir, "embeddings")

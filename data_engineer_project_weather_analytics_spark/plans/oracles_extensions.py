@@ -232,13 +232,14 @@ _SIGNATURES = f"""
 """
 
 #: Lloyd k-means unrolled as a CTE chain ending in the final
-#: assignment ``a3 (vec_id, emb, cell, simq)`` — shared by the x3g
-#: assignment oracle and the x45 SemDeDup keep-decision oracle
-#: (spliced in place of the __KMEANS_CTES__ placeholder below).
-_KMEANS_CTES = """
+#: assignment ``a3 (vec_id, emb, cell, simq)`` over centroids ``c2`` —
+#: shared by the x3g assignment oracle, the x45 SemDeDup keep-decision
+#: oracle, and (with the corpus predicate spliced into the ``v`` CTE
+#: via :func:`_kmeans_ctes`) the x54 incremental-probe oracle.
+_KMEANS_CTES_TEMPLATE = """
         v AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-            FROM embeddings
+            FROM embeddings__V_WHERE__
         ),
         seed AS (
             SELECT row_number() OVER (ORDER BY h, vec_id) AS cell,
@@ -323,6 +324,17 @@ _KMEANS_CTES = """
             ) WHERE r = 1
         )"""
 
+
+def _kmeans_ctes(v_where: str = "") -> str:
+    """The unrolled k-means CTE chain with an optional predicate on the
+    vector source — ``_kmeans_ctes()`` is the full-corpus chain x3g/x45
+    replay; x54 splices the corpus-side split predicate so the probe
+    oracle clusters ONLY the existing corpus (the x53-over-x2f
+    recipe)."""
+    return _KMEANS_CTES_TEMPLATE.replace("__V_WHERE__", v_where)
+
+
+_KMEANS_CTES = _kmeans_ctes()
 
 #: shared PQ replay chain (x50 standalone ADC, x51 IVFADC): the x23
 #: quantizer tree, exploded components, all vector->codeword subspace
@@ -796,6 +808,63 @@ ORACLES_EXT: dict[str, str] = {
                CAST(CASE WHEN coalesce(d.n_smaller, 0) = 0
                          THEN 1 ELSE 0 END AS INTEGER) AS kept
         FROM a3 LEFT JOIN deg d ON d.vid = a3.vec_id
+    """,
+    # incremental SemDeDup probe: the k-means chain is spliced with the
+    # CORPUS predicate (md5(id) < 'cd' — the x53/x1b split), so a3 is
+    # the corpus assignment and c2 the codebook it used; corpus
+    # survivors follow the x45 greedy min-id rule (any id_b in a
+    # within-cell near pair has a smaller near neighbor → dropped); the
+    # batch (md5 >= 'cd') takes ONE assignment pass against c2 and each
+    # batch vector keeps iff no same-cell survivor is at >= 0.8.
+    "x54_incremental_semdedup": """
+        WITH __KMEANS_CORPUS_CTES__,
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM a3 a
+            JOIN a3 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE CAST(floor(list_cosine_similarity(a.emb, b.emb) * 10000)
+                       AS BIGINT) >= 8000
+        ),
+        dropped AS (SELECT DISTINCT id_b AS vid FROM pairs),
+        survivors AS (
+            SELECT cell, vec_id AS corpus_id, emb
+            FROM a3
+            WHERE vec_id NOT IN (SELECT vid FROM dropped)
+        ),
+        bv AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings
+            WHERE md5(CAST(vec_id AS VARCHAR)) >= 'cd'
+        ),
+        bassign AS (
+            SELECT vec_id, emb, cell FROM (
+                SELECT b.vec_id, b.emb, c.cell,
+                       row_number() OVER (
+                           PARTITION BY b.vec_id
+                           ORDER BY CAST(floor(list_cosine_similarity(
+                                        b.emb, c.centroid) * 10000)
+                                        AS BIGINT) DESC, c.cell) AS r
+                FROM bv b CROSS JOIN c2 c
+            ) WHERE r = 1
+        ),
+        near AS (
+            SELECT ba.vec_id AS vid,
+                   CAST(count(*) AS BIGINT) AS n_near,
+                   max(CAST(floor(list_cosine_similarity(ba.emb, s.emb)
+                                  * 10000) AS BIGINT)) AS best_sim
+            FROM bassign ba
+            JOIN survivors s ON s.cell = ba.cell
+            WHERE CAST(floor(list_cosine_similarity(ba.emb, s.emb) * 10000)
+                       AS BIGINT) >= 8000
+            GROUP BY ba.vec_id
+        )
+        SELECT ba.vec_id,
+               CAST(ba.cell AS INTEGER) AS cluster_id,
+               CAST(coalesce(n.n_near, 0) AS BIGINT) AS n_corpus_near,
+               n.best_sim AS best_sim,
+               CAST(CASE WHEN n.n_near IS NULL THEN 1 ELSE 0 END AS INTEGER)
+                   AS kept
+        FROM bassign ba LEFT JOIN near n ON n.vid = ba.vec_id
     """,
     "x2e_dup_clusters": f"""
         WITH RECURSIVE ds AS ({_SHINGLES}),
@@ -1323,6 +1392,17 @@ for _name in ("x3_cosine_topk", "x3e_ivf_topk"):
 for _name in ("x3g_kmeans_clusters", "x45_semdedup_keep"):
     ORACLES_EXT[_name] = ORACLES_EXT[_name].replace(
         "__KMEANS_CTES__", _KMEANS_CTES)
+
+# x54 clusters ONLY the corpus side of the split (train = existing
+# corpus); the batch side never enters the Lloyd loop
+ORACLES_EXT["x54_incremental_semdedup"] = ORACLES_EXT[
+    "x54_incremental_semdedup"
+].replace(
+    "__KMEANS_CORPUS_CTES__",
+    _kmeans_ctes(
+        "\n            WHERE md5(CAST(vec_id AS VARCHAR)) < 'cd'"
+    ),
+)
 
 for _name in ("x50_pq_topk", "x51_ivfpq_topk", "x52_pq_recall"):
     ORACLES_EXT[_name] = ORACLES_EXT[_name].replace(

@@ -48,6 +48,25 @@ def test_bench_headline_is_registered_with_valid_modes():
     assert "g2_pagerank" in bench.HEADLINE
 
 
+def test_bench_load_sentinel_exists():
+    """The load sentinel (VERDICT r7: third ghost-regression round) is
+    part of the bench contract: a committed idle-machine probe
+    reference, a refusal threshold, and the measure/check pair wired
+    into main() — so contaminated numbers can no longer reach a
+    committed BENCH artifact silently."""
+    assert 0.1 <= bench.CALIBRATION_REF_SEC <= 2.0
+    assert 1.0 < bench.LOAD_FACTOR_MAX <= 2.0
+    assert bench.CALIBRATION_RETRIES >= 1
+    assert callable(bench.measure_load_factor)
+    assert callable(bench.check_load_sentinel)
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    assert "check_load_sentinel" in src
+    # the emitted JSON carries the measured factor for audit
+    assert '"load_factor"' in inspect.getsource(bench)
+
+
 def test_bench_scale_queries_resolve():
     unknown = [
         n
@@ -77,6 +96,7 @@ def test_bench_scale_accounted_targets_are_timed():
         "span_stream",
         "cell_pair_stream",
         "semdedup_auto_work",
+        "probe_pair_stream",
         "wedge_count",
         "copurchase_edges",
     }

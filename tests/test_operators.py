@@ -1094,6 +1094,118 @@ def test_a8b_approx_distinct_self_grades(spark):
     assert 0 <= row.events_err_ppm <= 50_000, row
 
 
+def test_semdedup_incremental_pins_drops_to_corpus_neighbors(spark):
+    """Every batch vector the incremental probe drops must have a REAL
+    corpus neighbor at cosine >= 0.8 — verified in numpy against the
+    raw vectors (the FULL corpus side, independent of the operator's
+    cells/survivors) — and the survivor-side consistency must hold:
+    best_sim is the max quantized similarity over exactly the same-cell
+    corpus survivors, kept vectors have none at threshold.  Planted
+    data: 10 of the 20 batch vectors are tiny perturbations of corpus
+    vectors (cosine ~0.999), the rest independent draws — both
+    branches exercised.  Quantized comparisons allow +-1 quantum where
+    numpy's dot and Spark's fold tree could disagree in the last ulp
+    at a floor boundary."""
+    import math
+    import random
+
+    import numpy as np
+
+    from data_engineer_project_weather_analytics_spark.operators import similarity
+
+    rng = random.Random(11)
+    dim = 16
+    corpus_rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(60)
+    ]
+    batch_rows = []
+    for j in range(10):  # planted near-dups of corpus vectors 0..9
+        base = corpus_rows[j][1]
+        batch_rows.append(
+            (1000 + j, [x + rng.uniform(-0.01, 0.01) for x in base])
+        )
+    for j in range(10, 20):  # independent draws
+        batch_rows.append(
+            (1000 + j, [rng.uniform(-1, 1) for _ in range(dim)])
+        )
+    schema = "vec_id long, embedding array<double>"
+    corpus_df = spark.createDataFrame(corpus_rows, schema)
+    batch_df = spark.createDataFrame(batch_rows, schema)
+    out = {
+        r["vec_id"]: r
+        for r in similarity.semdedup_incremental(
+            corpus_df, batch_df, "vec_id", "embedding", k=8
+        ).collect()
+    }
+    assert sorted(out) == sorted(v for v, _ in batch_rows)
+
+    vecs = {v: np.array(e, dtype=np.float64) for v, e in corpus_rows}
+    vecs.update({v: np.array(e, dtype=np.float64) for v, e in batch_rows})
+    corpus_ids = [v for v, _ in corpus_rows]
+
+    def simq(a: np.ndarray, b: np.ndarray) -> int:
+        return math.floor(
+            float(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b)) * 10000
+        )
+
+    survivors, _ = similarity.semdedup_corpus_index(
+        corpus_df, "vec_id", "embedding", k=8
+    )
+    by_cell: dict[int, list[int]] = {}
+    for r in survivors.collect():
+        by_cell.setdefault(r["cell"], []).append(r["corpus_id"])
+
+    n_dropped = n_kept = 0
+    for vid, row in out.items():
+        cell_survivors = by_cell.get(row["cluster_id"], [])
+        best = max(
+            (simq(vecs[vid], vecs[c]) for c in cell_survivors), default=None
+        )
+        if row["kept"] == 0:
+            n_dropped += 1
+            # independent pin: a real corpus vector is near (>= 0.8)
+            assert max(simq(vecs[vid], vecs[c]) for c in corpus_ids) >= 7999, vid
+            assert row["n_corpus_near"] >= 1 and row["best_sim"] >= 8000, row
+            assert abs(row["best_sim"] - best) <= 1, (row, best)
+        else:
+            n_kept += 1
+            assert row["n_corpus_near"] == 0 and row["best_sim"] is None, row
+            assert best is None or best <= 8000, (row, best)
+    # the planted near-dups drop, the independent draws survive
+    assert n_dropped >= 8 and n_kept >= 8, (n_dropped, n_kept)
+
+
+def test_x54_registered_query_batch_identity(spark):
+    """The registered x54 covers exactly the batch side of the split,
+    once each, with the kept/n_corpus_near/best_sim invariants —
+    schema-level sanity on real testdata (the natural corpus has no
+    cross-split near-dups at sf0.001; the drop branch is exercised by
+    the planted-data test above and by the DuckDB oracle replay)."""
+    import hashlib
+
+    from data_engineer_project_weather_analytics_spark.plans.extensions import (
+        x54_incremental_semdedup,
+    )
+
+    rows = x54_incremental_semdedup(spark, SF_DIR).collect()
+    raw_ids = [
+        r["vec_id"]
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id")
+        .collect()
+    ]
+    batch_ids = [
+        v for v in raw_ids
+        if hashlib.md5(str(v).encode()).hexdigest() >= "cd"
+    ]
+    assert sorted(r["vec_id"] for r in rows) == sorted(batch_ids)
+    for r in rows:
+        if r["kept"] == 1:
+            assert r["n_corpus_near"] == 0 and r["best_sim"] is None, r
+        else:
+            assert r["n_corpus_near"] >= 1 and r["best_sim"] >= 8000, r
+
+
 def test_embedding_lsh_candidates_superset_of_output(spark):
     """The exposed candidate stage is exactly the verify input: every
     pair the operator emits must appear among its candidates (the

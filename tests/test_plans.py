@@ -172,6 +172,7 @@ _BOUNDED_BROADCAST_QUERIES = {
     "x3g_kmeans_clusters",  # vector x k-row codebook product per Lloyd pass
     "x45_semdedup_keep",  # same k-row codebook product (kmeans substrate)
     "x45_semdedup_auto",  # two-level kmeans: coarse-codebook products
+    "x54_incremental_semdedup",  # corpus kmeans + batch probe: k-row codebook products
     "x9_tfidf_keywords",
     "tpch_q22_dormant_customers",
     "tpch_q15_top_supplier",   # 1-row max join

@@ -42,6 +42,15 @@ def test_kmeans_oracle_constants_in_lockstep():
     sql = REGISTRY["x3g_kmeans_clusters"].sql
     assert f"LIMIT {KMEANS_K}" in sql
     assert sql.count("PARTITION BY v.vec_id") == KMEANS_ITERS
+    # x54 splices the SAME chain with the corpus predicate: clustering
+    # must see only the corpus side, the batch takes exactly ONE
+    # assignment pass, and both sides of the split must be present
+    sql54 = REGISTRY["x54_incremental_semdedup"].sql
+    assert f"LIMIT {KMEANS_K}" in sql54
+    assert sql54.count("PARTITION BY v.vec_id") == KMEANS_ITERS
+    assert "WHERE md5(CAST(vec_id AS VARCHAR)) < 'cd'" in sql54
+    assert "WHERE md5(CAST(vec_id AS VARCHAR)) >= 'cd'" in sql54
+    assert sql54.count("PARTITION BY b.vec_id") == 1
 
 
 def test_entry_smoke(spark):
