@@ -296,3 +296,211 @@ def streaming_neardup_candidates(
             else GroupStateTimeout.ProcessingTimeTimeout
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming semantic (embedding) near-dup — the x54 probe as a stream
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_STATE_SCHEMA = StructType(
+    [
+        StructField("ids", ArrayType(LongType())),
+        StructField("vecs", ArrayType(ArrayType(DoubleType()))),
+        StructField("saturated", BooleanType()),
+    ]
+)
+
+SEMDEDUP_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("cluster_id", IntegerType()),
+        StructField("n_corpus_near", LongType()),
+        StructField("best_sim", LongType()),
+        StructField("kept", IntegerType()),
+    ]
+)
+
+
+def with_cell_assignment(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Per-ROW nearest-centroid assignment against a LITERAL codebook —
+    `(.., cell)` with NO aggregation, so the projection composes with a
+    streaming source (the batch ``_batch_assign``'s crossJoin + groupBy
+    argmax is a shuffle the stateful stage below must not be preceded
+    by; this is the :func:`with_minhash_bands` recipe applied to the
+    kmeans codebook).  ``centroids`` is the collected index —
+    `F.lit(double)` round-trips each component exactly, and the argmax
+    is `greatest()` over the same packed-BIGINT keys the batch hash-agg
+    uses (quantized cosine, ties to the lowest cell), so the assignment
+    is BIT-IDENTICAL to the batch form — asserted by
+    tests/test_streaming.py::test_with_cell_assignment_matches_batch.
+
+    Codebook size bound: k × dim doubles fold into the plan as
+    literals; fine for the broadcastable regime
+    (``FINE_CODEBOOK_BROADCAST_MAX_K``) — past that the probe becomes a
+    stream-static join against a codebook table, same semantics."""
+    from data_engineer_project_weather_analytics_spark.operators.similarity import (
+        _as_double,
+        _pack_argmax,
+        _unpack_argmax_id,
+        cosine,
+        sim_q,
+    )
+
+    v = _as_double(vec_col)
+    packed = [
+        _pack_argmax(
+            sim_q(cosine(v, F.array(*[F.lit(float(x)) for x in cent]))),
+            F.lit(int(cell)),
+        )
+        for cell, cent in centroids
+    ]
+    best = packed[0] if len(packed) == 1 else F.greatest(*packed)
+    return df.withColumn(cell_col, _unpack_argmax_id(best).cast("int"))
+
+
+def streaming_semdedup_probe(
+    stream: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.8,
+    max_cell: int = 10_000,
+    state_ttl_ms: int | None = None,
+    seed_col: str | None = None,
+) -> DataFrame:
+    """Streaming incremental semantic dedup — the micro-batch twin of
+    the batch x54 probe (operators/similarity.py:semdedup_incremental):
+    every incoming vector is cell-assigned against the static codebook
+    (narrow, :func:`with_cell_assignment`), then decided against the
+    per-cell SURVIVOR state — dropped iff any survivor sits at cosine
+    ≥ ``threshold``, with the same quantized-cosine arithmetic as the
+    batch form (the Python loop replays Spark's left-fold tree
+    bit-for-bit: sequential double mult/add, two sqrt, one division).
+
+    State = the cell → survivor (id, vector) index, sharded by cell
+    key like any keyed aggregation.  Rows flagged by ``seed_col`` are
+    admitted WITHOUT a decision (bootstrapping the state from an
+    existing corpus index — the x54 parity path); kept probe vectors
+    join the state AFTER all of their micro-batch's decisions, so
+    vectors of one micro-batch never drop each other (exactly x54's
+    batch-vs-corpus semantics) while later micro-batches see them as
+    survivors (the steady state).
+
+    Bounds, both the MinHash-bucket recipe: a cell past ``max_cell``
+    survivors saturates — it keeps deciding against the capped list
+    but admits no more (bounded state; a cell that hot means the
+    threshold is too low for the corpus) — and ``state_ttl_ms`` drops
+    idle cells wholesale (ProcessingTime timeout, re-armed per touch).
+
+    Output per probe vector: the x54 row
+    ``(vec_id, cluster_id, n_corpus_near, best_sim, kept)``."""
+    import math
+
+    assigned = with_cell_assignment(stream, vec_col, centroids)
+    from data_engineer_project_weather_analytics_spark.operators.similarity import _as_double
+
+    sel = [
+        F.col(id_col).alias("__id"),
+        _as_double(vec_col).alias("__v"),
+        F.col("cell"),
+        (
+            F.col(seed_col) if seed_col is not None else F.lit(False)
+        ).alias("__seed"),
+    ]
+    rows_df = assigned.select(*sel)
+
+    ttl = state_ttl_ms
+    thr = int(round(threshold * 10000))
+
+    def _simq(a: list[float], b: list[float]) -> int:
+        # Spark's exact expression tree: left-fold dot products, two
+        # correctly-rounded sqrts, one division, floor at 1e-4 — the
+        # IEEE shared-tree rule, so stream ≡ batch to the bit
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        for x in a:
+            na += x * x
+        for y in b:
+            nb += y * y
+        return math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 10000.0)
+
+    def _probe(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        cell = int(key[0])
+        if ttl is not None and state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            ids, vecs, saturated = state.get
+            ids = list(ids)
+            vecs = [list(map(float, v)) for v in vecs]
+        else:
+            ids, vecs, saturated = [], [], False
+        seeds: list[tuple[int, list[float]]] = []
+        probes: list[tuple[int, list[float]]] = []
+        for batch in batches:
+            for vid, vec, is_seed in zip(
+                batch["__id"], batch["__v"], batch["__seed"]
+            ):
+                row = (int(vid), [float(x) for x in vec])
+                (seeds if bool(is_seed) else probes).append(row)
+        known = set(ids)
+        for vid, vec in sorted(seeds):
+            if saturated or vid in known:
+                continue
+            ids.append(vid)
+            vecs.append(vec)
+            known.add(vid)
+            if len(ids) >= max_cell:
+                saturated = True
+        # decisions against the state snapshot (corpus survivors +
+        # seeds); probe rows of this micro-batch never see each other
+        out: list[tuple[int, int, int, int | None, int]] = []
+        admitted: list[tuple[int, list[float]]] = []
+        for vid, vec in sorted(probes):
+            sims = [_simq(vec, sv) for sv in vecs]
+            near = [s for s in sims if s >= thr]
+            if near:
+                out.append((vid, cell, len(near), max(near), 0))
+            else:
+                out.append((vid, cell, 0, None, 1))
+                admitted.append((vid, vec))
+        for vid, vec in admitted:
+            if saturated or vid in known:
+                continue
+            ids.append(vid)
+            vecs.append(vec)
+            known.add(vid)
+            if len(ids) >= max_cell:
+                saturated = True
+        state.update((ids, vecs, saturated))
+        if ttl is not None:
+            state.setTimeoutDuration(ttl)
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "vec_id", "cluster_id", "n_corpus_near", "best_sim", "kept"
+                ],
+            )
+
+    return rows_df.groupBy("cell").applyInPandasWithState(
+        _probe,
+        outputStructType=SEMDEDUP_OUTPUT_SCHEMA,
+        stateStructType=SEMDEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if state_ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
+    )

@@ -7,6 +7,8 @@ import datetime
 
 from pyspark.sql import Row
 from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -923,3 +925,167 @@ def test_streaming_neardup_state_ttl_expires_buckets(spark, tmp_path):
     # ...but with nobody from before the expiry, and the pre-expiry
     # pair is not re-emitted into the append sink
     assert got == {(1, 2), (3, 4)}
+
+
+# ---------------------------------------------------------------------------
+# Streaming semantic near-dup (the x54 probe as a stream)
+# ---------------------------------------------------------------------------
+
+EMB_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+        StructField("is_seed", BooleanType()),
+    ]
+)
+
+
+def _planted_embeddings():
+    """60 corpus vectors + 20 batch vectors, 10 of which are tiny
+    perturbations of corpus vectors (the test_operators planted set)."""
+    import random
+
+    rng = random.Random(11)
+    dim = 16
+    corpus = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(60)]
+    batch = []
+    for j in range(10):
+        base = corpus[j][1]
+        batch.append((1000 + j, [x + rng.uniform(-0.01, 0.01) for x in base]))
+    for j in range(10, 20):
+        batch.append((1000 + j, [rng.uniform(-1, 1) for _ in range(dim)]))
+    return corpus, batch
+
+
+def _write_emb(spark, path, rows, seed):
+    spark.createDataFrame(
+        [(v, e, seed) for v, e in rows], schema=EMB_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_with_cell_assignment_matches_batch(spark):
+    """The stream-composable literal-codebook assignment must be
+    BIT-IDENTICAL to the batch crossJoin+hash-agg argmax for every
+    vector — the with_minhash_bands equivalence applied to kmeans."""
+    from data_engineer_project_weather_analytics_spark.operators import similarity
+    from data_engineer_project_weather_analytics_spark.streaming.stateful import (
+        with_cell_assignment,
+    )
+
+    corpus, batch = _planted_embeddings()
+    schema = "vec_id long, embedding array<double>"
+    corpus_df = spark.createDataFrame(corpus, schema)
+    all_df = spark.createDataFrame(corpus + batch, schema)
+    _, cents = similarity._kmeans_fit(
+        corpus_df.selectExpr("vec_id AS __vid", "embedding AS __v"), 8, 3
+    )
+    centroids = [
+        (r["cell"], list(r["centroid"])) for r in cents.collect()
+    ]
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in with_cell_assignment(all_df, "embedding", centroids).collect()
+    }
+    want = {
+        r["__vid"]: r["cell"]
+        for r in similarity._batch_assign(
+            all_df.selectExpr("vec_id AS __vid", "embedding AS __v"), cents
+        ).collect()
+    }
+    assert got == want
+
+
+def test_streaming_semdedup_probe_equals_batch_x54(spark, tmp_path):
+    """Stream ≡ batch for the incremental semantic probe: corpus
+    survivors seeded in micro-batch 1, the probe batch in micro-batch
+    2 — the streamed decisions must equal semdedup_incremental's rows
+    exactly (same cells, degrees, best_sim, keep flags)."""
+    import time
+
+    from data_engineer_project_weather_analytics_spark.operators import similarity
+    from data_engineer_project_weather_analytics_spark.streaming.stateful import (
+        streaming_semdedup_probe,
+    )
+
+    corpus, batch = _planted_embeddings()
+    schema = "vec_id long, embedding array<double>"
+    corpus_df = spark.createDataFrame(corpus, schema)
+    batch_df = spark.createDataFrame(batch, schema)
+    survivors, cents = similarity.semdedup_corpus_index(
+        corpus_df, "vec_id", "embedding", k=8
+    )
+    centroids = [(r["cell"], list(r["centroid"])) for r in cents.collect()]
+    seed_rows = [
+        (r["corpus_id"], list(r["__cv"])) for r in survivors.collect()
+    ]
+
+    src = str(tmp_path / "emb")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    _write_emb(spark, src, seed_rows, seed=True)
+    time.sleep(1.1)
+    _write_emb(spark, src, batch, seed=False)
+
+    def run():
+        import os
+
+        stream = (
+            spark.readStream.schema(EMB_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def _sink(b, _id):
+            if not b.isEmpty():
+                b.write.mode("append").parquet(out)
+
+        before = (
+            {tuple(r) for r in spark.read.parquet(out).collect()}
+            if os.path.exists(out)
+            else set()
+        )
+        q = (
+            streaming_semdedup_probe(
+                stream, "vec_id", "embedding", centroids, seed_col="is_seed"
+            )
+            .writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return [
+            r for r in spark.read.parquet(out).collect() if tuple(r) not in before
+        ]
+
+    rows = run()
+    got = {
+        r["vec_id"]: (
+            r["cluster_id"], r["n_corpus_near"], r["best_sim"], r["kept"]
+        )
+        for r in rows
+    }
+    want = {
+        r["vec_id"]: (
+            r["cluster_id"], r["n_corpus_near"], r["best_sim"], r["kept"]
+        )
+        for r in similarity.semdedup_incremental(
+            corpus_df, batch_df, "vec_id", "embedding", k=8
+        ).collect()
+    }
+    assert got == want
+    assert sum(1 for v in got.values() if v[3] == 0) >= 8  # drops exercised
+
+    # checkpoint recovery + kept-vector admission: restart with a new
+    # micro-batch containing a near-dup of a KEPT batch vector — the
+    # recovered state must drop it against that survivor
+    kept_ids = [v for v, row in got.items() if row[3] == 1]
+    probe_base = dict(batch)[kept_ids[0]]
+    newcomer = (2000, [x + 0.001 for x in probe_base])
+    time.sleep(1.1)
+    _write_emb(spark, src, [newcomer], seed=False)
+    rows2 = run()
+    assert len(rows2) == 1 and rows2[0]["vec_id"] == 2000
+    assert rows2[0]["kept"] == 0 and rows2[0]["n_corpus_near"] >= 1
+    assert rows2[0]["best_sim"] >= 9900  # near-parallel to the survivor
