@@ -152,6 +152,8 @@ HEADLINE: dict[str, str] = {
     "x51_ivfpq_topk": "collect",
     "x53_incremental_neardup": "checksum",
     "x54_incremental_semdedup": "checksum",
+    "x55_ivfpq_recall": "collect",
+    "x56_curation_materialize": "checksum",
 }
 
 

@@ -137,6 +137,7 @@ QUERIES: tuple[str, ...] = (
     "x51_ivfpq_topk",
     "x53_incremental_neardup",
     "x54_incremental_semdedup",
+    "x56_curation_materialize",
 )
 
 
@@ -242,6 +243,11 @@ ACCOUNTED: dict[str, str] = {
     # fixed k the cells grow with the corpus, so the stream is
     # superlinear by construction and the accounting bounds it
     "x54_incremental_semdedup": "probe_pair_stream",
+    # the composed curation pipeline is dominated by its x45 stage: the
+    # within-cell pair stream (fixed oracle k, so ~quadratic — the x45
+    # adjudication applies; the deployment form routes through the
+    # auto-k twin); the span/quality/sampling stages are input-linear
+    "x56_curation_materialize": "cell_pair_stream",
 }
 
 #: time-ratio must stay under rows_ratio * this constant for every

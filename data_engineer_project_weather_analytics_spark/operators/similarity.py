@@ -1208,6 +1208,118 @@ def pq_topk(
     )
 
 
+def ivfpq_recall_dial(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    *,
+    dim: int,
+    m: int = 4,
+    n_codewords: int = 16,
+    n_queries: int = 8,
+    k: int = 10,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+) -> DataFrame:
+    """Recall@k of the IVFADC index (:func:`ivfpq_topk`) against the
+    exact cosine top-k, graded at several ``nprobe`` settings in ONE
+    query — the production tuning dial: IVF pruning COMPOUNDS PQ error
+    (Jégou et al. §V report exactly this recall-vs-nprobe trade), so
+    the pair must be graded together (x52 grades flat PQ only).
+
+    Single-pass shape: candidates are ADC-scored ONCE against the
+    widest probe set (max nprobe cells per query, each candidate row
+    carrying its cell's probe rank — cells are disjoint, so a neighbor
+    has exactly one rank per query); each dial setting is then a
+    rank-filtered top-k window over that one scored stream, never a
+    re-scan.  Recall is exact integer ppm over the quantized-ranked
+    exact top-k (the x30/x52 recipe); both comparison inputs are
+    top-k-bounded.
+
+    Output: ``(query_id, nprobe, n_hit, recall_ppm)`` — monotone
+    non-decreasing in nprobe by construction (a wider probe set only
+    adds candidates)."""
+    d4 = dim // m
+    assert d4 * m == dim, "dim must divide into m equal subspaces"
+    max_probe = max(nprobes)
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(cell_col).alias("cell"),
+        _as_double(vec_col).alias("emb"),
+    )
+    qz = _pq_quantize(v)
+    withcb = qz.crossJoin(F.broadcast(_pq_codebook(qz, n_codewords)))
+    codes = withcb.select(
+        "vec_id", "cell", F.expr(_pq_codes_expr(m, d4, n_codewords)).alias("codes")
+    )
+    q = withcb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("__qemb"),
+        F.expr(_pq_dtab_expr(m, d4)).alias("dtab"),
+    )
+    cents = cell_centroids(vectors, cell_col, vec_col)
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("__csimq").desc(), F.col("cell")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("__csimq", sim_q(cosine(F.col("__qemb"), F.col("centroid"))))
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("probe_rank") <= max_probe)
+        .select("query_id", "cell", "probe_rank", "dtab")
+    )
+    scored = (
+        codes.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "probe_rank",
+            F.expr(_pq_adc_expr(m)).alias("adc_dist"),
+        )
+    )
+    dial = scored.join(
+        F.broadcast(
+            vectors.sparkSession.createDataFrame(
+                [(n,) for n in nprobes], "nprobe int"
+            )
+        ),
+        F.col("probe_rank") <= F.col("nprobe"),
+    )
+    w = Window.partitionBy("query_id", "nprobe").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    pq_topk_rows = (
+        dial.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .select("query_id", "nprobe", "neighbor_id", F.lit(1).alias("__hit"))
+    )
+    exact = cosine_topk(
+        vectors.select(F.col(id_col), F.col(vec_col)),
+        id_col,
+        vec_col,
+        queries=vectors.filter(F.col(id_col) < n_queries).select(
+            F.col(id_col), F.col(vec_col)
+        ),
+        k=k,
+    ).select("query_id", "neighbor_id")
+    np_dim = vectors.sparkSession.createDataFrame(
+        [(n,) for n in nprobes], "nprobe int"
+    )
+    return (
+        exact.crossJoin(F.broadcast(np_dim))
+        .join(pq_topk_rows, ["query_id", "nprobe", "neighbor_id"], "left")
+        .groupBy("query_id", "nprobe")
+        .agg(F.count("__hit").alias("n_hit"))
+        .select(
+            "query_id",
+            "nprobe",
+            "n_hit",
+            F.expr(f"n_hit * 1000000 DIV {k}").alias("recall_ppm"),
+        )
+    )
+
+
 def ivfpq_topk(
     vectors: DataFrame,
     id_col: str,

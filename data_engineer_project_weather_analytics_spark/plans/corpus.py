@@ -1702,6 +1702,92 @@ def x46_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X56 — end-to-end curation materialization (the full decision stack)
+# --------------------------------------------------------------------------
+
+def x56_curation_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed per-document curation VERDICT — every decision
+    layer the x-family ships, materialized in one pipeline (the x16
+    pattern at the full r6-r7 stack):
+
+    1. quality gates — repetition (x4g thresholds) AND length/stopword
+       (x4c), in-row on one documents scan;
+    2. semantic dedup — the x45 SemDeDup keep flag, joined on
+       ``doc_id = vec_id`` (docs without an embedding carry no semantic
+       evidence and default to kept);
+    3. exact-substring rewrite — the x49 removal manifest (docs with no
+       spans are trivially fully retained);
+    4. mixture sampling — the x46 hash-threshold Bernoulli per-language
+       spec.
+
+    Output per doc: every signal plus one ``verdict`` — the first
+    failing layer wins (``drop_quality`` > ``drop_semdup`` >
+    ``drop_sampled``), a surviving doc with removed spans is
+    ``rewrite``, else ``keep``.  This is the row a training-data loader
+    consumes.
+
+    Scale shape: signals/sampling are narrow; the only shuffles are the
+    stacked stages' own (x49's two span windows, x45's kmeans + pair
+    join on the EMBEDDINGS table, two doc_id-keyed joins and one
+    broadcast spec join) — the composition adds joins, not new
+    wide stages; tests/test_plans.py pins the total exchange count.
+    The DuckDB oracle splices the x45 and x49 oracle texts verbatim as
+    CTEs (one definition per stage on BOTH sides)."""
+    from data_engineer_project_weather_analytics_spark.operators import text
+    from data_engineer_project_weather_analytics_spark.plans import extensions
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = text.repetition_signals(docs, "doc_id", "text", keep=("lang", "text"))
+    quality = sig.select(
+        "doc_id",
+        "lang",
+        (F.col("rep_pass") & text.quality_flag("text")).alias("quality_pass"),
+        (
+            _h48(f"concat('{_MIX_SEED}:', CAST(doc_id AS STRING))") % 10000
+        ).alias("__u"),
+    )
+    sem = extensions.x45_semdedup_keep(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), F.col("kept").alias("__sem_kept")
+    )
+    manifest = x49_span_dedup_rewrite(spark, sf_dir).select(
+        "doc_id",
+        F.col("removed_occ").alias("__rm_occ"),
+        F.col("retained_frac").alias("__rf"),
+    )
+    spec = F.broadcast(
+        spark.createDataFrame(
+            sorted(_MIX_RATES_BP.items()), "lang string, rate_bp int"
+        )
+    )
+    j = (
+        quality.join(spec, "lang")
+        .join(sem, "doc_id", "left")
+        .join(manifest, "doc_id", "left")
+    )
+    semantic_kept = F.coalesce("__sem_kept", F.lit(1)).cast("int")
+    removed_occ = F.coalesce("__rm_occ", F.lit(0)).cast("bigint")
+    sampled = F.col("__u") < F.col("rate_bp")
+    verdict = (
+        F.when(~F.col("quality_pass"), F.lit("drop_quality"))
+        .when(semantic_kept == 0, F.lit("drop_semdup"))
+        .when(~sampled, F.lit("drop_sampled"))
+        .when(removed_occ > 0, F.lit("rewrite"))
+        .otherwise(F.lit("keep"))
+    )
+    return j.select(
+        "doc_id",
+        "lang",
+        "quality_pass",
+        semantic_kept.alias("semantic_kept"),
+        removed_occ.alias("removed_occ"),
+        F.coalesce("__rf", F.lit(1.0)).alias("retained_frac"),
+        "rate_bp",
+        sampled.alias("sampled"),
+        verdict.alias("verdict"),
+    )
+
+
+# --------------------------------------------------------------------------
 # X48 — training-sequence packing layout (GPT-style concat-and-chop)
 # --------------------------------------------------------------------------
 
@@ -2701,3 +2787,62 @@ ORACLES_CORPUS: dict[str, str] = {
         FROM kept GROUP BY src_a, src_b
     """,
 }
+
+# the composed curation verdict (x56): the x45 and x49 oracle texts are
+# spliced VERBATIM as CTE bodies — one definition per stage on BOTH
+# sides (the x30 recipe) — plus the x16 quality conjunction and the
+# x46 spec/hash.  Must be assigned after the dict literal because it
+# splices ORACLES_CORPUS["x49_span_dedup_rewrite"].
+ORACLES_CORPUS["x56_curation_materialize"] = f"""
+        WITH sem AS ({ORACLES_EXT["x45_semdedup_keep"]}),
+        manifest AS ({ORACLES_CORPUS["x49_span_dedup_rewrite"]}),
+        spec(lang, rate_bp) AS (VALUES {", ".join(
+            f"('{lang}', {bp})" for lang, bp in sorted(_MIX_RATES_BP.items())
+        )}),
+        qt AS (
+            SELECT doc_id, lang, string_split(text, ' ') AS toks,
+                   ('0x' || substr(md5('{_MIX_SEED}:' ||
+                        CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 10000 AS u
+            FROM documents
+        ),
+        qg AS (
+            SELECT doc_id, lang, u, toks,
+                   list_transform(
+                       list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+                       p -> p[1] || ' ' || p[2]) AS bg,
+                   list_transform(
+                       list_zip(toks[1:len(toks)-2], toks[2:len(toks)-1],
+                                toks[3:len(toks)]),
+                       p -> p[1] || ' ' || p[2] || ' ' || p[3]) AS tg
+            FROM qt
+        ),
+        quality AS (
+            SELECT doc_id, lang, u,
+                   (coalesce(CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE)
+                             / nullif(len(bg), 0), 0.0) <= 0.2
+                    AND coalesce(CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE)
+                                 / nullif(len(tg), 0), 0.0) <= 0.18
+                    AND coalesce(CAST(list_max(list_transform(list_distinct(bg),
+                                     g2 -> len(list_filter(bg, x -> x = g2))))
+                                 AS DOUBLE) / nullif(len(bg), 0), 0.0) <= 0.1
+                    AND len(toks) BETWEEN 20 AND 1000
+                    AND CAST(len(list_filter(toks, w -> w IN ('the', 'a')))
+                             AS DOUBLE) / len(toks) <= 0.5) AS quality_pass
+            FROM qg
+        )
+        SELECT q.doc_id, q.lang, q.quality_pass,
+               CAST(coalesce(s.kept, 1) AS INTEGER) AS semantic_kept,
+               CAST(coalesce(m.removed_occ, 0) AS BIGINT) AS removed_occ,
+               coalesce(m.retained_frac, 1.0) AS retained_frac,
+               sp.rate_bp,
+               (q.u < sp.rate_bp) AS sampled,
+               CASE WHEN NOT q.quality_pass THEN 'drop_quality'
+                    WHEN coalesce(s.kept, 1) = 0 THEN 'drop_semdup'
+                    WHEN NOT (q.u < sp.rate_bp) THEN 'drop_sampled'
+                    WHEN coalesce(m.removed_occ, 0) > 0 THEN 'rewrite'
+                    ELSE 'keep' END AS verdict
+        FROM quality q
+        JOIN spec sp ON sp.lang = q.lang
+        LEFT JOIN sem s ON s.vec_id = q.doc_id
+        LEFT JOIN manifest m ON m.doc_id = q.doc_id
+"""

@@ -942,6 +942,28 @@ def x52_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: IVFADC recall dial settings (spliced into the x55 oracle as
+#: literals — pinned by test_pq_oracle_constants_in_lockstep)
+_IVFPQ_NPROBES = (1, 2, 4)
+
+
+def x55_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVFADC index (x51) vs the exact cosine top-10,
+    graded at nprobe ∈ {1, 2, 4} in ONE query (operators/similarity.py:
+    ivfpq_recall_dial) — x52 grades flat PQ, but the production index
+    is the IVF+PQ pair where cell pruning COMPOUNDS quantization error
+    (Jégou et al. §V); this is the dial that picks nprobe.  Candidates
+    are ADC-scored once against the widest probe set; each dial setting
+    is a rank-filtered top-k window over that one stream.  Shares
+    _PQ_CTES with x50/x51 and the x3e centroid chain."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_recall_dial(
+        emb, "vec_id", "embedding", "label",
+        dim=_PQ_DIM, m=_PQ_M, n_codewords=_PQ_CODEWORDS,
+        n_queries=_PQ_QUERIES, k=_PQ_TOPK, nprobes=_IVFPQ_NPROBES,
+    )
+
+
 #: fake-frame cadence and geometry shared by the Spark queries and
 #: their SQL oracles (change here and in the oracle text together)
 _X5C_N_FRAMES = 4

@@ -672,6 +672,91 @@ ORACLES_EXT: dict[str, str] = {
         FROM ex e LEFT JOIN pq p USING (query_id, neighbor_id)
         GROUP BY e.query_id
     """,
+    # IVFADC recall dial: the x51 probe chain generalized to the widest
+    # dial (r <= 4, probe rank kept — a neighbor's cell has exactly one
+    # rank per query since cells partition the corpus), ADC-scored once,
+    # then per-nprobe top-10 as rank-filtered windows; recall vs the
+    # quantized-ranked exact top-10 in integer ppm (the x30/x52 recipe)
+    "x55_ivfpq_recall": """
+        WITH __PQ_CTES__,
+        vl AS (
+            SELECT vec_id, label AS cell, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings
+        ),
+        ccomp AS (
+            SELECT cell, u.pos AS pos,
+                   CAST(sum(CAST(floor(CAST(u.val AS DOUBLE) * 1000000.0)
+                                 AS BIGINT)) AS DOUBLE)
+                       / (count(*) * 1000000) AS comp
+            FROM (
+                SELECT cell,
+                       unnest(list_transform(
+                           generate_series(1, len(emb)),
+                           i -> {'pos': i, 'val': emb[i]})) AS u
+                FROM vl
+            )
+            GROUP BY cell, u.pos
+        ),
+        cent AS (
+            SELECT cell, list(comp ORDER BY pos) AS centroid
+            FROM ccomp GROUP BY cell
+        ),
+        q AS (SELECT vec_id AS query_id, emb AS qemb FROM vl
+              WHERE vec_id < 8),
+        probes AS (
+            SELECT query_id, cell, r AS probe_rank FROM (
+                SELECT q.query_id, c.cell,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY CAST(floor(
+                               list_cosine_similarity(q.qemb, c.centroid)
+                               * 10000) AS BIGINT) DESC, c.cell) AS r
+                FROM q CROSS JOIN cent c
+            ) WHERE r <= 4
+        ),
+        adc AS (
+            SELECT t.query_id, c.vec_id AS neighbor_id, p.probe_rank,
+                   CAST(sum(t.d) AS BIGINT) AS adc_dist
+            FROM codes c
+            JOIN vl ON vl.vec_id = c.vec_id
+            JOIN probes p ON p.cell = vl.cell
+            JOIN dtab t ON t.query_id = p.query_id
+                       AND t.s = c.s AND t.cb_id = c.code
+            WHERE c.vec_id <> t.query_id
+            GROUP BY t.query_id, c.vec_id, p.probe_rank
+        ),
+        np AS (SELECT unnest([1, 2, 4]) AS nprobe),
+        pq AS (
+            SELECT query_id, nprobe, neighbor_id FROM (
+                SELECT a.query_id, np.nprobe, a.neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY a.query_id, np.nprobe
+                           ORDER BY a.adc_dist, a.neighbor_id) AS r
+                FROM adc a JOIN np ON a.probe_rank <= np.nprobe
+            ) WHERE r <= 10
+        ),
+        ex AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY CAST(floor(list_cosine_similarity(
+                                        q.qemb, c.emb) * 10000) AS BIGINT)
+                                        DESC, c.vec_id) AS r
+                FROM vl c CROSS JOIN q
+                WHERE c.vec_id <> q.query_id
+            ) WHERE r <= 10
+        )
+        SELECT e.query_id, np.nprobe,
+               CAST(count(p.neighbor_id) AS BIGINT) AS n_hit,
+               CAST(count(p.neighbor_id) * 1000000 // 10 AS BIGINT)
+                   AS recall_ppm
+        FROM ex e CROSS JOIN np
+        LEFT JOIN pq p ON p.query_id = e.query_id
+                      AND p.nprobe = np.nprobe
+                      AND p.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id, np.nprobe
+    """,
     "x3b_embedding_neardup": _x3b_lsh_oracle(),
     "x3d_ann_lsh": _x3d_lsh_ann_oracle(),
     "x3e_ivf_topk": """
@@ -1404,6 +1489,6 @@ ORACLES_EXT["x54_incremental_semdedup"] = ORACLES_EXT[
     ),
 )
 
-for _name in ("x50_pq_topk", "x51_ivfpq_topk", "x52_pq_recall"):
+for _name in ("x50_pq_topk", "x51_ivfpq_topk", "x52_pq_recall", "x55_ivfpq_recall"):
     ORACLES_EXT[_name] = ORACLES_EXT[_name].replace(
         "__PQ_CTES__", _PQ_CTES)

@@ -1206,6 +1206,34 @@ def test_x54_registered_query_batch_identity(spark):
             assert r["n_corpus_near"] >= 1 and r["best_sim"] >= 8000, r
 
 
+def test_ivfpq_recall_dial_monotone(spark):
+    """x55 must grade every query at every dial setting, with recall
+    non-decreasing in nprobe (a wider probe set only adds candidates)
+    — the structural property that makes it a tuning dial."""
+    from data_engineer_project_weather_analytics_spark.plans.extensions import (
+        _IVFPQ_NPROBES,
+        _PQ_QUERIES,
+        x55_ivfpq_recall,
+    )
+
+    rows = x55_ivfpq_recall(spark, SF_DIR).collect()
+    by_q: dict[int, dict[int, int]] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], {})[r["nprobe"]] = r["recall_ppm"]
+    assert len(by_q) == _PQ_QUERIES
+    for q, dials in by_q.items():
+        assert sorted(dials) == sorted(_IVFPQ_NPROBES), (q, dials)
+        seq = [dials[n] for n in sorted(dials)]
+        assert seq == sorted(seq), (q, seq)  # monotone non-decreasing
+    # at least one query must actually move with nprobe on this corpus
+    # OR recall is already saturated at 1.0 — either way the widest
+    # dial is the best
+    assert all(
+        dials[max(_IVFPQ_NPROBES)] == max(dials.values())
+        for dials in by_q.values()
+    )
+
+
 def test_embedding_lsh_candidates_superset_of_output(spark):
     """The exposed candidate stage is exactly the verify input: every
     pair the operator emits must appear among its candidates (the

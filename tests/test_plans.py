@@ -185,6 +185,7 @@ _BOUNDED_BROADCAST_QUERIES = {
     "x50_pq_topk",  # 1-row codebook product + fixed query distance tables
     "x51_ivfpq_topk",  # same codebook product + |cells|-row centroid probe
     "x52_pq_recall",  # composes x50's codebook product + x3's exact probe
+    "x55_ivfpq_recall",  # x51's probe chain + a 3-row nprobe dial broadcast
     "j9_bloom_prune_join",  # 2048-word bloom bitmap + 1-row count join
     "g1_triangle_count",  # 1-row count joins
     "a22_hll_distinct",  # 1-row sketch-total x 1-row exact-count join
@@ -821,3 +822,31 @@ def test_pq_adc_coding_is_mapside_with_window_group_limit(spark):
         if "Exchange hashpartitioning" in ln
     ]
     assert len(hash_exchanges) <= 1, hash_exchanges
+
+
+def test_x56_composition_adds_no_shuffle_exchanges(spark):
+    """The curation materialization (x56) stacks x45 + x49 + the x46
+    sampler + in-row quality gates: its STATIC plan must carry no
+    shuffle exchange beyond the sum of its stages' own — the composed
+    joins are id-equi (broadcast or reusing stage partitioning) and
+    every added signal is narrow.  Broadcast exchanges may grow by the
+    composing joins (bounded allowance of 3)."""
+    import re
+
+    def n_shuffles(name: str) -> int:
+        plan = _formatted_plan(spark, name)
+        return len(
+            [
+                l
+                for l in plan.splitlines()
+                if re.match(r"^\(\d+\) Exchange", l.strip())
+            ]
+        )
+
+    composed = n_shuffles("x56_curation_materialize")
+    stages = (
+        n_shuffles("x45_semdedup_keep")
+        + n_shuffles("x49_span_dedup_rewrite")
+        + n_shuffles("x46_mixture_sample")
+    )
+    assert composed <= stages, (composed, stages)

@@ -92,3 +92,17 @@ def test_pq_oracle_constants_in_lockstep():
     assert f"r <= {_PQ_TOPK}" in sql52
     assert f"vec_id < {_PQ_QUERIES}" in sql52
     assert f"// {_PQ_TOPK}" in sql52
+    # x55's dial settings, widest probe rank, query count, and top-k
+    # are spliced literals sharing the same _PQ_CTES chain
+    from data_engineer_project_weather_analytics_spark.plans.extensions import (
+        _IVFPQ_NPROBES,
+    )
+
+    sql55 = REGISTRY["x55_ivfpq_recall"].sql
+    assert f"generate_series(1, {_PQ_DIM})" in sql55
+    assert f"c.vec_id < {_PQ_CODEWORDS}" in sql55
+    assert f"unnest({list(_IVFPQ_NPROBES)})" in sql55
+    assert f"r <= {max(_IVFPQ_NPROBES)}" in sql55
+    assert f"vec_id < {_PQ_QUERIES}" in sql55
+    assert f"r <= {_PQ_TOPK}" in sql55
+    assert f"// {_PQ_TOPK}" in sql55
