@@ -314,6 +314,12 @@ SCALE1000_QUERIES: tuple[str, ...] = (
     # the span-rewrite sibling of x43 at 5 M docs: two windows over a
     # ~250 M-span stream — the heaviest new round-7 text op
     "x49_span_dedup_rewrite",
+    # the ANN compression family at 2 M vectors (the largest committed
+    # replica): PQ/ADC coding + broadcast distance tables must stay
+    # corpus-linear (input-row accounting), and IVFADC must show the
+    # probe PRUNING the ADC scan on top of it
+    "x50_pq_topk",
+    "x51_ivfpq_topk",
 )
 SCALE1000_TABLES = ("region", "nation", "events", "documents", "embeddings")
 

@@ -1006,6 +1006,32 @@ def x5d_resize_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x5f_audio_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature stats over the FAKE path (operators/multimodal.py:
+    audio_features, fake=True): exact integer PCM stats from the raw
+    payload bytes under the shared (b-128)*256 sample mapping, through
+    the real Arrow-batched mapInPandas plumbing — the x5d recipe
+    applied to audio, so DuckDB replays every value from the text with
+    ``ascii()`` (the corpus is pure ASCII: byte == code point)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_audio(docs)
+    return multimodal.audio_features(media, fake=True)
+
+
+def _x5e_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: text bytes synthesized into valid
+    16-bit mono PCM WAV containers (multimodal.encode_pcm_wav), then
+    parsed back with the stdlib ``wave`` module (fake=False) — the
+    first real non-image codec in the multimodal family, no new
+    dependency.  Rows-only by necessity (a WAV container round-trip is
+    not SQL-expressible), but value-checked twice: the x5f fake twin is
+    hash-checked against DuckDB, and the contract pytest pins
+    real(wav(text)) == fake(text) for every asset."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.encode_pcm_wav(multimodal.documents_as_audio(docs))
+    return multimodal.audio_features(media, fake=False)
+
+
 def x3b_embedding_neardup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deployment form of x3b: the hyperplane count sized to the
     corpus (``recommended_n_planes``, holding expected bucket width
@@ -1041,6 +1067,7 @@ def x45_semdedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: rows-only registrations (genuinely non-SQL-expressible paths)
 NO_ORACLE = {
     "x5_multimodal_features": _x5_multimodal_features,
+    "x5e_audio_features": _x5e_audio_features,
     "x3b_embedding_neardup_auto": x3b_embedding_neardup_auto,
     "x45_semdedup_auto": x45_semdedup_auto,
 }

@@ -8,6 +8,7 @@ the Spark side, so the sketches are bit-identical.
 
 from __future__ import annotations
 
+from data_engineer_project_weather_analytics_spark.operators.multimodal import AUDIO_SAMPLE_RATE
 from data_engineer_project_weather_analytics_spark.operators.similarity import ANN_TOPK, seeded_hyperplanes
 from data_engineer_project_weather_analytics_spark.operators.text import PII_PATTERNS
 from data_engineer_project_weather_analytics_spark.plans.extensions import LSH_MAX_BUCKET
@@ -1444,6 +1445,26 @@ ORACLES_EXT: dict[str, str] = {
                                     1, 128) END)
                    AS payload_md5
         FROM documents
+    """,
+    # replays audio_features' fake path from the text: one byte = one
+    # PCM sample (b-128)*256 (ASCII corpus: byte == ascii() code
+    # point); all stats exact integers, duration is integer division
+    "x5f_audio_digest": f"""
+        WITH s AS (
+            SELECT doc_id AS media_id,
+                   list_transform(
+                       generate_series(1, length(text)),
+                       i -> abs((ascii(text[i]) - 128) * 256)) AS amps,
+                   length(text) AS n
+            FROM documents
+        )
+        SELECT media_id,
+               CAST({AUDIO_SAMPLE_RATE} AS INTEGER) AS sample_rate,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(n * 1000 // {AUDIO_SAMPLE_RATE} AS BIGINT) AS duration_ms,
+               CAST(coalesce(list_max(amps), 0) AS INTEGER) AS peak,
+               CAST(coalesce(list_sum(amps), 0) AS BIGINT) AS sum_abs
+        FROM s
     """,
     "x29_source_overlap_matrix": """
         WITH sh AS (

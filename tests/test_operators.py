@@ -1206,6 +1206,60 @@ def test_x54_registered_query_batch_identity(spark):
             assert r["n_corpus_near"] >= 1 and r["best_sim"] >= 8000, r
 
 
+def test_audio_real_wave_decode_matches_fake_stats(spark):
+    """The REAL stdlib-wave decode path must reproduce the fake path's
+    stats exactly: for a WAV synthesized from payload bytes under the
+    shared (b-128)*256 mapping, real(wav(payload)) == fake(payload)
+    per asset — a value check of header parse, frame read, and sample
+    unpack end-to-end (the PIL-contract recipe for audio)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+        F.col("doc_id") < 40
+    )
+    media = multimodal.documents_as_audio(docs)
+    fake = {
+        r["media_id"]: tuple(r)[1:]
+        for r in multimodal.audio_features(media, fake=True).collect()
+    }
+    real = {
+        r["media_id"]: tuple(r)[1:]
+        for r in multimodal.audio_features(
+            multimodal.encode_pcm_wav(media), fake=False
+        ).collect()
+    }
+    assert real == fake and len(real) == 40
+    # the stats are real, not degenerate
+    assert any(v[3] > 0 for v in real.values())  # peak
+    assert all(v[1] > 0 for v in real.values())  # n_samples
+
+
+def test_audio_codec_errors_are_named(spark):
+    """fake=False on a non-audio row raises a NotImplementedError that
+    NAMES the missing codec (honest-stub convention), and an
+    unsupported PCM layout (stereo) is refused by name too."""
+    import io
+    import wave
+
+    media = spark.createDataFrame(
+        [(1, "video", b"xx", 2, None, None, 8000)],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="no audio codec for media_type='video'"):
+        multimodal.audio_features(media, fake=False).collect()
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)  # stereo: unsupported layout
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x01\x00\x01")
+    stereo = spark.createDataFrame(
+        [(1, "audio", buf.getvalue(), 44, None, None, 8000)],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="only 16-bit mono PCM WAV"):
+        multimodal.audio_features(stereo, fake=False).collect()
+
+
 def test_ivfpq_recall_dial_monotone(spark):
     """x55 must grade every query at every dial setting, with recall
     non-decreasing in nprobe (a wider probe set only adds candidates)
