@@ -154,6 +154,8 @@ HEADLINE: dict[str, str] = {
     "x54_incremental_semdedup": "checksum",
     "x55_ivfpq_recall": "collect",
     "x56_curation_materialize": "checksum",
+    "x57_reduced_recall": "collect",
+    "x58_sq8_recall": "collect",
 }
 
 

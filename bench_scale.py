@@ -138,6 +138,8 @@ QUERIES: tuple[str, ...] = (
     "x53_incremental_neardup",
     "x54_incremental_semdedup",
     "x56_curation_materialize",
+    "x57_reduced_recall",
+    "x58_sq8_recall",
 )
 
 
@@ -222,6 +224,14 @@ ACCOUNTED: dict[str, str] = {
     # IVFADC adds the centroid pass (corpus-linear) and PRUNES the ADC
     # scan to probed cells — still corpus-bounded
     "x51_ivfpq_topk": "input_rows:embeddings",
+    # the reduced-recall dial makes a constant number of corpus passes
+    # (quantizer max, rp/prefix reductions, the exact grade), each
+    # against a fixed 8-query broadcast — all input-linear in the
+    # embedding corpus
+    "x57_reduced_recall": "input_rows:embeddings",
+    # the SQ8 dial is one quantized corpus scan against a broadcast
+    # query set plus a |queries|*20 rescore — input-linear like x23
+    "x58_sq8_recall": "input_rows:embeddings",
     # DSIR is one token explode + a 64-row broadcast — token-linear
     "x44_dsir_importance": "token_stream",
     # SemDeDup's cost is the within-cell pair set Σ c·(c−1)/2: with

@@ -1396,3 +1396,232 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_dist")
     )
+
+
+def _rp_sign_matrix_expr(r_dim: int, dim: int) -> str:
+    """The ±1 Johnson–Lindenstrauss sign matrix as ONE in-plan
+    expression: ``sign(j, i) = 1 - 2·(h % 2)`` where ``h`` is the
+    portable md5→int recipe (``conv(substr(md5('rp:j:i'),1,8),16,10)``
+    ≡ DuckDB ``('0x' || substr(md5(...),1,8))::BIGINT``) — both engines
+    DERIVE the identical matrix from the same hash text, so nothing is
+    spliced or collected.  Achlioptas (JMLR 2003) shows ±1 entries
+    satisfy the JL guarantee with the same distortion bound as
+    Gaussian projections."""
+    return (
+        f"transform(sequence(0, {r_dim - 1}), j ->"
+        f" transform(sequence(0, {dim - 1}), i ->"
+        f" 1 - 2 * (CAST(conv(substr(md5(concat('rp:', CAST(j AS STRING),"
+        f" ':', CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2)))"
+    )
+
+
+def reduced_recall_dial(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    dim: int,
+    r_dim: int,
+    n_queries: int = 8,
+    k: int = 10,
+) -> DataFrame:
+    """Recall@k of two DIMENSION-REDUCED exact scans vs the full-dim
+    exact cosine top-k, graded side by side in one query:
+
+    - ``rp``      — signed random projection (Achlioptas/JL): ``rv[j] =
+      Σ_i sign(j,i)·qv[i]`` over the x23-quantized int components, an
+      exact int64 matrix-vector product;
+    - ``prefix``  — coordinate truncation (the matryoshka baseline):
+      the first ``r_dim`` quantized components verbatim.
+
+    Both store ``r_dim`` int64s per vector (4× fewer than the 64-dim
+    input at r_dim=16) and rank candidates on the reduced-space cosine
+    quantized to 1e-4 (integer-key ordering rule) — the dial that says
+    whether a cheap oblivious projection beats dropping coordinates at
+    equal memory budget, complementing the PQ (x52) and IVFADC (x55)
+    dials.
+
+    Engine determinism: reductions, dots and norms are exact int64
+    sums; the only float step is ONE shared expression tree
+    ``dot / sqrt(nq·nc)`` over exactly-representable ints (mult, div
+    and sqrt are correctly rounded — the a20 moment-stats rule), then
+    floor-quantized.  Zero-norm reduced vectors are filtered on both
+    engines before ranking.
+
+    Scale shape: the sign matrix is one broadcast row (bounded BNLJ);
+    reduction and norms run per-row in whole-stage codegen; the scored
+    stream is |queries| × |corpus| rows — the same cardinality as the
+    exact scan it grades, but moving r_dim ints per row instead of dim
+    doubles — closed by rank ≤ k windows (WindowGroupLimit)."""
+    v = vectors.select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("emb"))
+    qz = _pq_quantize(v)
+    signs = v.sparkSession.range(1).select(
+        F.expr(_rp_sign_matrix_expr(r_dim, dim)).alias("S")
+    )
+    rp = qz.crossJoin(F.broadcast(signs)).select(
+        F.lit("rp").alias("method"),
+        "vec_id",
+        F.expr(
+            f"transform(sequence(0, {r_dim - 1}), j ->"
+            f" aggregate(zip_with(qv, element_at(S, j + 1), (a, b) -> a * b),"
+            f" 0L, (acc, x) -> acc + x))"
+        ).alias("rv"),
+    )
+    prefix = qz.select(
+        F.lit("prefix").alias("method"),
+        "vec_id",
+        F.expr(f"slice(qv, 1, {r_dim})").alias("rv"),
+    )
+    red = (
+        rp.unionByName(prefix)
+        .withColumn("n2", F.expr("aggregate(rv, 0L, (acc, x) -> acc + x * x)"))
+        .filter(F.col("n2") > 0)
+    )
+    qs = red.filter(F.col("vec_id") < n_queries).select(
+        "method",
+        F.col("vec_id").alias("query_id"),
+        F.col("rv").alias("qrv"),
+        F.col("n2").alias("qn2"),
+    )
+    scored = (
+        red.join(F.broadcast(qs), "method")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "method",
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(
+                "aggregate(zip_with(qrv, rv, (a, b) -> a * b),"
+                " 0L, (acc, x) -> acc + x)"
+            ).alias("dot"),
+            "qn2",
+            "n2",
+        )
+    )
+    rkey = sim_q(
+        F.col("dot").cast("double")
+        / F.sqrt(F.col("qn2").cast("double") * F.col("n2").cast("double"))
+    )
+    w = Window.partitionBy("method", "query_id").orderBy(
+        rkey.desc(), F.col("neighbor_id")
+    )
+    approx = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .select("method", "query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    )
+    exact = cosine_topk(
+        vectors, id_col, vec_col,
+        queries=vectors.filter(F.col(id_col) < n_queries), k=k,
+    ).select("query_id", "neighbor_id")
+    methods = v.sparkSession.createDataFrame(
+        [("prefix",), ("rp",)], "method string"
+    )
+    return (
+        exact.crossJoin(F.broadcast(methods))
+        .join(approx, ["method", "query_id", "neighbor_id"], "left")
+        .groupBy("method", "query_id")
+        .agg(F.count("__hit").alias("n_hit"))
+        .select(
+            "method",
+            "query_id",
+            "n_hit",
+            F.expr(f"n_hit * 1000000 DIV {k}").alias("recall_ppm"),
+        )
+    )
+
+
+def sq8_recall_dial(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    n_queries: int = 8,
+    k: int = 10,
+    rescore_depth: int = 20,
+) -> DataFrame:
+    """Recall@k of the SQ8 index (x23's int8 scalar quantization) vs
+    the full-precision cosine top-k, at both points of its own
+    pipeline:
+
+    - ``sq8``          — the raw int8 dot-product ranking (what a pure
+      quantized scan returns);
+    - ``sq8_rescore``  — x23's production shape: top-``rescore_depth``
+      int8 candidates rescored with the exact cosine.
+
+    Together with x52 (PQ), x55 (IVFADC probe dial) and x57 (linear
+    reductions) this completes the compression-quality matrix — and the
+    pair quantifies exactly what the rescore step buys.  Structural
+    guarantee (pinned by pytest): rescore recall ≥ raw recall for every
+    query, because any exact-top-k member inside the candidate set
+    outranks every non-member under the same quantized-cosine key the
+    exact side uses.
+
+    Engine determinism: candidate scores are exact int64 dots; both
+    the rescore and exact rankings order on the 1e-4-quantized cosine
+    with id tiebreak (integer-key rule).  Scale shape: one quantized
+    corpus scan against a broadcast query set (|queries| × n int
+    dots), rank ≤ depth via WindowGroupLimit, then only
+    |queries| × depth float rescores."""
+    v = vectors.select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("emb"))
+    qz = _pq_quantize(v)
+    q = qz.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("qv").alias("qqv"),
+    )
+    scored = (
+        qz.join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "qemb",
+            "emb",
+            F.expr(
+                "aggregate(zip_with(qqv, qv, (a, b) -> a * b),"
+                " 0L, (acc, x) -> acc + x)"
+            ).alias("iscore"),
+        )
+    )
+    w_int = Window.partitionBy("query_id").orderBy(
+        F.col("iscore").desc(), F.col("neighbor_id")
+    )
+    ranked = scored.withColumn("__r", F.row_number().over(w_int))
+    raw = ranked.filter(F.col("__r") <= k).select(
+        F.lit("sq8").alias("method"), "query_id", "neighbor_id"
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.col("__simq").desc(), F.col("neighbor_id")
+    )
+    rescored = (
+        ranked.filter(F.col("__r") <= rescore_depth)
+        .select(
+            "query_id",
+            "neighbor_id",
+            sim_q(cosine(F.col("qemb"), F.col("emb"))).alias("__simq"),
+        )
+        .withColumn("__rr", F.row_number().over(w_f))
+        .filter(F.col("__rr") <= k)
+        .select(F.lit("sq8_rescore").alias("method"), "query_id", "neighbor_id")
+    )
+    approx = raw.unionByName(rescored).withColumn("__hit", F.lit(1))
+    exact = cosine_topk(
+        vectors, id_col, vec_col,
+        queries=vectors.filter(F.col(id_col) < n_queries), k=k,
+    ).select("query_id", "neighbor_id")
+    methods = v.sparkSession.createDataFrame(
+        [("sq8",), ("sq8_rescore",)], "method string"
+    )
+    return (
+        exact.crossJoin(F.broadcast(methods))
+        .join(approx, ["method", "query_id", "neighbor_id"], "left")
+        .groupBy("method", "query_id")
+        .agg(F.count("__hit").alias("n_hit"))
+        .select(
+            "method",
+            "query_id",
+            "n_hit",
+            F.expr(f"n_hit * 1000000 DIV {k}").alias("recall_ppm"),
+        )
+    )

@@ -964,6 +964,51 @@ def x55_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: reduced-dimension recall dial: both methods store _RP_R int64s per
+#: vector (4x compression at 64->16); spliced into the x57 oracle as
+#: literals — pinned by test_pq_oracle_constants_in_lockstep
+_RP_R = 16
+
+
+def x57_reduced_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of two dimension-reduced exact scans vs the full-dim
+    cosine top-10, side by side (operators/similarity.py:
+    reduced_recall_dial): ``rp`` — a ±1 Johnson–Lindenstrauss random
+    projection derived IN-PLAN from the portable md5 recipe (both
+    engines compute the identical matrix from the same hash text, no
+    splicing) — and ``prefix`` — coordinate truncation at the same
+    memory budget.  Completes the compressed-index quality suite: x52
+    grades PQ, x55 grades IVFADC's probe dial, x57 grades the two
+    cheap linear reductions.  All reductions/dots/norms are exact
+    int64; the one float step is a shared ``dot/sqrt(nq·nc)``
+    expression tree, floor-quantized (a20 moment-stats rule)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.reduced_recall_dial(
+        emb, "vec_id", "embedding",
+        dim=_PQ_DIM, r_dim=_RP_R, n_queries=_PQ_QUERIES, k=_PQ_TOPK,
+    )
+
+
+#: SQ8 rescore depth (x23's production setting) — spliced into the
+#: x58 oracle as a literal, lockstep-pinned
+_SQ8R_DEPTH = 20
+
+
+def x58_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the SQ8 index at both points of its pipeline
+    (operators/similarity.py:sq8_recall_dial): ``sq8`` — the raw int8
+    dot ranking — and ``sq8_rescore`` — x23's top-20-rescored
+    production shape.  Closes the compression-quality matrix (x52 PQ,
+    x55 IVFADC, x57 linear reductions, x58 SQ8) and quantifies what
+    the rescore step buys; rescore ≥ raw per query is a structural
+    guarantee pinned by pytest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.sq8_recall_dial(
+        emb, "vec_id", "embedding",
+        n_queries=_PQ_QUERIES, k=_PQ_TOPK, rescore_depth=_SQ8R_DEPTH,
+    )
+
+
 #: fake-frame cadence and geometry shared by the Spark queries and
 #: their SQL oracles (change here and in the oracle text together)
 _X5C_N_FRAMES = 4

@@ -342,7 +342,10 @@ _KMEANS_CTES = _kmeans_ctes()
 #: distances (exact int64), argmin codes on dist*16+cb_id, and the
 #: 8-query ADC distance tables.  Spliced into both oracles so the two
 #: PQ queries can never drift from each other (the _KMEANS_CTES rule).
-_PQ_CTES = """pv AS (
+#: the x23 quantizer chain alone (pv/mx/qz) — the prefix every
+#: quantized-vector oracle shares; x57 splices just this, the PQ
+#: oracles splice the full _PQ_CTES built on top of it.
+_QZ_CTES = """pv AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
             FROM embeddings
         ),
@@ -356,7 +359,9 @@ _PQ_CTES = """pv AS (
                        emb, x -> CAST(floor(x * (127.0 / m)) AS BIGINT)
                    ) AS qv
             FROM pv, mx
-        ),
+        )"""
+
+_PQ_CTES = _QZ_CTES + """,
         pcomp AS (
             SELECT vec_id,
                    unnest(generate_series(1, 64)) AS i,
@@ -757,6 +762,164 @@ ORACLES_EXT: dict[str, str] = {
                       AND p.nprobe = np.nprobe
                       AND p.neighbor_id = e.neighbor_id
         GROUP BY e.query_id, np.nprobe
+    """,
+    # SQ8 recall dial: raw int8 dot ranking vs x23's rescored pipeline,
+    # graded vs the quantized-ranked exact top-10 (the x52 recipe);
+    # candidate scores are exact int64 dots over the shared quantizer
+    "x58_sq8_recall": """
+        WITH __QZ_CTES__,
+        comp AS (
+            SELECT vec_id,
+                   unnest(generate_series(1, 64)) AS i,
+                   unnest(qv) AS q
+            FROM qz
+        ),
+        idot AS (
+            SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CAST(sum(a.q * c.q) AS BIGINT) AS iscore
+            FROM comp a JOIN comp c ON c.i = a.i AND c.vec_id <> a.vec_id
+            WHERE a.vec_id < 8
+            GROUP BY a.vec_id, c.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY iscore DESC, neighbor_id) AS r
+            FROM idot
+        ),
+        raw AS (
+            SELECT 'sq8' AS method, query_id, neighbor_id
+            FROM ranked WHERE r <= 10
+        ),
+        resc AS (
+            SELECT 'sq8_rescore' AS method, query_id, neighbor_id FROM (
+                SELECT c.query_id, c.neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY c.query_id
+                           ORDER BY CAST(floor(list_cosine_similarity(
+                                        qp.emb, np.emb) * 10000) AS BIGINT)
+                                        DESC, c.neighbor_id) AS rr
+                FROM ranked c
+                JOIN pv qp ON qp.vec_id = c.query_id
+                JOIN pv np ON np.vec_id = c.neighbor_id
+                WHERE c.r <= 20
+            ) WHERE rr <= 10
+        ),
+        approx AS (
+            SELECT * FROM raw UNION ALL SELECT * FROM resc
+        ),
+        q AS (SELECT vec_id AS query_id, emb AS qemb FROM pv
+              WHERE vec_id < 8),
+        ex AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY CAST(floor(list_cosine_similarity(
+                                        q.qemb, c.emb) * 10000) AS BIGINT)
+                                        DESC, c.vec_id) AS r
+                FROM pv c CROSS JOIN q
+                WHERE c.vec_id <> q.query_id
+            ) WHERE r <= 10
+        ),
+        m AS (SELECT unnest(['sq8', 'sq8_rescore']) AS method)
+        SELECT m.method, e.query_id,
+               CAST(count(p.neighbor_id) AS BIGINT) AS n_hit,
+               CAST(count(p.neighbor_id) * 1000000 // 10 AS BIGINT)
+                   AS recall_ppm
+        FROM ex e CROSS JOIN m
+        LEFT JOIN approx p ON p.method = m.method
+                          AND p.query_id = e.query_id
+                          AND p.neighbor_id = e.neighbor_id
+        GROUP BY m.method, e.query_id
+    """,
+    # reduced-dimension recall dial: JL ±1 random projection vs prefix
+    # truncation at the same 16-int budget, each ranked on the reduced
+    # cosine (ONE shared double tree dot/sqrt(nq*nc), floor-quantized),
+    # graded vs the quantized-ranked exact top-10 (the x52 recipe).
+    # The sign matrix is DERIVED from the portable md5 recipe — both
+    # engines hash the same 'rp:j:i' text, nothing spliced.
+    "x57_reduced_recall": """
+        WITH __QZ_CTES__,
+        rsign AS (
+            SELECT jj.j AS j, ii.i AS i,
+                   CAST(1 - 2 * ((('0x' || substr(md5('rp:' || jj.j || ':'
+                       || ii.i), 1, 8))::BIGINT) % 2) AS BIGINT) AS s
+            FROM (SELECT unnest(generate_series(0, 15)) AS j) jj,
+                 (SELECT unnest(generate_series(0, 63)) AS i) ii
+        ),
+        comp AS (
+            SELECT vec_id,
+                   unnest(generate_series(1, 64)) AS i,
+                   unnest(qv) AS q
+            FROM qz
+        ),
+        red AS (
+            SELECT 'rp' AS method, c.vec_id, r.j,
+                   CAST(sum(r.s * c.q) AS BIGINT) AS v
+            FROM comp c JOIN rsign r ON r.i = c.i - 1
+            GROUP BY c.vec_id, r.j
+            UNION ALL
+            SELECT 'prefix' AS method, vec_id, i - 1 AS j,
+                   CAST(q AS BIGINT) AS v
+            FROM comp WHERE i <= 16
+        ),
+        nrm AS (
+            SELECT method, vec_id, CAST(sum(v * v) AS BIGINT) AS n2
+            FROM red GROUP BY method, vec_id
+            HAVING CAST(sum(v * v) AS BIGINT) > 0
+        ),
+        rdot AS (
+            SELECT q.method, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CAST(sum(q.v * c.v) AS BIGINT) AS dot
+            FROM red q
+            JOIN red c ON c.method = q.method AND c.j = q.j
+                      AND c.vec_id <> q.vec_id
+            WHERE q.vec_id < 8
+            GROUP BY q.method, q.vec_id, c.vec_id
+        ),
+        approx AS (
+            SELECT method, query_id, neighbor_id FROM (
+                SELECT d.method, d.query_id, d.neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY d.method, d.query_id
+                           ORDER BY CAST(floor(CAST(d.dot AS DOUBLE)
+                               / sqrt(CAST(nq.n2 AS DOUBLE)
+                                      * CAST(nc.n2 AS DOUBLE))
+                               * 10000.0) AS BIGINT) DESC,
+                               d.neighbor_id) AS r
+                FROM rdot d
+                JOIN nrm nq ON nq.method = d.method
+                           AND nq.vec_id = d.query_id
+                JOIN nrm nc ON nc.method = d.method
+                           AND nc.vec_id = d.neighbor_id
+            ) WHERE r <= 10
+        ),
+        q AS (SELECT vec_id AS query_id, emb AS qemb FROM pv
+              WHERE vec_id < 8),
+        ex AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY CAST(floor(list_cosine_similarity(
+                                        q.qemb, c.emb) * 10000) AS BIGINT)
+                                        DESC, c.vec_id) AS r
+                FROM pv c CROSS JOIN q
+                WHERE c.vec_id <> q.query_id
+            ) WHERE r <= 10
+        ),
+        m AS (SELECT unnest(['prefix', 'rp']) AS method)
+        SELECT m.method, e.query_id,
+               CAST(count(p.neighbor_id) AS BIGINT) AS n_hit,
+               CAST(count(p.neighbor_id) * 1000000 // 10 AS BIGINT)
+                   AS recall_ppm
+        FROM ex e CROSS JOIN m
+        LEFT JOIN approx p ON p.method = m.method
+                          AND p.query_id = e.query_id
+                          AND p.neighbor_id = e.neighbor_id
+        GROUP BY m.method, e.query_id
     """,
     "x3b_embedding_neardup": _x3b_lsh_oracle(),
     "x3d_ann_lsh": _x3d_lsh_ann_oracle(),
@@ -1513,3 +1676,7 @@ ORACLES_EXT["x54_incremental_semdedup"] = ORACLES_EXT[
 for _name in ("x50_pq_topk", "x51_ivfpq_topk", "x52_pq_recall", "x55_ivfpq_recall"):
     ORACLES_EXT[_name] = ORACLES_EXT[_name].replace(
         "__PQ_CTES__", _PQ_CTES)
+
+# x57/x58 share only the quantizer prefix of the PQ chain
+for _name in ("x57_reduced_recall", "x58_sq8_recall"):
+    ORACLES_EXT[_name] = ORACLES_EXT[_name].replace("__QZ_CTES__", _QZ_CTES)

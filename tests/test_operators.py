@@ -1490,3 +1490,65 @@ def test_documents_testdata_is_ascii(spark):
     docs = load_table(spark, SF_DIR, "documents")
     n_multibyte = docs.filter(F.octet_length("text") != F.length("text")).count()
     assert n_multibyte == 0
+
+
+def test_reduced_recall_dial_rp_survives_offprefix_signal(spark):
+    """x57's reason to exist: when the discriminative mass lives OUTSIDE
+    the first r_dim coordinates, prefix truncation is blind to it while
+    the JL projection (which mixes every coordinate into every reduced
+    dim) still recovers the true neighbors.  Planted: each query shares
+    its last 48 dims exactly with its 3 true neighbors; the first 16
+    dims are iid noise."""
+    import random
+
+    rng = random.Random(11)
+
+    def noise(n):
+        return [rng.uniform(-1.0, 1.0) for _ in range(n)]
+
+    n_queries, k = 4, 3
+    rows = []
+    for q in range(n_queries):
+        tail = noise(48)
+        rows.append((q, noise(16) + tail))
+        for j in range(k):
+            rows.append((100 + 10 * q + j, noise(16) + tail))
+    for d in range(40):
+        rows.append((500 + d, noise(64)))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.reduced_recall_dial(
+        df, "vec_id", "embedding", dim=64, r_dim=16, n_queries=n_queries, k=k
+    ).collect()
+    got = {(r.method, r.query_id): r.n_hit for r in out}
+    assert set(got) == {
+        (m, q) for m in ("rp", "prefix") for q in range(n_queries)
+    }
+    rp_total = sum(got[("rp", q)] for q in range(n_queries))
+    prefix_total = sum(got[("prefix", q)] for q in range(n_queries))
+    assert rp_total > prefix_total, (rp_total, prefix_total)
+    # the projection must recover most of the planted neighbors
+    assert rp_total >= (n_queries * k) // 2, rp_total
+
+
+def test_sq8_recall_rescore_dominates_raw(spark):
+    """x58's structural guarantee: rescoring the top-20 int8 candidates
+    with the exact cosine can only help — any exact-top-k member inside
+    the candidate set outranks every non-member under the same
+    quantized-cosine key the exact side uses, so rescore n_hit ≥ raw
+    n_hit for EVERY query."""
+    from data_engineer_project_weather_analytics_spark.plans.extensions import (
+        _PQ_QUERIES,
+        x58_sq8_recall,
+    )
+
+    rows = x58_sq8_recall(spark, SF_DIR).collect()
+    by_q: dict[int, dict[str, int]] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], {})[r["method"]] = r["n_hit"]
+    assert len(by_q) == _PQ_QUERIES
+    for q, methods in by_q.items():
+        assert set(methods) == {"sq8", "sq8_rescore"}, (q, methods)
+        assert methods["sq8_rescore"] >= methods["sq8"], (q, methods)

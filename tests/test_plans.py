@@ -187,6 +187,8 @@ _BOUNDED_BROADCAST_QUERIES = {
     "x51_ivfpq_topk",  # same codebook product + |cells|-row centroid probe
     "x52_pq_recall",  # composes x50's codebook product + x3's exact probe
     "x55_ivfpq_recall",  # x51's probe chain + a 3-row nprobe dial broadcast
+    "x57_reduced_recall",  # 1-row sign-matrix + fixed query-vector set + 2-row method dial
+    "x58_sq8_recall",  # 1-row quantizer-scale join + fixed query-vector set + 2-row method dial
     "j9_bloom_prune_join",  # 2048-word bloom bitmap + 1-row count join
     "g1_triangle_count",  # 1-row count joins
     "a22_hll_distinct",  # 1-row sketch-total x 1-row exact-count join

@@ -106,3 +106,38 @@ def test_pq_oracle_constants_in_lockstep():
     assert f"vec_id < {_PQ_QUERIES}" in sql55
     assert f"r <= {_PQ_TOPK}" in sql55
     assert f"// {_PQ_TOPK}" in sql55
+    # x57's reduced dimension, query count, top-k, and the derived sign
+    # matrix's hash text are spliced literals in BOTH engines: the
+    # Spark expr builds 'rp:j:i' via concat, the oracle via || — a
+    # drift in _RP_R (or the hash prefix) silently projects through
+    # two different matrices
+    from data_engineer_project_weather_analytics_spark.operators.similarity import (
+        _rp_sign_matrix_expr,
+    )
+    from data_engineer_project_weather_analytics_spark.plans.extensions import _RP_R
+
+    sql57 = REGISTRY["x57_reduced_recall"].sql
+    assert f"generate_series(0, {_RP_R - 1})" in sql57
+    assert f"generate_series(0, {_PQ_DIM - 1})" in sql57
+    assert f"generate_series(1, {_PQ_DIM})" in sql57
+    assert f"WHERE i <= {_RP_R}" in sql57
+    assert f"vec_id < {_PQ_QUERIES}" in sql57
+    assert f"r <= {_PQ_TOPK}" in sql57
+    assert f"// {_PQ_TOPK}" in sql57
+    assert "md5('rp:' || jj.j || ':'" in sql57
+    spark_expr = _rp_sign_matrix_expr(_RP_R, _PQ_DIM)
+    assert f"sequence(0, {_RP_R - 1})" in spark_expr
+    assert f"sequence(0, {_PQ_DIM - 1})" in spark_expr
+    assert "md5(concat('rp:'" in spark_expr
+    # x58's rescore depth, query count, and top-k are spliced literals
+    # over the same shared quantizer chain
+    from data_engineer_project_weather_analytics_spark.plans.extensions import (
+        _SQ8R_DEPTH,
+    )
+
+    sql58 = REGISTRY["x58_sq8_recall"].sql
+    assert f"generate_series(1, {_PQ_DIM})" in sql58
+    assert f"c.r <= {_SQ8R_DEPTH}" in sql58
+    assert f"vec_id < {_PQ_QUERIES}" in sql58
+    assert f"r <= {_PQ_TOPK}" in sql58
+    assert f"// {_PQ_TOPK}" in sql58
