@@ -56,14 +56,17 @@ _PROBE_COLS = (
 ).split()
 
 
-def measure_load_factor(spark) -> float:
-    """Best-of-3 calibration probe over the committed reference."""
+def measure_load_factor(spark, sf_dir: str | None = None) -> float:
+    """Best-of-3 calibration probe over the committed reference.
+    ``sf_dir`` must point at the sf0.1 testdata the reference was
+    measured on (bench_scale.py passes its 1x BASE_DIR explicitly)."""
     from pyspark.sql import functions as F
 
+    probe_dir = sf_dir or SF_DIR
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(*_PROBE_COLS)
+        df = spark.read.parquet(f"{probe_dir}/lineitem.parquet").select(*_PROBE_COLS)
         df.select(F.bit_xor(F.xxhash64(*_PROBE_COLS)).alias("c")).collect()
         best = min(best, time.perf_counter() - t0)
     return best / CALIBRATION_REF_SEC

@@ -1562,22 +1562,25 @@ def sq8_recall_dial(
     with id tiebreak (integer-key rule).  Scale shape: one quantized
     corpus scan against a broadcast query set (|queries| × n int
     dots), rank ≤ depth via WindowGroupLimit, then only
-    |queries| × depth float rescores."""
+    |queries| × depth float rescores.  The ranked stream carries IDS
+    AND THE INT SCORE ONLY — the full double arrays are reattached by
+    an id join for just the rescore candidates (the round-7
+    'payload moves once per pass' rule; the windowed |queries| × n
+    sort never sees a 64-dim payload — the shape that OOMed the x45
+    argmax at the 2 M-vector point)."""
     v = vectors.select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("emb"))
     qz = _pq_quantize(v)
     q = qz.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
-        F.col("emb").alias("qemb"),
         F.col("qv").alias("qqv"),
     )
     scored = (
-        qz.join(F.broadcast(q))
+        qz.select("vec_id", "qv")
+        .join(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            "qemb",
-            "emb",
             F.expr(
                 "aggregate(zip_with(qqv, qv, (a, b) -> a * b),"
                 " 0L, (acc, x) -> acc + x)"
@@ -1594,8 +1597,19 @@ def sq8_recall_dial(
     w_f = Window.partitionBy("query_id").orderBy(
         F.col("__simq").desc(), F.col("neighbor_id")
     )
+    # reattach the double payloads by id join — |queries| × depth
+    # candidate rows broadcast against one corpus scan each
+    cand = ranked.filter(F.col("__r") <= rescore_depth).select(
+        "query_id", "neighbor_id"
+    )
+    qe = v.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
     rescored = (
-        ranked.filter(F.col("__r") <= rescore_depth)
+        v.join(
+            F.broadcast(cand), F.col("vec_id") == F.col("neighbor_id")
+        )
+        .join(F.broadcast(qe), "query_id")
         .select(
             "query_id",
             "neighbor_id",

@@ -1077,6 +1077,35 @@ def _x5e_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_features(media, fake=False)
 
 
+def x5g_video_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video feature stats over the FAKE path (operators/multimodal.py:
+    video_features, fake=True): exact integer container/pixel stats
+    from the raw payload bytes plus the encoder's deterministic
+    DIB-strip padding arithmetic (_avi_frame_bytes), through the real
+    Arrow-batched mapInPandas plumbing — the x5f recipe one modality
+    up, so DuckDB replays every value from the text with ``ascii()``
+    (pure-ASCII corpus: byte == code point) and pure integer
+    arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_video(docs)
+    return multimodal.video_features(media, fake=True)
+
+
+def _x5h_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video container decode end-to-end: text bytes synthesized
+    into valid uncompressed 8-bit DIB AVI containers
+    (multimodal.encode_avi — RIFF header chain, movi frame list, idx1
+    index), then parsed back with a stdlib RIFF walk (fake=False) —
+    the audio recipe (x5e, e8291ee) one modality up; closes the last
+    NotImplementedError-only family.  Rows-only by necessity (an AVI
+    round-trip is not SQL-expressible), but value-checked twice: the
+    x5g fake twin is hash-checked against DuckDB, and the contract
+    pytest pins real(avi(text)) == fake(text) for every asset."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.encode_avi(multimodal.documents_as_video(docs))
+    return multimodal.video_features(media, fake=False)
+
+
 def x3b_embedding_neardup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deployment form of x3b: the hyperplane count sized to the
     corpus (``recommended_n_planes``, holding expected bucket width
@@ -1113,6 +1142,7 @@ def x45_semdedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 NO_ORACLE = {
     "x5_multimodal_features": _x5_multimodal_features,
     "x5e_audio_features": _x5e_audio_features,
+    "x5h_video_features": _x5h_video_features,
     "x3b_embedding_neardup_auto": x3b_embedding_neardup_auto,
     "x45_semdedup_auto": x45_semdedup_auto,
 }

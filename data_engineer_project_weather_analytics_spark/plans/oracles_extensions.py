@@ -8,7 +8,11 @@ the Spark side, so the sketches are bit-identical.
 
 from __future__ import annotations
 
-from data_engineer_project_weather_analytics_spark.operators.multimodal import AUDIO_SAMPLE_RATE
+from data_engineer_project_weather_analytics_spark.operators.multimodal import (
+    AUDIO_SAMPLE_RATE,
+    N_VIDEO_FRAMES,
+    VIDEO_FPS,
+)
 from data_engineer_project_weather_analytics_spark.operators.similarity import ANN_TOPK, seeded_hyperplanes
 from data_engineer_project_weather_analytics_spark.operators.text import PII_PATTERNS
 from data_engineer_project_weather_analytics_spark.plans.extensions import LSH_MAX_BUCKET
@@ -1628,6 +1632,44 @@ ORACLES_EXT: dict[str, str] = {
                CAST(coalesce(list_max(amps), 0) AS INTEGER) AS peak,
                CAST(coalesce(list_sum(amps), 0) AS BIGINT) AS sum_abs
         FROM s
+    """,
+    # replays video_features' fake path from the text: per-byte
+    # amplitude |ascii - 128| plus the encoder's deterministic
+    # DIB-strip padding arithmetic (_avi_frame_bytes: per-frame size
+    # fs covers a 1/N_VIDEO_FRAMES share of the payload, min 4,
+    # rounded up to the 4-byte DIB stride; pad bytes are 0 → amplitude
+    # 128).  All stats exact integers — constants spliced from the
+    # operator module so the two sides can only move in lockstep.
+    "x5g_video_digest": f"""
+        WITH s AS (
+            SELECT doc_id AS media_id,
+                   list_transform(
+                       generate_series(1, length(text)),
+                       i -> abs(ascii(text[i]) - 128)) AS amps,
+                   length(text) AS L
+            FROM documents
+        ),
+        g AS (
+            SELECT media_id, amps, L,
+                   ((greatest((L + {N_VIDEO_FRAMES - 1}) // {N_VIDEO_FRAMES},
+                              4) + 3) // 4) * 4 AS fs
+            FROM s
+        )
+        SELECT media_id,
+               CAST(fs AS INTEGER) AS width,
+               CAST(1 AS INTEGER) AS height,
+               CAST({VIDEO_FPS} AS INTEGER) AS fps,
+               CAST({N_VIDEO_FRAMES} AS INTEGER) AS n_frames,
+               CAST({N_VIDEO_FRAMES * 1000 // VIDEO_FPS} AS BIGINT) AS duration_ms,
+               CAST({N_VIDEO_FRAMES} * fs AS BIGINT) AS sum_bytes,
+               CAST(CASE WHEN {N_VIDEO_FRAMES} * fs > L
+                              AND coalesce(list_max(amps), 0) < 128
+                         THEN 128
+                         ELSE coalesce(list_max(amps), 0)
+                    END AS INTEGER) AS peak,
+               CAST(coalesce(list_sum(amps), 0)
+                    + ({N_VIDEO_FRAMES} * fs - L) * 128 AS BIGINT) AS sum_abs
+        FROM g
     """,
     "x29_source_overlap_matrix": """
         WITH sh AS (

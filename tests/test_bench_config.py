@@ -67,6 +67,25 @@ def test_bench_load_sentinel_exists():
     assert '"load_factor"' in inspect.getsource(bench)
 
 
+def test_bench_scale_load_sentinel_exists():
+    """r8's polluted BENCH_SCALE.json came from the one harness with
+    no sentinel (VERDICT r8 task 2): every timing section must open
+    with the shared calibration probe and refuse under sustained load,
+    and the emitted JSON must carry the per-section factors."""
+    import inspect
+
+    assert callable(bench_scale.section_sentinel)
+    sent = inspect.getsource(bench_scale.section_sentinel)
+    # shares bench.py's committed reference + thresholds (one source
+    # of truth for "what idle means") and honors the same override
+    assert "measure_load_factor" in sent
+    assert "SPARK_GRAFT_BENCH_FORCE" in sent
+    main_src = inspect.getsource(bench_scale.main)
+    for section in ("scale10", "scale100", "scale1000"):
+        assert f'section_sentinel(spark, "{section}")' in main_src, section
+    assert '"load_factor"' in main_src
+
+
 def test_bench_scale_queries_resolve():
     unknown = [
         n

@@ -1260,6 +1260,77 @@ def test_audio_codec_errors_are_named(spark):
         multimodal.audio_features(stereo, fake=False).collect()
 
 
+def test_video_real_avi_decode_matches_fake_stats(spark):
+    """The REAL stdlib RIFF/AVI decode path must reproduce the fake
+    path's stats exactly: for an AVI synthesized from payload bytes
+    (4 height-1 DIB strips, zero-padded tail), real(avi(payload)) ==
+    fake(payload) per asset — a value check of the RIFF walk, header
+    parse, and frame read end-to-end (the wave-contract recipe for
+    video, e8291ee one modality up)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+        F.col("doc_id") < 40
+    )
+    media = multimodal.documents_as_video(docs)
+    fake = {
+        r["media_id"]: tuple(r)[1:]
+        for r in multimodal.video_features(media, fake=True).collect()
+    }
+    real = {
+        r["media_id"]: tuple(r)[1:]
+        for r in multimodal.video_features(
+            multimodal.encode_avi(media), fake=False
+        ).collect()
+    }
+    assert real == fake and len(real) == 40
+    # geometry and stats are real, not degenerate
+    assert all(v[3] == multimodal.N_VIDEO_FRAMES for v in real.values())
+    assert any(v[7] > 0 for v in real.values())  # sum_abs
+    # the zero-padded tail is visible in the stats exactly as the
+    # arithmetic predicts: sum_bytes is the padded total, a stride
+    # multiple of 4 per frame
+    assert all(
+        v[5] % (4 * multimodal.N_VIDEO_FRAMES) == 0 for v in real.values()
+    )
+
+
+def test_video_empty_payload_roundtrip(spark):
+    """An empty payload still encodes to a valid 4-frame container of
+    blank strips and both paths agree on it (the x5d empty-doc
+    totality rule applied to video)."""
+    empty = spark.createDataFrame(
+        [(1, "video", b"", 0, None, None, None)],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    fake = tuple(multimodal.video_features(empty, fake=True).collect()[0])
+    real = tuple(
+        multimodal.video_features(
+            multimodal.encode_avi(empty), fake=False
+        ).collect()[0]
+    )
+    assert fake == real
+    # 4 frames x 4-byte minimum strip, all pad: peak = |0-128| = 128
+    assert fake[1:] == (4, 1, 25, 4, 160, 16, 128, 16 * 128)
+
+
+def test_video_codec_errors_are_named(spark):
+    """fake=False on a non-video row raises a NotImplementedError that
+    NAMES the missing codec (honest-stub convention), and a compressed
+    stream / non-RIFF payload is refused by name too."""
+    media = spark.createDataFrame(
+        [(1, "image", b"xx", 2, None, None, None)],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="no video codec for media_type='image'"):
+        multimodal.video_features(media, fake=False).collect()
+
+    notriff = spark.createDataFrame(
+        [(1, "video", b"not a riff container", 20, None, None, None)],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="not a RIFF/AVI container"):
+        multimodal.video_features(notriff, fake=False).collect()
+
+
 def test_ivfpq_recall_dial_monotone(spark):
     """x55 must grade every query at every dial setting, with recall
     non-decreasing in nprobe (a wider probe set only adds candidates)
