@@ -144,7 +144,9 @@ QUERIES: tuple[str, ...] = (
     "x51_ivfpq_topk",
     "x53_incremental_neardup",
     "x54_incremental_semdedup",
+    "x54_incremental_semdedup_auto",
     "x56_curation_materialize",
+    "x56_curation_auto",
     "x57_reduced_recall",
     "x58_sq8_recall",
 )
@@ -260,17 +262,34 @@ ACCOUNTED: dict[str, str] = {
     # fixed k the cells grow with the corpus, so the stream is
     # superlinear by construction and the accounting bounds it
     "x54_incremental_semdedup": "probe_pair_stream",
+    # the auto-k deployment probe: ALL its work measured — the
+    # two-level index build on the corpus split (the semdedup_auto_work
+    # terms), the batch probe's coarse + routed-fine scored rows, and
+    # the same-cell survivor verify pairs the keep decision aggregates
+    "x54_incremental_semdedup_auto": "semdedup_inc_auto_work",
     # the composed curation pipeline is dominated by its x45 stage: the
     # within-cell pair stream (fixed oracle k, so ~quadratic — the x45
     # adjudication applies; the deployment form routes through the
     # auto-k twin); the span/quality/sampling stages are input-linear
     "x56_curation_materialize": "cell_pair_stream",
+    # the deployment composition embeds x45_auto, so the same
+    # assignment-stream + verify-pair driver bounds it (every other
+    # stage is input-linear; the driver value is kind-cached, so the
+    # expensive 1000x accounting fit is computed once and shared with
+    # x45_semdedup_auto)
+    "x56_curation_auto": "semdedup_auto_work",
 }
 
 #: time-ratio must stay under rows_ratio * this constant for every
 #: accounted query — the "superlinear time is bought by superlinear
 #: work" gate
 ACCOUNTING_SLACK = 1.5
+
+#: a first timing sample at or past this skips the second best-of-2
+#: sample: GC-stall noise is seconds-sized, so a multi-minute sample
+#: already averages it out, and the repeat would add ~45 min of pure
+#: machine time at the 1000x points (see ``run`` in ``main``)
+SINGLE_SAMPLE_CUTOFF_SEC = 300.0
 
 #: the 100x spot-check (cheapest scale-critical queries): catches
 #: cliffs the 10x run hides.  Only the tables these five touch are
@@ -299,6 +318,15 @@ SCALE100_QUERIES: tuple[str, ...] = (
     # (assignment stream + verify pairs) — the 10x point is where the
     # flat form's violation showed, this is the proof one decade up
     "x45_semdedup_auto",
+    # the auto-k steady-state probe one decade up: two-level index on
+    # the 160 k-vector corpus split + two-level batch probe, cells held
+    # at ~250 vectors so the verify stream stays linear — full
+    # semdedup_inc_auto_work accounting
+    "x54_incremental_semdedup_auto",
+    # the deployment composition at 500 k docs / 200 k vectors: the
+    # embedded auto-k SemDeDup dominates (kind-shared accounting with
+    # x45_semdedup_auto); spans/quality/sampling are input-linear
+    "x56_curation_auto",
     # PQ/ADC over 500 k vectors: the in-memory-index ANN must stay
     # corpus-linear (broadcast codebook + distance tables, one ranking
     # window) — a cliff here means the coding left whole-stage codegen
@@ -350,6 +378,18 @@ SCALE1000_QUERIES: tuple[str, ...] = (
     # the window never sorts a 64-dim payload at 2 M rows
     "x57_reduced_recall",
     "x58_sq8_recall",
+    # the steady-state semantic probe at the largest replica: 1.6 M
+    # corpus vectors / 0.4 M batch, k ≈ 6400 — two-level index build +
+    # two-level probe, the 100 TB ingestion shape; the fixed-k
+    # registered form stays OUT of this section by construction (at
+    # k=8 its same-cell candidate stream would be ~n²/8 pairs — hours
+    # of pure pair work; the auto policy IS the scale answer)
+    "x54_incremental_semdedup_auto",
+    # the composed curation verdict at 5 M docs / 2 M vectors: the
+    # embedded auto-k SemDeDup dominates and its accounting fit is
+    # kind-shared with x45_semdedup_auto, so the driver is measured
+    # once per replica
+    "x56_curation_auto",
 )
 SCALE1000_TABLES = ("region", "nation", "events", "documents", "embeddings")
 
@@ -620,7 +660,14 @@ def main() -> None:
         """Best-of-2 wall-clock: a single sample is exposed to GC
         pauses / allocation stalls (a GCLocker hiccup once turned
         x23's real 2.3x into a recorded 10.5x); the min of two runs is
-        the plan's cost, not the JVM's bad luck."""
+        the plan's cost, not the JVM's bad luck.
+
+        Adaptive cutoff: the GC-luck failure mode is a seconds-sized
+        stall distorting a seconds-sized sample — a sample past
+        ``SINGLE_SAMPLE_CUTOFF_SEC`` self-averages over thousands of
+        GC cycles, so the second sample buys nothing but wall-clock
+        (a best-of-2 of the 2 M-vector SemDeDup fit alone would add
+        ~45 min to the 1000x section)."""
         fn = REGISTRY[name].fn
         best = float("inf")
         for _ in range(2):
@@ -634,6 +681,8 @@ def main() -> None:
                 F.bit_xor(F.xxhash64(*df.columns)).alias("checksum")
             ).collect()
             best = min(best, time.perf_counter() - t0)
+            if best >= SINGLE_SAMPLE_CUTOFF_SEC:
+                break
         return round(best, 3)
 
     def work_rows(name: str, kind: str, sf_dir: str) -> int:
@@ -706,6 +755,108 @@ def main() -> None:
                 emb.filter(h < "cd"), emb.filter(h >= "cd"),
                 "vec_id", "embedding",
             ).count()
+        if kind == "semdedup_inc_auto_work":
+            # ALL the work the auto-k incremental probe does, measured
+            # from ONE extra two-level fit of the corpus split:
+            #   index build: ITERS * (n_c * |occ| + routed fine rows)
+            #                + within-cell verify pairs
+            #   probe:       n_b * |occ| + routed fine rows
+            #                + batch x same-cell survivor verify pairs
+            # fmap/occ are persisted FIRST so materializing the final
+            # assignment re-runs only the last pass (one fit total);
+            # fine counts come from the final assignment, so a fine
+            # cell that ends a pass empty is not counted — the same
+            # <1% honesty note as semdedup_auto_work.
+            from data_engineer_project_weather_analytics_spark.operators import similarity
+            from data_engineer_project_weather_analytics_spark.operators.text import (
+                deterministic_split,
+            )
+            from data_engineer_project_weather_analytics_spark.sources.catalog import load_table
+
+            emb = load_table(spark, sf_dir, "embeddings")
+            split = deterministic_split("vec_id")
+            corpus = emb.filter(split == "train")
+            batch = emb.filter(split == "test")
+            n_c = corpus.count()
+            n_b = batch.count()
+            k = similarity.recommended_kmeans_k(n_c)
+            cv = corpus.select(
+                F.col("vec_id").alias("__vid"),
+                similarity._as_double("embedding").alias("__v"),
+            )
+            assigned, fmap, occ = similarity._kmeans_fit_two_level(cv, k)
+            fmap = fmap.persist()
+            occ = occ.persist()
+            n_occ = occ.count()
+            fmap.count()
+            a = assigned.persist()
+            bv = batch.select(
+                F.col("vec_id").alias("__vid"),
+                similarity._as_double("embedding").alias("__v"),
+            )
+            bass = similarity._batch_assign_two_level(
+                bv, fmap, occ,
+                broadcast_fine=k <= similarity.FINE_CODEBOOK_BROADCAST_MAX_K,
+                keep_coarse=True,
+            ).persist()
+            try:
+                per_coarse = a.groupBy("coarse").agg(
+                    F.count(F.lit(1)).alias("nv"),
+                    F.countDistinct("cell").alias("nf"),
+                )
+                fine_scored = int(
+                    per_coarse.select(F.sum(F.col("nv") * F.col("nf"))).first()[0]
+                )
+                pairs = int(
+                    a.groupBy("cell")
+                    .count()
+                    .select(F.sum(F.col("count") * (F.col("count") - 1) / 2))
+                    .first()[0]
+                )
+                probe_fine = int(
+                    bass.groupBy("coarse")
+                    .count()
+                    .join(per_coarse.select("coarse", "nf"), "coarse")
+                    .select(F.sum(F.col("count") * F.col("nf")))
+                    .first()[0]
+                )
+                thr = 8000  # the query's 0.8 threshold, quantized
+                aa = a.select(
+                    F.col("__vid").alias("id_a"), "cell",
+                    F.col("__v").alias("__va"),
+                )
+                ab = a.select(
+                    F.col("__vid").alias("id_b"), "cell",
+                    F.col("__v").alias("__vb"),
+                )
+                dropped = (
+                    aa.join(ab, "cell")
+                    .filter(F.col("id_a") < F.col("id_b"))
+                    .filter(
+                        similarity.sim_q(
+                            similarity.cosine(F.col("__va"), F.col("__vb"))
+                        )
+                        >= thr
+                    )
+                    .select(F.col("id_b").alias("__did"))
+                    .distinct()
+                )
+                surv = a.join(
+                    dropped, a["__vid"] == dropped["__did"], "left_anti"
+                ).select("cell")
+                probe_pairs = bass.select("cell").join(surv, "cell").count()
+            finally:
+                bass.unpersist()
+                a.unpersist()
+                fmap.unpersist()
+                occ.unpersist()
+            return (
+                similarity.KMEANS_ITERS * (n_c * n_occ + fine_scored)
+                + pairs
+                + n_b * n_occ
+                + probe_fine
+                + probe_pairs
+            )
         if kind == "semdedup_auto_work":
             # ALL the work the two-level auto-k SemDeDup does, measured
             # from one extra assignment run:
@@ -767,7 +918,14 @@ def main() -> None:
     rows_cache: dict[tuple[str, str], int] = {}
 
     def work_rows_cached(name: str, kind: str, sf_dir: str) -> int:
-        key = (name, sf_dir)
+        # per-NAME kinds depend on the query itself; every other kind
+        # is a pure function of (kind, sf_dir), so queries sharing a
+        # driver (x45_semdedup_auto / x56_curation_auto) share the
+        # measurement — the expensive 1000x accounting fit runs once
+        key = (
+            name if kind in ("output_rows", "wedge_count") else kind,
+            sf_dir,
+        )
         if key not in rows_cache:
             rows_cache[key] = work_rows(name, kind, sf_dir)
         return rows_cache[key]

@@ -575,13 +575,45 @@ def kmeans_assign_two_level(
     Output: ``(id, cluster_id, sim)`` (+ ``coarse_id`` when
     ``keep_coarse`` — the work-accounting hook, + ``vec`` when
     ``keep_vec``)."""
+    v = vectors.select(
+        F.col(id_col).alias("__vid"), _as_double(vec_col).alias("__v")
+    )
+    assigned, _fmap, _occ = _kmeans_fit_two_level(
+        v, k, n_iter, coarse_k=coarse_k, broadcast_fine=broadcast_fine
+    )
+    out = [
+        F.col("__vid").alias(id_col),
+        F.col("cell").alias("cluster_id"),
+        F.col("__cs").alias("sim"),
+    ]
+    if keep_coarse:
+        out.append(F.col("coarse").alias("coarse_id"))
+    if keep_vec:
+        out.append(F.col("__v").alias("vec"))
+    return assigned.select(*out)
+
+
+def _kmeans_fit_two_level(
+    v: DataFrame,
+    k: int,
+    n_iter: int = KMEANS_ITERS,
+    coarse_k: int | None = None,
+    broadcast_fine: bool | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The two-level Lloyd loop over ``v`` (``__vid``, ``__v``) —
+    :func:`kmeans_assign_two_level`'s engine, split out so incremental
+    consumers can probe the SAME geometry the stored assignment used:
+    returns ``(assigned, fmap, occ)`` where ``assigned`` is the final
+    per-vector assignment (``__vid``, ``__v``, ``coarse``, ``cell``,
+    ``__cs``), ``fmap`` the fine codebook WITH its coarse routing
+    (``cell``, ``centroid``, ``coarse``) and ``occ`` the occupied-
+    coarse codebook (``coarse``, ``ccent``) — both exactly as the
+    FINAL assignment pass consumed them (the flat
+    :func:`_kmeans_fit` contract, lifted to two levels)."""
     if coarse_k is None:
         coarse_k = max(2, math.isqrt(k))
     if broadcast_fine is None:
         broadcast_fine = k <= FINE_CODEBOOK_BROADCAST_MAX_K
-    v = vectors.select(
-        F.col(id_col).alias("__vid"), _as_double(vec_col).alias("__v")
-    )
     h = F.conv(
         F.substring(F.md5(F.col("__vid").cast("string")), 1, 8), 16, 10
     ).cast("long")
@@ -667,16 +699,65 @@ def kmeans_assign_two_level(
         if it < n_iter - 1:
             fine = cell_centroids(assigned, "cell", "__v")
             coarse = occ
-    out = [
-        F.col("__vid").alias(id_col),
-        F.col("cell").alias("cluster_id"),
-        F.col("__cs").alias("sim"),
-    ]
+    return assigned, fmap, occ
+
+
+def _batch_assign_two_level(
+    v: DataFrame,
+    fmap: DataFrame,
+    occ: DataFrame,
+    broadcast_fine: bool = True,
+    keep_coarse: bool = False,
+) -> DataFrame:
+    """One two-level assignment pass of ``v`` (``__vid``, ``__v``)
+    against an EXISTING codebook pair (``fmap``/``occ`` as
+    :func:`_kmeans_fit_two_level` returns them) — steps 3-4 of the
+    fit loop with no refit, the scale-safe sibling of
+    :func:`_batch_assign` (which scores n×k against the flat codebook:
+    quadratic when k ∝ n).  Coarse argmax over the broadcast occupied
+    codebook, vector reattached by id (payload moves once), fine
+    argmax WITHIN the routed coarse cell via the broadcast-or-sharded
+    fine join.  Output: ``(__vid, __v, cell, __cs)``
+    (+ ``coarse`` when ``keep_coarse`` — the work-accounting hook)."""
+    s3 = (
+        v.crossJoin(F.broadcast(occ))
+        .select(
+            "__vid",
+            _pack_argmax(
+                sim_q(cosine(F.col("__v"), F.col("ccent"))),
+                F.col("coarse"),
+            ).alias("__p"),
+        )
+        .groupBy("__vid")
+        .agg(F.max("__p").alias("__p"))
+        .select(
+            "__vid", _unpack_argmax_id(F.col("__p")).cast("int").alias("coarse")
+        )
+    )
+    vc = v.join(s3, "__vid")
+    fj = fmap.select("coarse", "cell", "centroid")
+    fj = F.broadcast(fj) if broadcast_fine else fj.hint("shuffle_hash")
+    s4 = (
+        vc.join(fj, "coarse")
+        .select(
+            "__vid",
+            _pack_argmax(
+                sim_q(cosine(F.col("__v"), F.col("centroid"))),
+                F.col("cell"),
+            ).alias("__p"),
+        )
+        .groupBy("__vid")
+        .agg(F.max("__p").alias("__p"))
+        .select(
+            "__vid",
+            _unpack_argmax_id(F.col("__p")).cast("int").alias("cell"),
+            _unpack_argmax_simq(F.col("__p")).alias("__cs"),
+        )
+    )
+    cols = ["__vid", "__v", "cell", "__cs"]
     if keep_coarse:
-        out.append(F.col("coarse").alias("coarse_id"))
-    if keep_vec:
-        out.append(F.col("__v").alias("vec"))
-    return assigned.select(*out)
+        cols.append("coarse")
+    return s4.join(vc, "__vid").select(*cols)
 
 
 def semdedup_keep(
@@ -883,6 +964,21 @@ def semdedup_incremental(
         F.col(id_col).alias("__vid"), _as_double(vec_col).alias("__v")
     )
     bassigned = _batch_assign(bv, cents)
+    return _probe_keep(bassigned, survivors, id_col, threshold)
+
+
+def _probe_keep(
+    bassigned: DataFrame,
+    survivors: DataFrame,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """The probe's keep decision — shared tail of
+    :func:`semdedup_incremental` (flat codebook) and
+    :func:`semdedup_incremental_auto` (two-level): join the assigned
+    batch (``__vid``, ``__v``, ``cell``) to the same-cell corpus
+    survivors, threshold the quantized cosine, aggregate per batch
+    vector (map-side collapse), and emit the x54 output row."""
     thr = int(round(threshold * 10000))
     near = (
         bassigned.join(survivors, "cell")
@@ -912,6 +1008,91 @@ def semdedup_incremental(
             .alias("kept"),
         )
     )
+
+
+def semdedup_corpus_index_auto(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int | None = None,
+    n_iter: int = KMEANS_ITERS,
+    threshold: float = 0.8,
+    coarse_k: int | None = None,
+    broadcast_fine: bool | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The deployment form of :func:`semdedup_corpus_index`: cell
+    count sized to the corpus (:func:`recommended_kmeans_k`, so the
+    within-cell survivor pair stream stays LINEAR in the corpus) and
+    the two-level coarse→fine fit (O(n·√k) scored rows per pass where
+    the flat fit's n·k is quadratic when k ∝ n).  Returns
+    ``(survivors, fmap, occ)`` — the greedy min-id keep set
+    (``cell, corpus_id, __cv``) plus BOTH codebooks of the final
+    assignment pass, so an incremental probe
+    (:func:`semdedup_incremental_auto`) sees exactly the geometry the
+    stored assignment saw (the flat form's ``cents`` contract, lifted
+    to two levels)."""
+    if k is None:
+        k = recommended_kmeans_k(corpus.count())
+    cv = corpus.select(
+        F.col(id_col).alias("__vid"), _as_double(vec_col).alias("__v")
+    )
+    assigned, fmap, occ = _kmeans_fit_two_level(
+        cv, k, n_iter, coarse_k=coarse_k, broadcast_fine=broadcast_fine
+    )
+    a = assigned.select(
+        F.col("__vid").alias("id_a"), "cell", F.col("__v").alias("__va")
+    )
+    b = assigned.select(
+        F.col("__vid").alias("id_b"), "cell", F.col("__v").alias("__vb")
+    )
+    thr = int(round(threshold * 10000))
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(sim_q(cosine(F.col("__va"), F.col("__vb"))) >= thr)
+        .select("id_a", "id_b")
+    )
+    dropped = pairs.select(F.col("id_b").alias("__did")).distinct()
+    survivors = assigned.join(
+        dropped, assigned["__vid"] == dropped["__did"], "left_anti"
+    ).select(
+        "cell", F.col("__vid").alias("corpus_id"), F.col("__v").alias("__cv")
+    )
+    return survivors, fmap, occ
+
+
+def semdedup_incremental_auto(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int | None = None,
+    n_iter: int = KMEANS_ITERS,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Deployment form of :func:`semdedup_incremental`: auto-k
+    two-level corpus index (:func:`semdedup_corpus_index_auto`) and a
+    two-level batch probe (:func:`_batch_assign_two_level` — coarse
+    argmax against the ~√k-row broadcast occupied codebook, fine
+    argmax only within the routed coarse cell), so BOTH the recurring
+    probe cost and the index build stay sub-quadratic as k tracks the
+    corpus (O(n·√k) scored rows instead of the flat probe's n·k).
+    Same keep semantics and output row as the fixed-k form
+    (:func:`_probe_keep` is shared); rows-only at the driver — k
+    depends on a runtime ``count()``, so no fixed SQL text can replay
+    it (the x45_semdedup_auto precedent)."""
+    if k is None:
+        k = recommended_kmeans_k(corpus.count())
+    survivors, fmap, occ = semdedup_corpus_index_auto(
+        corpus, id_col, vec_col, k=k, n_iter=n_iter, threshold=threshold
+    )
+    bv = batch.select(
+        F.col(id_col).alias("__vid"), _as_double(vec_col).alias("__v")
+    )
+    bassigned = _batch_assign_two_level(
+        bv, fmap, occ, broadcast_fine=k <= FINE_CODEBOOK_BROADCAST_MAX_K
+    )
+    return _probe_keep(bassigned, survivors, id_col, threshold)
 
 
 def embedding_neardup_pairs(

@@ -1733,8 +1733,33 @@ def x56_curation_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide stages; tests/test_plans.py pins the total exchange count.
     The DuckDB oracle splices the x45 and x49 oracle texts verbatim as
     CTEs (one definition per stage on BOTH sides)."""
-    from data_engineer_project_weather_analytics_spark.operators import text
     from data_engineer_project_weather_analytics_spark.plans import extensions
+
+    return _curation_materialize(spark, sf_dir, extensions.x45_semdedup_keep)
+
+
+def x56_curation_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployment form of x56: the identical composed verdict with the
+    semantic-dedup stage routed through the auto-k two-level
+    x45_semdedup_auto instead of the fixed oracle k — the form whose
+    embedded pair stream stays linear as the corpus grows (the x45
+    fixed-vs-auto scale argument, lifted to the composition).
+    Rows-only by necessity (k depends on a runtime ``count()``), but
+    registered so the deployment composition is schema/row-count
+    guarded; its 10×/100×/1000× wall-clock carries the
+    ``semdedup_auto_work`` accounting in BENCH_SCALE.json (the
+    embedded auto SemDeDup dominates; every other stage is
+    input-linear)."""
+    from data_engineer_project_weather_analytics_spark.plans import extensions
+
+    return _curation_materialize(spark, sf_dir, extensions.x45_semdedup_auto)
+
+
+def _curation_materialize(spark, sf_dir, sem_fn):
+    """Shared body of x56 / x56_auto — ``sem_fn`` supplies the
+    SemDeDup keep stage (fixed oracle k or the auto-k deployment
+    twin); everything else is identical."""
+    from data_engineer_project_weather_analytics_spark.operators import text
 
     docs = load_table(spark, sf_dir, "documents")
     sig = text.repetition_signals(docs, "doc_id", "text", keep=("lang", "text"))
@@ -1746,7 +1771,7 @@ def x56_curation_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
             _h48(f"concat('{_MIX_SEED}:', CAST(doc_id AS STRING))") % 10000
         ).alias("__u"),
     )
-    sem = extensions.x45_semdedup_keep(spark, sf_dir).select(
+    sem = sem_fn(spark, sf_dir).select(
         F.col("vec_id").alias("doc_id"), F.col("kept").alias("__sem_kept")
     )
     manifest = x49_span_dedup_rewrite(spark, sf_dir).select(
@@ -1973,6 +1998,12 @@ SQL_COPURCHASE_ADJ_CTE = SQL_COPURCHASE_EDGES_CTE + """,
             SELECT p1 AS src, p2 AS dst FROM edges
             UNION ALL SELECT p2, p1 FROM edges
         )"""
+
+#: rows-only registrations (k depends on a runtime count() — the
+#: x45_semdedup_auto precedent, applied to the composed verdict)
+NO_ORACLE = {
+    "x56_curation_auto": x56_curation_auto,
+}
 
 ORACLES_CORPUS: dict[str, str] = {
     # positions retained (no DISTINCT in sp); dup = span in >=2 docs;

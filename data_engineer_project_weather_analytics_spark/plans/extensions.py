@@ -1138,6 +1138,29 @@ def x45_semdedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semdedup_keep(emb, "vec_id", "embedding", k=k, two_level=True)
 
 
+def x54_incremental_semdedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployment form of x54: the incremental SemDeDup probe with the
+    corpus-sized cell count (``recommended_kmeans_k``) and the
+    two-level index + probe
+    (operators/similarity.py:semdedup_incremental_auto) — the x45_auto
+    policy applied to the steady-state ingestion path, so the index
+    build is O(n·√k) per pass and the recurring probe cost is
+    |batch|·(√k coarse + √k routed fine) scored rows plus the
+    same-cell survivor verify (cells hold ~250 vectors by
+    construction, so the verify stream is linear in the batch).
+    Rows-only by necessity — k depends on a runtime ``count()`` — but
+    registered so the deployment path is schema/row-count guarded by
+    the driver; its 10×/100×/1000× wall-clock carries full work
+    accounting in BENCH_SCALE.json (``semdedup_inc_auto_work``)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    split = text.deterministic_split("vec_id")
+    corpus = emb.filter(split == "train")
+    batch = emb.filter(split == "test")
+    return similarity.semdedup_incremental_auto(
+        corpus, batch, "vec_id", "embedding", threshold=0.8
+    )
+
+
 #: rows-only registrations (genuinely non-SQL-expressible paths)
 NO_ORACLE = {
     "x5_multimodal_features": _x5_multimodal_features,
@@ -1145,6 +1168,7 @@ NO_ORACLE = {
     "x5h_video_features": _x5h_video_features,
     "x3b_embedding_neardup_auto": x3b_embedding_neardup_auto,
     "x45_semdedup_auto": x45_semdedup_auto,
+    "x54_incremental_semdedup_auto": x54_incremental_semdedup_auto,
 }
 
 

@@ -115,6 +115,7 @@ def test_bench_scale_accounted_targets_are_timed():
         "span_stream",
         "cell_pair_stream",
         "semdedup_auto_work",
+        "semdedup_inc_auto_work",
         "probe_pair_stream",
         "wedge_count",
         "copurchase_edges",

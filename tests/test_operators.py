@@ -1206,6 +1206,98 @@ def test_x54_registered_query_batch_identity(spark):
             assert r["n_corpus_near"] >= 1 and r["best_sim"] >= 8000, r
 
 
+def test_batch_assign_two_level_is_consistent_with_fit(spark):
+    """The 'probe sees the same geometry' contract: re-probing the
+    CORPUS vectors through _batch_assign_two_level against the fit's
+    returned (fmap, occ) must reproduce the fit's own final
+    assignment exactly — the two-level analogue of the flat form's
+    'cents is what the stored assignment used' rule
+    (semdedup_corpus_index docstring)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_engineer_project_weather_analytics_spark.operators import similarity
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    v = df.select(
+        F.col("vec_id").alias("__vid"),
+        F.col("embedding").alias("__v"),
+    )
+    assigned, fmap, occ = similarity._kmeans_fit_two_level(v, k=16, n_iter=2)
+    fit = {r["__vid"]: r["cell"] for r in assigned.collect()}
+    probe = similarity._batch_assign_two_level(v, fmap, occ)
+    got = {r["__vid"]: r["cell"] for r in probe.collect()}
+    assert got == fit
+
+
+def test_semdedup_incremental_auto_pins_planted_dups(spark):
+    """The auto-k two-level probe must drop a batch vector that is an
+    exact copy of a corpus vector (identical vectors share every
+    argmax, so same cell is guaranteed; cosine = 1.0 >= any threshold)
+    and keep a batch vector orthogonal to the whole corpus — both
+    branches of the deployment path, plus the same in-row invariants
+    the fixed-k form pins."""
+    import random
+
+    from data_engineer_project_weather_analytics_spark.operators import similarity
+
+    rng = random.Random(3)
+    dim = 8
+    corpus_rows = [
+        (i, [rng.uniform(0.1, 1.0) for _ in range(dim)]) for i in range(40)
+    ]
+    # an exact copy (must drop) and an axis-flipped far vector (must keep:
+    # every corpus component is positive, so cosine vs -corpus_0 < 0)
+    batch_rows = [
+        (1000, list(corpus_rows[5][1])),
+        (1001, [-x for x in corpus_rows[0][1]]),
+    ]
+    schema = "vec_id long, embedding array<double>"
+    out = {
+        r["vec_id"]: r
+        for r in similarity.semdedup_incremental_auto(
+            spark.createDataFrame(corpus_rows, schema),
+            spark.createDataFrame(batch_rows, schema),
+            "vec_id",
+            "embedding",
+            k=8,
+        ).collect()
+    }
+    assert set(out) == {1000, 1001}
+    assert out[1000]["kept"] == 0 and out[1000]["best_sim"] >= 9999
+    assert out[1001]["kept"] == 1 and out[1001]["best_sim"] is None
+    for r in out.values():
+        if r["kept"] == 1:
+            assert r["n_corpus_near"] == 0
+        else:
+            assert r["n_corpus_near"] >= 1
+
+
+def test_x56_auto_agrees_with_fixed_on_non_semantic_columns(spark):
+    """The deployment composition (x56_curation_auto) differs from the
+    oracle-checked x56 ONLY through the semantic stage: quality flags,
+    mixture sampling, span-rewrite columns, and every verdict not
+    hinging on semantic_kept must be identical row-for-row."""
+    from data_engineer_project_weather_analytics_spark.plans.corpus import (
+        x56_curation_auto,
+        x56_curation_materialize,
+    )
+
+    fixed = {r["doc_id"]: r for r in x56_curation_materialize(spark, SF_DIR).collect()}
+    auto = {r["doc_id"]: r for r in x56_curation_auto(spark, SF_DIR).collect()}
+    assert sorted(fixed) == sorted(auto)
+    for d, fr in fixed.items():
+        ar = auto[d]
+        for c in ("lang", "quality_pass", "removed_occ", "retained_frac",
+                  "rate_bp", "sampled"):
+            assert fr[c] == ar[c], (d, c)
+        if fr["semantic_kept"] == ar["semantic_kept"]:
+            assert fr["verdict"] == ar["verdict"], d
+
+
 def test_audio_real_wave_decode_matches_fake_stats(spark):
     """The REAL stdlib-wave decode path must reproduce the fake path's
     stats exactly: for a WAV synthesized from payload bytes under the
