@@ -216,6 +216,13 @@ def main() -> None:
     # 16); gate its trend too: baseline17 = baseline16 + g2_pagerank,
     # reference point frozen in BASELINE.md at the r5/r6 measurement
     baseline17 = baseline16 + ["g2_pagerank"]
+    # the five round-8 heavyweights (VERDICT r8 task 8): subtotal
+    # emitted so their trend is gated against the idle-machine
+    # reference frozen in BASELINE.md, not eyeballed
+    new5_r8 = (
+        "x54_incremental_semdedup x55_ivfpq_recall "
+        "x56_curation_materialize x57_reduced_recall x58_sq8_recall"
+    ).split()
     print(
         json.dumps(
             {
@@ -230,6 +237,9 @@ def main() -> None:
                 ),
                 "baseline17_total": round(
                     sum(timings[n] for n in baseline17 if n in timings), 3
+                ),
+                "new5_r8_total": round(
+                    sum(timings[n] for n in new5_r8 if n in timings), 3
                 ),
                 "load_factor": (
                     round(load_factor, 3) if load_factor is not None else None

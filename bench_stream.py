@@ -1,0 +1,228 @@
+#!/usr/bin/env python
+"""Streaming semantic-probe micro-bench → STREAM_BENCH.json.
+
+The stateful stream twin of the x54 incremental SemDeDup probe
+(streaming/stateful.py:streaming_semdedup_probe) has bit-parity and
+checkpoint-recovery tests but — before this harness — no committed
+throughput or state-size evidence (VERDICT r8 task 4).  This script
+measures the probe at the 10x embedding corpus in the two regimes
+that matter for a 100 TB steady state:
+
+* capacity  — ``max_cell`` above every cell's survivor population:
+  every kept probe is admitted to state; state grows with the corpus,
+  sharded by cell key like any keyed aggregation;
+* saturated — ``max_cell`` below the typical cell width: hot cells
+  stop ADMITTING but keep DECIDING against the capped survivor list
+  (bounded state by construction; the semantics are pinned by
+  tests/test_streaming.py::test_streaming_semdedup_saturation_keeps_deciding).
+
+Protocol: the 10x replica's embeddings are split train/test by the
+x54 rule (deterministic id-hash); the train side is streamed in as
+SEED micro-batch 1 (state bootstrap — admitted without decisions),
+the test side as PROBE micro-batch 2 (one decision row each).  The
+foreachBatch sink records a wall-clock stamp per micro-batch, so the
+seed and probe phases are timed separately; the headline metric is
+probe decisions per second.  State rows are derived per the probe's
+admission rule (min(max_cell, seeds + kept) per cell — seeds join
+before decisions, kept probes after).
+
+Load sentinel: same policy as bench.py/bench_scale.py — the committed
+calibration probe runs first and the harness refuses to emit under
+sustained host load (SPARK_GRAFT_BENCH_FORCE=1 overrides); the JSON
+carries the measured factor for audit.
+
+Emits ONE JSON line; the committed STREAM_BENCH.json is gated by
+tests/test_bench_config.py::test_stream_bench_artifact_is_green.
+
+Run time: ~2-3 min including the replica build (embeddings only,
+cached under /tmp/spark_graft_streambench).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
+
+BASE_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+COPIES = 10
+WORK_DIR = "/tmp/spark_graft_streambench"
+
+#: capacity regime: no cell reaches this (cells hold ~250 vectors
+#: under the auto-k policy) — every kept probe is admitted
+MAX_CELL_CAPACITY = 10_000
+#: saturated regime: below the typical cell width — most cells cap,
+#: decisions continue against the capped survivor list
+MAX_CELL_SATURATED = 50
+
+
+def build_embeddings_replica() -> str:
+    """Embeddings-only 10x replica (the bench_scale recipe, separate
+    dir so a concurrent scale run's replica cache is never touched)."""
+    import bench_scale
+
+    out_dir = os.path.join(WORK_DIR, f"x{COPIES}")
+    bench_scale.build_replica(
+        BASE_DIR, out_dir, COPIES, tables=("embeddings",)
+    )
+    return out_dir
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import bench
+    from data_engineer_project_weather_analytics_spark.operators import similarity
+    from data_engineer_project_weather_analytics_spark.operators.text import (
+        deterministic_split,
+    )
+    from data_engineer_project_weather_analytics_spark.session import get_spark
+    from data_engineer_project_weather_analytics_spark.streaming.stateful import (
+        streaming_semdedup_probe,
+    )
+
+    rep_dir = build_embeddings_replica()
+    spark = get_spark(app_name="data_engineer_project_weather_analytics_spark-bench-stream")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # ---- load sentinel (bench.py's, verbatim: retries, refusal, and
+    # SPARK_GRAFT_BENCH_FORCE override included) -----------------------
+    load_factor = bench.check_load_sentinel(spark)
+
+    emb = spark.read.parquet(f"{rep_dir}/embeddings.parquet")
+    split = deterministic_split("vec_id")
+    corpus = emb.filter(split == "train")
+    batch = emb.filter(split == "test")
+    n_corpus = corpus.count()
+    n_probe = batch.count()
+    k = similarity.recommended_kmeans_k(n_corpus)
+
+    # the static index the stream probes: survivors (seed rows) + the
+    # codebook the stored assignment used, exactly the x54 bootstrap
+    survivors, cents = similarity.semdedup_corpus_index(
+        corpus, "vec_id", "embedding", k=k
+    )
+    survivors = survivors.persist()
+    centroids = [(r["cell"], list(r["centroid"])) for r in cents.collect()]
+    seeds_per_cell = {
+        r["cell"]: r["n"]
+        for r in survivors.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_seed = sum(seeds_per_cell.values())
+
+    src = os.path.join(WORK_DIR, "src")
+    import shutil
+
+    shutil.rmtree(src, ignore_errors=True)
+    survivors.select(
+        F.col("corpus_id").alias("vec_id"),
+        F.col("__cv").alias("embedding"),
+        F.lit(True).alias("is_seed"),
+    ).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)  # mtime ordering: seed file strictly first
+    batch.select(
+        "vec_id",
+        similarity._as_double("embedding").alias("embedding"),
+        F.lit(False).alias("is_seed"),
+    ).coalesce(1).write.mode("append").parquet(src)
+    survivors.unpersist()
+
+    def run_regime(max_cell: int, tag: str) -> dict:
+        ckpt = os.path.join(WORK_DIR, f"ckpt_{tag}")
+        out = os.path.join(WORK_DIR, f"out_{tag}")
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        stamps: list[float] = []
+
+        def _sink(b, _id):
+            if not b.isEmpty():
+                b.write.mode("append").parquet(out)
+            stamps.append(time.perf_counter())
+
+        stream = (
+            spark.readStream.schema(
+                "vec_id long, embedding array<double>, is_seed boolean"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        t0 = time.perf_counter()
+        q = (
+            streaming_semdedup_probe(
+                stream, "vec_id", "embedding", centroids,
+                max_cell=max_cell, seed_col="is_seed",
+            )
+            .writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(1800)
+        assert len(stamps) >= 2, f"expected 2 micro-batches, got {len(stamps)}"
+        seed_wall = stamps[0] - t0
+        probe_wall = stamps[-1] - stamps[0]
+        rows = spark.read.parquet(out)
+        kept = rows.filter(F.col("kept") == 1).count()
+        decided = rows.count()
+        kept_per_cell = {
+            r["cluster_id"]: r["n"]
+            for r in rows.filter(F.col("kept") == 1)
+            .groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        # the probe's admission rule: seeds join before any decision,
+        # kept probes after, both stop at max_cell
+        state_rows = 0
+        saturated = 0
+        for cell in set(seeds_per_cell) | set(kept_per_cell):
+            s = seeds_per_cell.get(cell, 0) + kept_per_cell.get(cell, 0)
+            state_rows += min(max_cell, s)
+            if s >= max_cell:
+                saturated += 1
+        return {
+            "max_cell": max_cell,
+            "seed_wall_s": round(seed_wall, 3),
+            "probe_wall_s": round(probe_wall, 3),
+            "probe_rows_per_s": round(n_probe / probe_wall, 1),
+            "decided": decided,
+            "kept": kept,
+            "dropped": decided - kept,
+            "state_rows": state_rows,
+            "saturated_cells": saturated,
+        }
+
+    capacity = run_regime(MAX_CELL_CAPACITY, "capacity")
+    saturated = run_regime(MAX_CELL_SATURATED, "saturated")
+
+    print(
+        json.dumps(
+            {
+                "metric": "streaming_probe_rows_per_s",
+                "value": capacity["probe_rows_per_s"],
+                "unit": "rows/s",
+                "replica": f"{COPIES}x embeddings "
+                f"({n_corpus + n_probe} vectors)",
+                "corpus_rows": n_corpus,
+                "seed_rows": n_seed,
+                "probe_rows": n_probe,
+                "k": k,
+                "capacity": capacity,
+                "saturated": saturated,
+                "load_factor": (
+                    round(load_factor, 3) if load_factor is not None else None
+                ),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

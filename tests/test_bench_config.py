@@ -126,3 +126,28 @@ def test_bench_scale_accounted_targets_are_timed():
         if k not in valid_kinds and not k.startswith("input_rows:")
     }
     assert bad == {}, bad
+
+
+def test_stream_bench_artifact_is_green():
+    """The committed streaming-probe micro-bench (VERDICT r8 task 4)
+    must carry both regimes with complete decisions: every probe row
+    decided in BOTH the capacity and the saturated run (saturation
+    means "stop admitting", never "stop deciding" — the runtime
+    semantics are pinned by
+    test_streaming_semdedup_saturation_keeps_deciding), at least one
+    cell actually saturated in the saturated regime, and the state
+    bound honored."""
+    import json
+
+    data = json.loads((ROOT / "STREAM_BENCH.json").read_text())
+    assert data["probe_rows"] > 0 and data["seed_rows"] > 0
+    for regime in ("capacity", "saturated"):
+        r = data[regime]
+        assert r["decided"] == data["probe_rows"], regime
+        assert r["kept"] + r["dropped"] == r["decided"], regime
+        assert r["probe_rows_per_s"] > 0, regime
+    assert data["capacity"]["saturated_cells"] == 0
+    assert data["saturated"]["saturated_cells"] >= 1
+    # bounded-state headline: the saturated regime's state cannot
+    # exceed cells * max_cell
+    assert data["saturated"]["state_rows"] <= data["k"] * data["saturated"]["max_cell"]

@@ -1089,3 +1089,74 @@ def test_streaming_semdedup_probe_equals_batch_x54(spark, tmp_path):
     assert len(rows2) == 1 and rows2[0]["vec_id"] == 2000
     assert rows2[0]["kept"] == 0 and rows2[0]["n_corpus_near"] >= 1
     assert rows2[0]["best_sim"] >= 9900  # near-parallel to the survivor
+
+
+def test_streaming_semdedup_saturation_keeps_deciding(spark, tmp_path):
+    """A cell past ``max_cell`` survivors must keep DECIDING against
+    the capped survivor list while ADMITTING no more (bounded state —
+    the bench_stream.py saturated regime, pinned here; VERDICT r8
+    task 4).  Plant: 10 seeds in ONE cell (5 copies of u, ids 0-4,
+    then 5 copies of w ⊥ u, ids 5-9) with max_cell=5 — the sorted
+    admission caps state at the five u-seeds:
+
+    * a probe near u is DROPPED — the capped list still decides;
+    * a probe near w is KEPT — proof the cap excluded the w-seeds;
+    * a LATER probe near w is kept AGAIN — proof the saturated cell
+      admitted neither the w-seeds nor the kept probe (deciding, not
+      growing)."""
+    import time
+
+    from data_engineer_project_weather_analytics_spark.streaming.stateful import (
+        streaming_semdedup_probe,
+    )
+
+    dim = 8
+    u = [1.0] + [0.0] * (dim - 1)
+    w = [0.0, 1.0] + [0.0] * (dim - 2)
+    seeds = [(i, list(u)) for i in range(5)] + [
+        (i, list(w)) for i in range(5, 10)
+    ]
+    src = str(tmp_path / "emb")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    _write_emb(spark, src, seeds, seed=True)
+    time.sleep(1.1)
+    _write_emb(
+        spark,
+        src,
+        [(100, [0.99] + [0.01] * (dim - 1)), (101, [0.01, 0.99] + [0.01] * (dim - 2))],
+        seed=False,
+    )
+    time.sleep(1.1)
+    _write_emb(spark, src, [(200, [0.02, 0.98] + [0.02] * (dim - 2))], seed=False)
+
+    stream = (
+        spark.readStream.schema(EMB_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def _sink(b, _id):
+        if not b.isEmpty():
+            b.write.mode("append").parquet(out)
+
+    q = (
+        streaming_semdedup_probe(
+            stream, "vec_id", "embedding", [(1, u)],
+            max_cell=5, seed_col="is_seed",
+        )
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r["vec_id"]: r for r in spark.read.parquet(out).collect()}
+    assert sorted(got) == [100, 101, 200]
+    assert got[100]["kept"] == 0 and got[100]["n_corpus_near"] == 5
+    assert got[101]["kept"] == 1 and got[101]["best_sim"] is None
+    # the saturated cell admitted neither the w-seeds nor probe 101:
+    # 200 (near both) is kept, and its only near material is outside
+    # the state by the cap
+    assert got[200]["kept"] == 1 and got[200]["n_corpus_near"] == 0
