@@ -46,6 +46,16 @@ def test_bench_headline_is_registered_with_valid_modes():
     # the r6 graph-gate subtotal (baseline17 = baseline16 + g2) needs
     # its extra member timed too
     assert "g2_pagerank" in bench.HEADLINE
+    # the r8-heavyweight subtotal (new5_r8_total, frozen in BASELINE.md
+    # since r9) needs all five members timed
+    new5 = (
+        "x54_incremental_semdedup x55_ivfpq_recall "
+        "x56_curation_materialize x57_reduced_recall x58_sq8_recall"
+    ).split()
+    assert [n for n in new5 if n not in bench.HEADLINE] == []
+    import inspect
+
+    assert '"new5_r8_total"' in inspect.getsource(bench.main)
 
 
 def test_bench_load_sentinel_exists():
