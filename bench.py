@@ -159,6 +159,7 @@ HEADLINE: dict[str, str] = {
     "x56_curation_materialize": "checksum",
     "x57_reduced_recall": "collect",
     "x58_sq8_recall": "collect",
+    "x59_ingest_curation": "checksum",
 }
 
 

@@ -1755,6 +1755,109 @@ def x56_curation_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _curation_materialize(spark, sf_dir, extensions.x45_semdedup_auto)
 
 
+def x59_ingest_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The steady-state composed verdict — x56's composition applied
+    to the INGESTION TRIAD: every incremental decision layer for an
+    INCOMING batch probed against the EXISTING corpus, one row per
+    batch document (x56 is the bootstrap curation of a whole corpus;
+    this is every day after):
+
+    1. quality gates — repetition (x4g) AND length/stopword (x4c),
+       in-row on the batch slice only (filter pushed below the
+       signal computation);
+    2. exact dedup — the x1b fingerprint anti-join survivors (a batch
+       doc absent from x1b's output is already in the corpus, or a
+       smaller batch id owns its fingerprint);
+    3. near-dedup — the x53 MinHash-LSH probe verdicts, aggregated per
+       batch doc (neighbor count + best Jaccard);
+    4. semantic dedup — the x54 incremental SemDeDup keep flag, joined
+       on ``doc_id = vec_id`` (no embedding ⇒ no semantic evidence ⇒
+       kept, the x56 rule);
+    5. mixture sampling — the x46 hash-threshold Bernoulli spec.
+
+    Verdict precedence: ``drop_quality`` > ``drop_exact`` >
+    ``drop_neardup`` > ``drop_semdup`` > ``drop_sampled`` > ``keep``
+    — cheapest-evidence-first, matching what a production pipeline
+    would short-circuit.  This is the row a streaming ingestion
+    pipeline consumes; its stream twin is the stateful probe
+    (streaming/stateful.py) fed by the same decision layers.
+
+    Scale shape: each stage keeps its own bench_scale-audited plan
+    (fingerprint anti-join moves no text; LSH probe crosses kept
+    buckets only; the semantic probe shuffles by cell only); the
+    composition adds doc_id-keyed joins plus one broadcast spec — no
+    new wide stages.  The DuckDB oracle splices the x1b, x53 and x54
+    oracle STATEMENTS verbatim as CTE bodies (one definition per
+    stage on both sides, the x56 recipe)."""
+    from data_engineer_project_weather_analytics_spark.operators import text
+    from data_engineer_project_weather_analytics_spark.plans import extensions
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(text.deterministic_split("doc_id") == "test")
+    sig = text.repetition_signals(batch, "doc_id", "text", keep=("lang", "text"))
+    quality = sig.select(
+        "doc_id",
+        "lang",
+        (F.col("rep_pass") & text.quality_flag("text")).alias("quality_pass"),
+        (
+            _h48(f"concat('{_MIX_SEED}:', CAST(doc_id AS STRING))") % 10000
+        ).alias("__u"),
+    )
+    ex = extensions.x1b_incremental_dedup(spark, sf_dir).select(
+        "doc_id", F.lit(1).alias("__ex_kept")
+    )
+    nd = (
+        extensions.x53_incremental_neardup(spark, sf_dir)
+        .groupBy("batch_doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("__n_near"),
+            F.max("jaccard").alias("__best_j"),
+        )
+        .select(F.col("batch_doc_id").alias("doc_id"), "__n_near", "__best_j")
+    )
+    sem = extensions.x54_incremental_semdedup(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("kept").alias("__sem_kept"),
+        F.col("best_sim").alias("__best_sim"),
+    )
+    spec = F.broadcast(
+        spark.createDataFrame(
+            sorted(_MIX_RATES_BP.items()), "lang string, rate_bp int"
+        )
+    )
+    j = (
+        quality.join(spec, "lang")
+        .join(ex, "doc_id", "left")
+        .join(nd, "doc_id", "left")
+        .join(sem, "doc_id", "left")
+    )
+    exact_kept = F.coalesce("__ex_kept", F.lit(0)).cast("int")
+    n_near = F.coalesce("__n_near", F.lit(0)).cast("bigint")
+    semantic_kept = F.coalesce("__sem_kept", F.lit(1)).cast("int")
+    sampled = F.col("__u") < F.col("rate_bp")
+    verdict = (
+        F.when(~F.col("quality_pass"), F.lit("drop_quality"))
+        .when(exact_kept == 0, F.lit("drop_exact"))
+        .when(n_near > 0, F.lit("drop_neardup"))
+        .when(semantic_kept == 0, F.lit("drop_semdup"))
+        .when(~sampled, F.lit("drop_sampled"))
+        .otherwise(F.lit("keep"))
+    )
+    return j.select(
+        "doc_id",
+        "lang",
+        "quality_pass",
+        exact_kept.alias("exact_kept"),
+        n_near.alias("n_near"),
+        F.col("__best_j").alias("best_jaccard"),
+        semantic_kept.alias("semantic_kept"),
+        F.col("__best_sim").alias("best_sim"),
+        "rate_bp",
+        sampled.alias("sampled"),
+        verdict.alias("verdict"),
+    )
+
+
 def _curation_materialize(spark, sf_dir, sem_fn):
     """Shared body of x56 / x56_auto — ``sem_fn`` supplies the
     SemDeDup keep stage (fixed oracle k or the auto-k deployment
@@ -2876,4 +2979,74 @@ ORACLES_CORPUS["x56_curation_materialize"] = f"""
         JOIN spec sp ON sp.lang = q.lang
         LEFT JOIN sem s ON s.vec_id = q.doc_id
         LEFT JOIN manifest m ON m.doc_id = q.doc_id
+"""
+
+# the steady-state composed verdict (x59): the x1b, x53 and x54 oracle
+# STATEMENTS spliced verbatim as CTE bodies (the x56 recipe applied to
+# the ingestion triad), quality restricted to the batch slice
+ORACLES_CORPUS["x59_ingest_curation"] = f"""
+        WITH ex AS ({ORACLES_EXT["x1b_incremental_dedup"]}),
+        nd AS ({ORACLES_EXT["x53_incremental_neardup"]}),
+        sem AS ({ORACLES_EXT["x54_incremental_semdedup"]}),
+        ndagg AS (
+            SELECT batch_doc_id AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_near,
+                   max(jaccard) AS best_jaccard
+            FROM nd GROUP BY batch_doc_id
+        ),
+        spec(lang, rate_bp) AS (VALUES {", ".join(
+            f"('{lang}', {bp})" for lang, bp in sorted(_MIX_RATES_BP.items())
+        )}),
+        qt AS (
+            SELECT doc_id, lang, string_split(text, ' ') AS toks,
+                   ('0x' || substr(md5('{_MIX_SEED}:' ||
+                        CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 10000 AS u
+            FROM documents
+            WHERE md5(CAST(doc_id AS VARCHAR)) >= 'cd'
+        ),
+        qg AS (
+            SELECT doc_id, lang, u, toks,
+                   list_transform(
+                       list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+                       p -> p[1] || ' ' || p[2]) AS bg,
+                   list_transform(
+                       list_zip(toks[1:len(toks)-2], toks[2:len(toks)-1],
+                                toks[3:len(toks)]),
+                       p -> p[1] || ' ' || p[2] || ' ' || p[3]) AS tg
+            FROM qt
+        ),
+        quality AS (
+            SELECT doc_id, lang, u,
+                   (coalesce(CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE)
+                             / nullif(len(bg), 0), 0.0) <= 0.2
+                    AND coalesce(CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE)
+                                 / nullif(len(tg), 0), 0.0) <= 0.18
+                    AND coalesce(CAST(list_max(list_transform(list_distinct(bg),
+                                     g2 -> len(list_filter(bg, x -> x = g2))))
+                                 AS DOUBLE) / nullif(len(bg), 0), 0.0) <= 0.1
+                    AND len(toks) BETWEEN 20 AND 1000
+                    AND CAST(len(list_filter(toks, w -> w IN ('the', 'a')))
+                             AS DOUBLE) / len(toks) <= 0.5) AS quality_pass
+            FROM qg
+        )
+        SELECT q.doc_id, q.lang, q.quality_pass,
+               CAST(CASE WHEN e.doc_id IS NULL THEN 0 ELSE 1 END AS INTEGER)
+                   AS exact_kept,
+               CAST(coalesce(n.n_near, 0) AS BIGINT) AS n_near,
+               n.best_jaccard AS best_jaccard,
+               CAST(coalesce(s.kept, 1) AS INTEGER) AS semantic_kept,
+               s.best_sim AS best_sim,
+               sp.rate_bp,
+               (q.u < sp.rate_bp) AS sampled,
+               CASE WHEN NOT q.quality_pass THEN 'drop_quality'
+                    WHEN e.doc_id IS NULL THEN 'drop_exact'
+                    WHEN coalesce(n.n_near, 0) > 0 THEN 'drop_neardup'
+                    WHEN coalesce(s.kept, 1) = 0 THEN 'drop_semdup'
+                    WHEN NOT (q.u < sp.rate_bp) THEN 'drop_sampled'
+                    ELSE 'keep' END AS verdict
+        FROM quality q
+        JOIN spec sp ON sp.lang = q.lang
+        LEFT JOIN ex e ON e.doc_id = q.doc_id
+        LEFT JOIN ndagg n ON n.doc_id = q.doc_id
+        LEFT JOIN sem s ON s.vec_id = q.doc_id
 """

@@ -719,3 +719,45 @@ def test_incremental_neardup_straddles_split_and_matches_exact(spark):
         assert hashlib.md5(str(c).encode()).hexdigest() < "cd", r
         assert hashlib.md5(str(b).encode()).hexdigest() >= "cd", r
         assert exact[(min(c, b), max(c, b))] == r["jaccard"], r
+
+
+def test_x59_covers_batch_split_with_consistent_verdicts(spark):
+    """The steady-state composed verdict must cover exactly the batch
+    side of the split, once each, and every verdict must be the
+    first-failing-layer recomputation of its own signal columns
+    (quality > exact > neardup > semdup > sampled > keep)."""
+    import hashlib
+
+    from data_engineer_project_weather_analytics_spark.plans import corpus
+
+    rows = corpus.x59_ingest_curation(spark, SF_DIR).collect()
+    batch_ids = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id")
+        .collect()
+        if hashlib.md5(str(r["doc_id"]).encode()).hexdigest() >= "cd"
+    )
+    assert sorted(r["doc_id"] for r in rows) == batch_ids
+    for r in rows:
+        if not r["quality_pass"]:
+            want = "drop_quality"
+        elif r["exact_kept"] == 0:
+            want = "drop_exact"
+        elif r["n_near"] > 0:
+            want = "drop_neardup"
+        elif r["semantic_kept"] == 0:
+            want = "drop_semdup"
+        elif not r["sampled"]:
+            want = "drop_sampled"
+        else:
+            want = "keep"
+        assert r["verdict"] == want, r
+        # signal-column coherence: a near count needs a best Jaccard
+        # over threshold; a semantic drop needs a best_sim over 0.8
+        if r["n_near"] > 0:
+            assert r["best_jaccard"] is not None and r["best_jaccard"] >= 0.1, r
+        else:
+            assert r["best_jaccard"] is None, r
+        if r["semantic_kept"] == 0:
+            assert r["best_sim"] is not None and r["best_sim"] >= 8000, r
