@@ -53,6 +53,27 @@ def test_kmeans_oracle_constants_in_lockstep():
     assert sql54.count("PARTITION BY b.vec_id") == 1
 
 
+def test_x59_oracle_splices_component_texts_verbatim():
+    """The composed ingest verdict replays each stage with the SAME
+    text the component oracle uses — one definition per stage on both
+    sides (the x56 recipe).  If a component oracle changes, the
+    composition must inherit the change or the two silently diverge."""
+    from data_engineer_project_weather_analytics_spark.plans.oracles_extensions import (
+        ORACLES_EXT,
+    )
+
+    sql59 = REGISTRY["x59_ingest_curation"].sql
+    for comp in (
+        "x1b_incremental_dedup",
+        "x53_incremental_neardup",
+        "x54_incremental_semdedup",
+    ):
+        assert ORACLES_EXT[comp] in sql59, comp
+    # quality + sampling are the x56 text restricted to the batch
+    # slice: the restriction predicate must be present
+    assert "WHERE md5(CAST(doc_id AS VARCHAR)) >= 'cd'" in sql59
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
