@@ -291,6 +291,61 @@ ACCOUNTING_SLACK = 1.5
 #: machine time at the 1000x points (see ``run`` in ``main``)
 SINGLE_SAMPLE_CUTOFF_SEC = 300.0
 
+#: per-entry journal: every measured (section, query) row is appended
+#: here the moment it exists, so a run killed at ANY point (round
+#: boundary, container restart, OOM) RESUMES instead of restarting —
+#: the round-9 lesson: a multi-hour harness whose only output is the
+#: final JSON line lost a 4-hour run to the round clock.  Lives next
+#: to the harness (committed by the round-end snapshot, so it survives
+#: container death) and is keyed to the harness revision, so stale
+#: timings from an edited harness can never be replayed into a fresh
+#: artifact.  Delete it to force a full re-measure.
+JOURNAL_PATH = os.environ.get(
+    "SPARK_GRAFT_SCALE_JOURNAL",
+    os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH_SCALE_journal.jsonl",
+    ),
+)
+
+
+def _harness_rev() -> str:
+    import hashlib
+
+    with open(os.path.abspath(__file__), "rb") as fh:
+        return hashlib.md5(fh.read()).hexdigest()[:12]
+
+
+def load_journal() -> dict:
+    """(section, name) → entry for every journaled measurement taken
+    by THIS harness revision."""
+    out: dict = {}
+    if not os.path.exists(JOURNAL_PATH):
+        return out
+    rev = _harness_rev()
+    with open(JOURNAL_PATH) as fh:
+        for ln in fh:
+            try:
+                rec = json.loads(ln)
+            except ValueError:
+                continue
+            if rec.get("rev") != rev:
+                continue
+            out[(rec["section"], rec["name"])] = rec["entry"]
+    return out
+
+
+def journal_write(section: str, name: str, entry: dict) -> None:
+    rec = {
+        "rev": _harness_rev(),
+        "section": section,
+        "name": name,
+        "entry": entry,
+    }
+    with open(JOURNAL_PATH, "a") as fh:
+        fh.write(json.dumps(rec) + "\n")
+        fh.flush()
+
 #: the 100x spot-check (cheapest scale-critical queries): catches
 #: cliffs the 10x run hides.  Only the tables these five touch are
 #: replicated at 100x.
@@ -307,12 +362,15 @@ SCALE100_QUERIES: tuple[str, ...] = (
     # carries candidate-pair accounting so its superlinear wall-clock
     # is provably pair-volume-driven, not a plan cliff
     "x2b_lsh_candidate_pairs",
-    # the steady-state semantic probe one decade up: with the
-    # registered fixed k the same-cell candidate stream grows
-    # superlinearly by construction — probe_pair_stream accounting
-    # bounds it (the 1000x point belongs to the auto-k family; at
-    # fixed k=8 it would be ~n²/8 pairs ≈ hours of pure pair work)
-    "x54_incremental_semdedup",
+    # the steady-state semantic probe one decade up is carried by the
+    # AUTO-k twin below.  The fixed-k registered form is measured (and
+    # probe_pair-accounted) at 10x only: at 200k vectors its k=8 cells
+    # are ~20k wide, so the corpus-index verify is ~1.6e9 cosines over
+    # at most 8 cell-keyed partitions — ~2h of measured wall in the r9
+    # run for a configuration the deployment policy explicitly
+    # replaces (recommended_kmeans_k).  The oracle-parity value of the
+    # fixed form lives at 10x; the 100x/1000x steady-state evidence is
+    # the auto family's.
     # the round-6 scale finding, repaired: two-level auto-k SemDeDup
     # over 200 k vectors (k=800, coarse=28) with full work accounting
     # (assignment stream + verify pairs) — the 10x point is where the
@@ -930,11 +988,27 @@ def main() -> None:
             rows_cache[key] = work_rows(name, kind, sf_dir)
         return rows_cache[key]
 
+    journal = load_journal()
+
+    def seed_rows_cache(name: str, entry: dict, sf_dir: str, rows_key: str):
+        """A journaled entry carries its accounting — seed the kind
+        cache so a resumed run never re-measures a shared driver."""
+        kind = ACCOUNTED.get(name)
+        if kind is None or "rows_kind" not in entry:
+            return
+        kk = name if kind in ("output_rows", "wedge_count") else kind
+        rows_cache[(kk, BASE_DIR)] = entry["rows_1x"]
+        rows_cache[(kk, sf_dir)] = entry[rows_key]
+
     load_factors: dict[str, float | None] = {
         "scale10": section_sentinel(spark, "scale10")
     }
     out: dict[str, dict[str, float]] = {}
     for name in QUERIES:
+        if ("scale10", name) in journal:
+            out[name] = journal[("scale10", name)]
+            seed_rows_cache(name, out[name], SCALE_DIR, "rows_10x")
+            continue
         t1 = run(name, BASE_DIR)
         t10 = run(name, SCALE_DIR)
         entry: dict[str, float] = {
@@ -951,6 +1025,7 @@ def main() -> None:
             # superlinear time must be bought by superlinear work
             entry["bounded"] = entry["ratio"] <= entry["rows_ratio"] * ACCOUNTING_SLACK
         out[name] = entry
+        journal_write("scale10", name, entry)
 
     unbounded = [
         n for n, v in out.items() if "bounded" in v and not v["bounded"]
@@ -963,6 +1038,10 @@ def main() -> None:
     load_factors["scale100"] = section_sentinel(spark, "scale100")
     out100: dict[str, dict[str, float]] = {}
     for name in SCALE100_QUERIES:
+        if ("scale100", name) in journal:
+            out100[name] = journal[("scale100", name)]
+            seed_rows_cache(name, out100[name], dir100, "rows_100x")
+            continue
         t1 = out[name]["t1"] if name in out else run(name, BASE_DIR)
         t100 = run(name, dir100)
         e100: dict[str, float] = {
@@ -980,6 +1059,7 @@ def main() -> None:
                 e100["ratio"] <= e100["rows_ratio"] * ACCOUNTING_SLACK
             )
         out100[name] = e100
+        journal_write("scale100", name, e100)
 
     # ---- optional 1000x point (SPARK_GRAFT_SCALE1000=1) -------------
     out1000: dict[str, dict[str, float]] = {}
@@ -989,6 +1069,10 @@ def main() -> None:
         spark.read.parquet(f"{dir1000}/events.parquet").count()
         load_factors["scale1000"] = section_sentinel(spark, "scale1000")
         for name in SCALE1000_QUERIES:
+            if ("scale1000", name) in journal:
+                out1000[name] = journal[("scale1000", name)]
+                seed_rows_cache(name, out1000[name], dir1000, "rows_1000x")
+                continue
             t1 = out[name]["t1"] if name in out else run(name, BASE_DIR)
             t1000 = run(name, dir1000)
             e: dict[str, float] = {
@@ -1006,6 +1090,7 @@ def main() -> None:
                 e["rows_ratio"] = round(r1000 / max(r1, 1), 2)
                 e["bounded"] = e["ratio"] <= e["rows_ratio"] * ACCOUNTING_SLACK
             out1000[name] = e
+            journal_write("scale1000", name, e)
 
     worst = max(v["ratio"] for v in out.values())
     unbounded100 = [
