@@ -224,6 +224,12 @@ def main() -> None:
         "x54_incremental_semdedup x55_ivfpq_recall "
         "x56_curation_materialize x57_reduced_recall x58_sq8_recall"
     ).split()
+    # every >=1.4 s headline query now sits under a frozen trend gate
+    # (VERDICT r9 task 3): heavy7 = the SemDeDup/recall/curation
+    # heavyweights INCLUDING x45 and x59, which new5_r8 excluded —
+    # x45's 1.35x r8->r9 drift was eyeballed, not gated.  Reference
+    # frozen in BASELINE.md at the r9 idle-machine measurement.
+    heavy7 = new5_r8 + ["x45_semdedup_keep", "x59_ingest_curation"]
     print(
         json.dumps(
             {
@@ -241,6 +247,9 @@ def main() -> None:
                 ),
                 "new5_r8_total": round(
                     sum(timings[n] for n in new5_r8 if n in timings), 3
+                ),
+                "heavy7_total": round(
+                    sum(timings[n] for n in heavy7 if n in timings), 3
                 ),
                 "load_factor": (
                     round(load_factor, 3) if load_factor is not None else None

@@ -149,6 +149,11 @@ QUERIES: tuple[str, ...] = (
     "x56_curation_auto",
     "x57_reduced_recall",
     "x58_sq8_recall",
+    # the steady-state composed ingest verdict: fixed-k form (oracle
+    # parity) AND the auto-k deployment twin — the x45/x56 pairing
+    # applied to the ingestion triad
+    "x59_ingest_curation",
+    "x59_ingest_curation_auto",
 )
 
 
@@ -278,6 +283,15 @@ ACCOUNTED: dict[str, str] = {
     # expensive 1000x accounting fit is computed once and shared with
     # x45_semdedup_auto)
     "x56_curation_auto": "semdedup_auto_work",
+    # the composed ingest verdict embeds the fixed-k x54 probe, whose
+    # batch x same-cell survivor candidate stream dominates (quality /
+    # x1b / x53 / sampling are input-linear) — kind-shared with
+    # x54_incremental_semdedup, so the driver is measured once
+    "x59_ingest_curation": "probe_pair_stream",
+    # the deployment twin embeds the auto-k probe: same driver as
+    # x54_incremental_semdedup_auto (kind-cached — the expensive
+    # two-level accounting fit runs once per replica)
+    "x59_ingest_curation_auto": "semdedup_inc_auto_work",
 }
 
 #: time-ratio must stay under rows_ratio * this constant for every
@@ -309,11 +323,25 @@ JOURNAL_PATH = os.environ.get(
 )
 
 
-def _harness_rev() -> str:
-    import hashlib
+#: Journal epoch: journal entries are keyed to THIS declared constant,
+#: not to a hash of the file — the round-9 keying (md5 of the whole
+#: harness) meant ANY edit, even an additive query registration,
+#: silently discarded hours of banked measurements.  Discipline (gated
+#: by tests/test_bench_config.py::test_journal_epoch_discipline): every
+#: bench_scale.py edit must update the pinned md5 there — the conscious
+#: checkpoint — and an edit that changes MEASUREMENT SEMANTICS (run()'s
+#: timing protocol, the work_rows() driver definition of an
+#: already-journaled kind, replica construction, ACCOUNTING_SLACK) must
+#: ALSO bump this epoch, invalidating the journal and forcing a full
+#: re-measure.  Purely additive edits (new section-list entries, new
+#: kinds, comments) keep the epoch: existing entries were measured by
+#: identical code paths.  Initial value = the md5 prefix of the
+#: round-9 harness that banked the first journal.
+JOURNAL_EPOCH = "15ae2f1022c1"
 
-    with open(os.path.abspath(__file__), "rb") as fh:
-        return hashlib.md5(fh.read()).hexdigest()[:12]
+
+def _harness_rev() -> str:
+    return JOURNAL_EPOCH
 
 
 def load_journal() -> dict:
@@ -389,6 +417,12 @@ SCALE100_QUERIES: tuple[str, ...] = (
     # corpus-linear (broadcast codebook + distance tables, one ranking
     # window) — a cliff here means the coding left whole-stage codegen
     "x50_pq_topk",
+    # the composed steady-state ingest verdict one decade up, via the
+    # AUTO-k twin only (the fixed-k x54 probe it would otherwise embed
+    # is the demoted 100x scale-killer: ~1.6e9 cosines over <=8 cells);
+    # accounting is kind-shared with x54_incremental_semdedup_auto —
+    # the embedded probe dominates, quality/x1b/x53 are input-linear
+    "x59_ingest_curation_auto",
 )
 SCALE100_TABLES = (
     "region", "nation", "customer", "supplier", "orders", "lineitem",
@@ -448,6 +482,11 @@ SCALE1000_QUERIES: tuple[str, ...] = (
     # kind-shared with x45_semdedup_auto, so the driver is measured
     # once per replica
     "x56_curation_auto",
+    # the incremental MinHash probe at 5 M docs: the steady-state
+    # near-dup member of the ingestion triad — banded LSH probe across
+    # the corpus/batch split, verified-pair output accounting (the
+    # 1000x point VERDICT r9 task 6 asked for)
+    "x53_incremental_neardup",
 )
 SCALE1000_TABLES = ("region", "nation", "events", "documents", "embeddings")
 

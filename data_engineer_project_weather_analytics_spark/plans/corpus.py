@@ -1789,6 +1789,38 @@ def x59_ingest_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     new wide stages.  The DuckDB oracle splices the x1b, x53 and x54
     oracle STATEMENTS verbatim as CTE bodies (one definition per
     stage on both sides, the x56 recipe)."""
+    from data_engineer_project_weather_analytics_spark.plans import extensions
+
+    return _ingest_curation(spark, sf_dir, extensions.x54_incremental_semdedup)
+
+
+def x59_ingest_curation_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployment form of x59: the identical composed ingest verdict
+    with the semantic stage routed through the auto-k two-level
+    x54_incremental_semdedup_auto instead of the fixed oracle k — the
+    x56_auto policy applied to the steady-state ingestion path, so the
+    embedded probe's cells stay ~250 vectors wide and its verify
+    stream linear as the corpus grows (the fixed-k probe is the
+    demoted 100× scale-killer: at 200 k vectors its k=8 cells are
+    ~20 k wide).  Rows-only by necessity (k depends on a runtime
+    ``count()``), but pinned row-for-row against the oracle-checked
+    fixed twin on every non-semantic column
+    (test_x59_auto_agrees_with_fixed_on_non_semantic_columns); its
+    10×/100× wall-clock carries the ``semdedup_inc_auto_work``
+    accounting in BENCH_SCALE.json (the embedded auto probe dominates;
+    quality/x1b/x53/sampling are input-linear)."""
+    from data_engineer_project_weather_analytics_spark.plans import extensions
+
+    return _ingest_curation(
+        spark, sf_dir, extensions.x54_incremental_semdedup_auto
+    )
+
+
+def _ingest_curation(spark, sf_dir, sem_fn):
+    """Shared body of x59 / x59_auto — ``sem_fn`` supplies the
+    incremental SemDeDup probe (fixed oracle k or the auto-k
+    deployment twin, both emitting the _probe_keep row); everything
+    else is identical (the _curation_materialize recipe)."""
     from data_engineer_project_weather_analytics_spark.operators import text
     from data_engineer_project_weather_analytics_spark.plans import extensions
 
@@ -1815,7 +1847,7 @@ def x59_ingest_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("batch_doc_id").alias("doc_id"), "__n_near", "__best_j")
     )
-    sem = extensions.x54_incremental_semdedup(spark, sf_dir).select(
+    sem = sem_fn(spark, sf_dir).select(
         F.col("vec_id").alias("doc_id"),
         F.col("kept").alias("__sem_kept"),
         F.col("best_sim").alias("__best_sim"),
@@ -2106,6 +2138,7 @@ SQL_COPURCHASE_ADJ_CTE = SQL_COPURCHASE_EDGES_CTE + """,
 #: x45_semdedup_auto precedent, applied to the composed verdict)
 NO_ORACLE = {
     "x56_curation_auto": x56_curation_auto,
+    "x59_ingest_curation_auto": x59_ingest_curation_auto,
 }
 
 ORACLES_CORPUS: dict[str, str] = {

@@ -53,9 +53,14 @@ def test_bench_headline_is_registered_with_valid_modes():
         "x56_curation_materialize x57_reduced_recall x58_sq8_recall"
     ).split()
     assert [n for n in new5 if n not in bench.HEADLINE] == []
+    # the r9-heavyweight subtotal (heavy7_total, frozen in BASELINE.md
+    # since r10) folds x45 + x59 into a gated trend too
+    heavy7 = new5 + ["x45_semdedup_keep", "x59_ingest_curation"]
+    assert [n for n in heavy7 if n not in bench.HEADLINE] == []
     import inspect
 
     assert '"new5_r8_total"' in inspect.getsource(bench.main)
+    assert '"heavy7_total"' in inspect.getsource(bench.main)
 
 
 def test_bench_load_sentinel_exists():
@@ -136,6 +141,44 @@ def test_bench_scale_accounted_targets_are_timed():
         if k not in valid_kinds and not k.startswith("input_rows:")
     }
     assert bad == {}, bad
+
+
+#: Conscious-edit checkpoint for the scale harness (VERDICT r9 task 7).
+#: The resume journal (BENCH_SCALE_journal.jsonl) banks hours of
+#: measurements keyed to bench_scale.JOURNAL_EPOCH.  Any edit to
+#: bench_scale.py trips this pin; updating it is the moment to decide:
+#: did the edit change MEASUREMENT SEMANTICS (run() timing protocol,
+#: an already-journaled work_rows kind, replica construction,
+#: ACCOUNTING_SLACK)?  If yes → bump JOURNAL_EPOCH too (full
+#: re-measure); if purely additive → keep the epoch and the bank.
+_BENCH_SCALE_MD5 = "e0f50c5e0293536e8455139bc5f50227"
+
+
+def test_journal_epoch_discipline():
+    import hashlib
+    import json
+
+    actual = hashlib.md5((ROOT / "bench_scale.py").read_bytes()).hexdigest()
+    assert actual == _BENCH_SCALE_MD5, (
+        "bench_scale.py changed: decide whether the edit alters "
+        "measurement semantics (bump bench_scale.JOURNAL_EPOCH — "
+        "discards the journal) or is purely additive (keep it), then "
+        f"update _BENCH_SCALE_MD5 to {actual!r}"
+    )
+    # a committed journal must be consistent with the declared epoch —
+    # entries from a bumped-away epoch are dead weight that a resumed
+    # run would silently ignore
+    jp = ROOT / "BENCH_SCALE_journal.jsonl"
+    if jp.exists():
+        revs = {
+            json.loads(ln)["rev"]
+            for ln in jp.read_text().splitlines()
+            if ln.strip()
+        }
+        assert revs <= {bench_scale.JOURNAL_EPOCH}, (
+            f"journal carries stale epochs {revs - {bench_scale.JOURNAL_EPOCH}}: "
+            "prune them or delete the journal"
+        )
 
 
 def test_stream_bench_artifact_is_green():

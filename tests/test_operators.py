@@ -1298,6 +1298,29 @@ def test_x56_auto_agrees_with_fixed_on_non_semantic_columns(spark):
             assert fr["verdict"] == ar["verdict"], d
 
 
+def test_x59_auto_agrees_with_fixed_on_non_semantic_columns(spark):
+    """The deployment ingest verdict (x59_ingest_curation_auto) differs
+    from the oracle-checked x59 ONLY through the semantic probe stage:
+    quality flags, exact/near-dup evidence, mixture sampling, and every
+    verdict not hinging on semantic_kept must be identical
+    row-for-row (the x56_auto recipe applied to the ingestion triad)."""
+    from data_engineer_project_weather_analytics_spark.plans.corpus import (
+        x59_ingest_curation,
+        x59_ingest_curation_auto,
+    )
+
+    fixed = {r["doc_id"]: r for r in x59_ingest_curation(spark, SF_DIR).collect()}
+    auto = {r["doc_id"]: r for r in x59_ingest_curation_auto(spark, SF_DIR).collect()}
+    assert sorted(fixed) == sorted(auto)
+    for d, fr in fixed.items():
+        ar = auto[d]
+        for c in ("lang", "quality_pass", "exact_kept", "n_near",
+                  "best_jaccard", "rate_bp", "sampled"):
+            assert fr[c] == ar[c], (d, c)
+        if fr["semantic_kept"] == ar["semantic_kept"]:
+            assert fr["verdict"] == ar["verdict"], d
+
+
 def test_audio_real_wave_decode_matches_fake_stats(spark):
     """The REAL stdlib-wave decode path must reproduce the fake path's
     stats exactly: for a WAV synthesized from payload bytes under the

@@ -72,6 +72,27 @@ def test_x59_oracle_splices_component_texts_verbatim():
     # quality + sampling are the x56 text restricted to the batch
     # slice: the restriction predicate must be present
     assert "WHERE md5(CAST(doc_id AS VARCHAR)) >= 'cd'" in sql59
+    # ... and the quality CTE chain itself must be the x56 text
+    # VERBATIM (ADVICE r9: the thresholds 0.2/0.18/0.1, 20..1000,
+    # stopword 0.5 and the sampling hash are duplicated literals — a
+    # change hand-mirrored into only one oracle would silently run two
+    # different quality gates).  The shared segment runs from the qg
+    # n-gram CTE through the quality flag; x56's qt differs from x59's
+    # only by the batch WHERE, checked above.
+    sql56 = REGISTRY["x56_curation_materialize"].sql
+
+    def quality_segment(sql: str) -> str:
+        start = sql.index("qg AS (")
+        end = sql.index("SELECT q.doc_id")
+        return sql[start:end]
+
+    assert quality_segment(sql59) == quality_segment(sql56)
+    # the sampling spec/hash literals too (same VALUES list, same seed)
+    for frag in ("spec(lang, rate_bp) AS (VALUES", "% 10000 AS u"):
+        assert frag in sql59 and frag in sql56, frag
+    spec59 = sql59[sql59.index("spec(lang, rate_bp)"):sql59.index("qt AS (")]
+    spec56 = sql56[sql56.index("spec(lang, rate_bp)"):sql56.index("qt AS (")]
+    assert spec59 == spec56
 
 
 def test_entry_smoke(spark):
