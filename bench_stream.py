@@ -5,8 +5,9 @@ The stateful stream twin of the x54 incremental SemDeDup probe
 (streaming/stateful.py:streaming_semdedup_probe) has bit-parity and
 checkpoint-recovery tests but — before this harness — no committed
 throughput or state-size evidence (VERDICT r8 task 4).  This script
-measures the probe at the 10x embedding corpus in the two regimes
-that matter for a 100 TB steady state:
+measures the probe at the 10x embedding corpus (plus, with
+SPARK_GRAFT_STREAM_SCALE100=1, the 100x corpus — VERDICT r9 task 6)
+in the two regimes that matter for a 100 TB steady state:
 
 * capacity  — ``max_cell`` above every cell's survivor population:
   every kept probe is admitted to state; state grows with the corpus,
@@ -16,15 +17,17 @@ that matter for a 100 TB steady state:
   (bounded state by construction; the semantics are pinned by
   tests/test_streaming.py::test_streaming_semdedup_saturation_keeps_deciding).
 
-Protocol: the 10x replica's embeddings are split train/test by the
-x54 rule (deterministic id-hash); the train side is streamed in as
-SEED micro-batch 1 (state bootstrap — admitted without decisions),
-the test side as PROBE micro-batch 2 (one decision row each).  The
-foreachBatch sink records a wall-clock stamp per micro-batch, so the
-seed and probe phases are timed separately; the headline metric is
-probe decisions per second.  State rows are derived per the probe's
-admission rule (min(max_cell, seeds + kept) per cell — seeds join
-before decisions, kept probes after).
+Protocol: the replica's embeddings are split train/test by the x54
+rule (deterministic id-hash); the train side is streamed in as SEED
+micro-batch 1 (state bootstrap — admitted without decisions), the
+test side as PROBE micro-batch 2 (one decision row each).  The
+foreachBatch sink records a wall-clock stamp per NON-EMPTY
+micro-batch (ADVICE r9: a trailing empty availableNow batch used to
+fold into probe_wall and deflate the headline), so the seed and probe
+phases are timed separately; the headline metric is probe decisions
+per second.  State rows are derived per the probe's admission rule
+(min(max_cell, seeds + kept) per cell — seeds join before decisions,
+kept probes after).
 
 Load sentinel: same policy as bench.py/bench_scale.py — the committed
 calibration probe runs first and the harness refuses to emit under
@@ -35,13 +38,15 @@ Emits ONE JSON line; the committed STREAM_BENCH.json is gated by
 tests/test_bench_config.py::test_stream_bench_artifact_is_green.
 
 Run time: ~2-3 min including the replica build (embeddings only,
-cached under /tmp/spark_graft_streambench).
+cached under /tmp/spark_graft_streambench); the 100x section adds
+~10-15 min (160 k-vector index fit + 40 k probe decisions x2).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -50,7 +55,6 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
 
 BASE_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-COPIES = 10
 WORK_DIR = "/tmp/spark_graft_streambench"
 
 #: capacity regime: no cell reaches this (cells hold ~250 vectors
@@ -61,39 +65,30 @@ MAX_CELL_CAPACITY = 10_000
 MAX_CELL_SATURATED = 50
 
 
-def build_embeddings_replica() -> str:
-    """Embeddings-only 10x replica (the bench_scale recipe, separate
-    dir so a concurrent scale run's replica cache is never touched)."""
+def build_embeddings_replica(copies: int) -> str:
+    """Embeddings-only replica (the bench_scale recipe, separate dir
+    so a concurrent scale run's replica cache is never touched)."""
     import bench_scale
 
-    out_dir = os.path.join(WORK_DIR, f"x{COPIES}")
-    bench_scale.build_replica(
-        BASE_DIR, out_dir, COPIES, tables=("embeddings",)
-    )
+    out_dir = os.path.join(WORK_DIR, f"x{copies}")
+    bench_scale.build_replica(BASE_DIR, out_dir, copies, tables=("embeddings",))
     return out_dir
 
 
-def main() -> None:
+def measure(spark, copies: int) -> dict:
+    """Seed + probe the streaming SemDeDup twin at the ``copies``x
+    embedding corpus in both regimes; returns the per-scale record."""
     from pyspark.sql import functions as F
 
-    import bench
     from data_engineer_project_weather_analytics_spark.operators import similarity
     from data_engineer_project_weather_analytics_spark.operators.text import (
         deterministic_split,
     )
-    from data_engineer_project_weather_analytics_spark.session import get_spark
     from data_engineer_project_weather_analytics_spark.streaming.stateful import (
         streaming_semdedup_probe,
     )
 
-    rep_dir = build_embeddings_replica()
-    spark = get_spark(app_name="data_engineer_project_weather_analytics_spark-bench-stream")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    # ---- load sentinel (bench.py's, verbatim: retries, refusal, and
-    # SPARK_GRAFT_BENCH_FORCE override included) -----------------------
-    load_factor = bench.check_load_sentinel(spark)
-
+    rep_dir = build_embeddings_replica(copies)
     emb = spark.read.parquet(f"{rep_dir}/embeddings.parquet")
     split = deterministic_split("vec_id")
     corpus = emb.filter(split == "train")
@@ -115,9 +110,7 @@ def main() -> None:
     }
     n_seed = sum(seeds_per_cell.values())
 
-    src = os.path.join(WORK_DIR, "src")
-    import shutil
-
+    src = os.path.join(WORK_DIR, f"src_x{copies}")
     shutil.rmtree(src, ignore_errors=True)
     survivors.select(
         F.col("corpus_id").alias("vec_id"),
@@ -133,16 +126,24 @@ def main() -> None:
     survivors.unpersist()
 
     def run_regime(max_cell: int, tag: str) -> dict:
-        ckpt = os.path.join(WORK_DIR, f"ckpt_{tag}")
-        out = os.path.join(WORK_DIR, f"out_{tag}")
+        ckpt = os.path.join(WORK_DIR, f"ckpt_x{copies}_{tag}")
+        out = os.path.join(WORK_DIR, f"out_x{copies}_{tag}")
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
-        stamps: list[float] = []
+        # one (stamp, emitted-rows) record per micro-batch: the probe
+        # wall is anchored on the DECISION batch's own stamps, so a
+        # trailing empty availableNow batch can no longer stretch it
+        # (ADVICE r9 — the skew was conservative but real).  The seed
+        # batch emits nothing, so its row count is 0 but its stamp is
+        # the probe phase's true start.
+        stamps: list[tuple[float, int]] = []
 
         def _sink(b, _id):
+            n = 0
             if not b.isEmpty():
                 b.write.mode("append").parquet(out)
-            stamps.append(time.perf_counter())
+                n = b.count()
+            stamps.append((time.perf_counter(), n))
 
         stream = (
             spark.readStream.schema(
@@ -163,13 +164,23 @@ def main() -> None:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(1800)
-        assert len(stamps) >= 2, f"expected 2 micro-batches, got {len(stamps)}"
-        seed_wall = stamps[0] - t0
-        probe_wall = stamps[-1] - stamps[0]
+        q.awaitTermination(3600)
+        # exactly one batch emits rows (the probe); the seed batch
+        # precedes it with an empty emission and its stamp is the
+        # probe phase's start — any later empty batch is ignored
+        decision_idx = [i for i, (_, n) in enumerate(stamps) if n > 0]
+        assert len(decision_idx) == 1, (
+            f"expected 1 decision batch, got {len(decision_idx)}"
+        )
+        i = decision_idx[0]
+        probe_stamp, probe_emitted = stamps[i]
+        start = stamps[i - 1][0] if i > 0 else t0
+        seed_wall = start - t0  # stream startup + seed admission
+        probe_wall = probe_stamp - start
         rows = spark.read.parquet(out)
         kept = rows.filter(F.col("kept") == 1).count()
         decided = rows.count()
+        assert decided == probe_emitted
         kept_per_cell = {
             r["cluster_id"]: r["n"]
             for r in rows.filter(F.col("kept") == 1)
@@ -198,29 +209,45 @@ def main() -> None:
             "saturated_cells": saturated,
         }
 
-    capacity = run_regime(MAX_CELL_CAPACITY, "capacity")
-    saturated = run_regime(MAX_CELL_SATURATED, "saturated")
+    return {
+        "replica": f"{copies}x embeddings ({n_corpus + n_probe} vectors)",
+        "copies": copies,
+        "corpus_rows": n_corpus,
+        "seed_rows": n_seed,
+        "probe_rows": n_probe,
+        "k": k,
+        "capacity": run_regime(MAX_CELL_CAPACITY, "capacity"),
+        "saturated": run_regime(MAX_CELL_SATURATED, "saturated"),
+    }
 
-    print(
-        json.dumps(
-            {
-                "metric": "streaming_probe_rows_per_s",
-                "value": capacity["probe_rows_per_s"],
-                "unit": "rows/s",
-                "replica": f"{COPIES}x embeddings "
-                f"({n_corpus + n_probe} vectors)",
-                "corpus_rows": n_corpus,
-                "seed_rows": n_seed,
-                "probe_rows": n_probe,
-                "k": k,
-                "capacity": capacity,
-                "saturated": saturated,
-                "load_factor": (
-                    round(load_factor, 3) if load_factor is not None else None
-                ),
-            }
-        )
-    )
+
+def main() -> None:
+    import bench
+    from data_engineer_project_weather_analytics_spark.session import get_spark
+
+    spark = get_spark(app_name="data_engineer_project_weather_analytics_spark-bench-stream")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # ---- load sentinel (bench.py's, verbatim: retries, refusal, and
+    # SPARK_GRAFT_BENCH_FORCE override included) -----------------------
+    load_factor = bench.check_load_sentinel(spark)
+
+    base = measure(spark, 10)
+    out = {
+        "metric": "streaming_probe_rows_per_s",
+        "value": base["capacity"]["probe_rows_per_s"],
+        "unit": "rows/s",
+        **base,
+        "load_factor": (
+            round(load_factor, 3) if load_factor is not None else None
+        ),
+    }
+    # the 100x corpus point (VERDICT r9 task 6): 160 k-vector state,
+    # 40 k probe decisions — the steady-state stream one decade up
+    if os.environ.get("SPARK_GRAFT_STREAM_SCALE100") == "1":
+        out["scale100"] = measure(spark, 100)
+
+    print(json.dumps(out))
     spark.stop()
 
 

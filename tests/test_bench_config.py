@@ -202,14 +202,26 @@ def test_stream_bench_artifact_is_green():
             "owned the machine to the round boundary)"
         )
     data = json.loads((ROOT / "STREAM_BENCH.json").read_text())
-    assert data["probe_rows"] > 0 and data["seed_rows"] > 0
-    for regime in ("capacity", "saturated"):
-        r = data[regime]
-        assert r["decided"] == data["probe_rows"], regime
-        assert r["kept"] + r["dropped"] == r["decided"], regime
-        assert r["probe_rows_per_s"] > 0, regime
-    assert data["capacity"]["saturated_cells"] == 0
-    assert data["saturated"]["saturated_cells"] >= 1
-    # bounded-state headline: the saturated regime's state cannot
-    # exceed cells * max_cell
-    assert data["saturated"]["state_rows"] <= data["k"] * data["saturated"]["max_cell"]
+
+    def check_scale(rec, tag):
+        assert rec["probe_rows"] > 0 and rec["seed_rows"] > 0, tag
+        for regime in ("capacity", "saturated"):
+            r = rec[regime]
+            assert r["decided"] == rec["probe_rows"], (tag, regime)
+            assert r["kept"] + r["dropped"] == r["decided"], (tag, regime)
+            assert r["probe_rows_per_s"] > 0, (tag, regime)
+        assert rec["capacity"]["saturated_cells"] == 0, tag
+        assert rec["saturated"]["saturated_cells"] >= 1, tag
+        # bounded-state headline: the saturated regime's state cannot
+        # exceed cells * max_cell
+        assert (
+            rec["saturated"]["state_rows"]
+            <= rec["k"] * rec["saturated"]["max_cell"]
+        ), tag
+
+    check_scale(data, "base")
+    # the 100x-corpus section (VERDICT r9 task 6) obeys the same
+    # invariants when present
+    if "scale100" in data:
+        check_scale(data["scale100"], "scale100")
+        assert data["scale100"]["corpus_rows"] > data["corpus_rows"]

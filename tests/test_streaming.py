@@ -1160,3 +1160,227 @@ def test_streaming_semdedup_saturation_keeps_deciding(spark, tmp_path):
     # 200 (near both) is kept, and its only near material is outside
     # the state by the cap
     assert got[200]["kept"] == 1 and got[200]["n_corpus_near"] == 0
+
+
+def test_streaming_ingest_verdict_equals_batch_x59(spark, tmp_path):
+    """Stream ≡ batch for the COMPOSED ingest verdict (x59): the same
+    batch slice fed through the stateful semantic probe
+    (streaming_semdedup_probe, seeded from x54's corpus survivors) plus
+    the x1b/x53 decision layers applied per micro-batch in foreachBatch
+    — cross-micro-batch fingerprint ownership via stream state, the
+    near-dup probe against the static corpus index — must reproduce
+    x59_ingest_curation's row FOR EVERY COLUMN, verdict included.
+    This pins the x59 docstring's claim that the stateful probe is its
+    stream twin end-to-end, not just for the semantic stage.
+
+    Micro-batch shape: the embedding probe arrives as ONE trigger (a
+    day's batch — x54's batch-vs-corpus semantics: batch vectors never
+    drop each other); the DOCUMENT layers arrive as TWO micro-batches
+    in ascending doc_id order, so x1b's "smallest batch id owns the
+    fingerprint" rule maps onto arrival order and the claimed-set
+    state is genuinely exercised across triggers."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from data_engineer_project_weather_analytics_spark.operators import (
+        dedup,
+        similarity,
+        text,
+    )
+    from data_engineer_project_weather_analytics_spark.plans import (
+        corpus as corpus_plans,
+    )
+    from data_engineer_project_weather_analytics_spark.plans import extensions
+    from data_engineer_project_weather_analytics_spark.sources.catalog import load_table
+    from data_engineer_project_weather_analytics_spark.streaming.stateful import (
+        streaming_semdedup_probe,
+    )
+    from .conftest import SF_DIR
+
+    # ---- batch truth: every x59 column, keyed by doc_id -------------
+    want = {
+        r["doc_id"]: r
+        for r in corpus_plans.x59_ingest_curation(spark, SF_DIR).collect()
+    }
+    assert want
+
+    # ---- semantic stage: the stateful probe, seeded from the x54
+    # corpus index (the proven stream≡batch path), probe in one trigger
+    emb = load_table(spark, SF_DIR, "embeddings")
+    esplit = text.deterministic_split("vec_id")
+    survivors, cents = similarity.semdedup_corpus_index(
+        emb.filter(esplit == "train"), "vec_id", "embedding",
+        similarity.KMEANS_K, similarity.KMEANS_ITERS, 0.8,
+    )
+    centroids = [(r["cell"], list(r["centroid"])) for r in cents.collect()]
+    seed_rows = [(r["corpus_id"], list(r["__cv"])) for r in survivors.collect()]
+    probe_rows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter(esplit == "test")
+        .select("vec_id", "embedding").collect()
+    ]
+    esrc, eckpt, eout = (
+        str(tmp_path / "emb"), str(tmp_path / "eckpt"), str(tmp_path / "eout")
+    )
+    _write_emb(spark, esrc, seed_rows, seed=True)
+    time.sleep(1.1)
+    _write_emb(spark, esrc, probe_rows, seed=False)
+
+    def _esink(b, _id):
+        if not b.isEmpty():
+            b.write.mode("append").parquet(eout)
+
+    q = (
+        streaming_semdedup_probe(
+            spark.readStream.schema(EMB_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(esrc),
+            "vec_id", "embedding", centroids, seed_col="is_seed",
+        )
+        .writeStream.foreachBatch(_esink)
+        .option("checkpointLocation", eckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    sem = {
+        r["vec_id"]: (r["kept"], r["best_sim"])
+        for r in spark.read.parquet(eout).collect()
+    }
+
+    # ---- document layers: two ascending micro-batches through
+    # foreachBatch, fingerprint ownership carried as stream state ----
+    docs = load_table(spark, SF_DIR, "documents")
+    dsplit = text.deterministic_split("doc_id")
+    corpus_docs = docs.filter(dsplit == "train").select("doc_id", "text")
+    corpus_fps = {
+        r["fp"]
+        for r in corpus_docs.select(
+            text.fingerprint("text").alias("fp")
+        ).collect()
+    }
+    batch_rows = sorted(
+        (r["doc_id"], r["text"], r["lang"])
+        for r in docs.filter(dsplit == "test")
+        .select("doc_id", "text", "lang").collect()
+    )
+    half = len(batch_rows) // 2
+    doc_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+        ]
+    )
+    dsrc, dckpt = str(tmp_path / "docs"), str(tmp_path / "dckpt")
+    for part in (batch_rows[:half], batch_rows[half:]):
+        spark.createDataFrame(part, schema=doc_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(dsrc)
+        time.sleep(1.1)
+
+    claimed: set[str] = set()  # fingerprint → owned by an earlier trigger
+    got: dict[int, dict] = {}
+
+    def _decide(b, _id):
+        if b.isEmpty():
+            return
+        sig = text.repetition_signals(b, "doc_id", "text", keep=("lang", "text"))
+        quality = {
+            r["doc_id"]: (r["quality_pass"], r["__u"])
+            for r in sig.select(
+                "doc_id",
+                (F.col("rep_pass") & text.quality_flag("text")).alias(
+                    "quality_pass"
+                ),
+                (
+                    corpus_plans._h48(
+                        f"concat('{corpus_plans._MIX_SEED}:', "
+                        "CAST(doc_id AS STRING))"
+                    )
+                    % 10000
+                ).alias("__u"),
+            ).collect()
+        }
+        fps = {
+            r["doc_id"]: r["fp"]
+            for r in b.select(
+                "doc_id", text.fingerprint("text").alias("fp")
+            ).collect()
+        }
+        owner: dict[str, int] = {}
+        for d in sorted(fps):
+            fp = fps[d]
+            if fp in corpus_fps or fp in claimed:
+                continue
+            owner.setdefault(fp, d)
+        claimed.update(owner)
+        # x53 layer: probe THIS micro-batch against the corpus index
+        sub = corpus_docs.unionByName(b.select("doc_id", "text"))
+        ds = dedup.doc_shingles(sub, "doc_id", "text", n=3)
+        sigs2, sizes = dedup.minhash_with_sizes(ds, "doc_id", n_bands=8)
+        sided = sigs2.withColumn("side", text.deterministic_split("doc_id"))
+        cand = dedup.lsh_candidate_pairs_cross(
+            sided, "doc_id", "side", max_bucket=extensions.LSH_MAX_BUCKET
+        )
+        nd: dict[int, tuple[int, float]] = {}
+        for r in dedup.jaccard_for_candidates(
+            ds, "doc_id", cand, threshold=0.1, sizes=sizes
+        ).collect():
+            n, bj = nd.get(r["id_b"], (0, None))
+            nd[r["id_b"]] = (
+                n + 1,
+                r["jaccard"] if bj is None else max(bj, r["jaccard"]),
+            )
+        for r in b.select("doc_id", "lang").collect():
+            d, lang = r["doc_id"], r["lang"]
+            qp, u = quality[d]
+            fp = fps[d]
+            exact_kept = int(owner.get(fp) == d)
+            n_near, best_j = nd.get(d, (0, None))
+            sem_kept, best_sim = sem.get(d, (1, None))
+            rate_bp = corpus_plans._MIX_RATES_BP[lang]
+            sampled = u < rate_bp
+            if not qp:
+                v = "drop_quality"
+            elif exact_kept == 0:
+                v = "drop_exact"
+            elif n_near > 0:
+                v = "drop_neardup"
+            elif sem_kept == 0:
+                v = "drop_semdup"
+            elif not sampled:
+                v = "drop_sampled"
+            else:
+                v = "keep"
+            got[d] = dict(
+                lang=lang, quality_pass=qp, exact_kept=exact_kept,
+                n_near=n_near, best_jaccard=best_j,
+                semantic_kept=sem_kept, best_sim=best_sim,
+                rate_bp=rate_bp, sampled=sampled, verdict=v,
+            )
+
+    dq = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dsrc)
+        .writeStream.foreachBatch(_decide)
+        .option("checkpointLocation", dckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    dq.awaitTermination(180)
+
+    assert sorted(got) == sorted(want)
+    for d, w in want.items():
+        g = got[d]
+        for c in (
+            "lang", "quality_pass", "exact_kept", "n_near", "best_jaccard",
+            "semantic_kept", "best_sim", "rate_bp", "sampled", "verdict",
+        ):
+            assert g[c] == w[c], (d, c, g[c], w[c])
+    # non-vacuous: the composed stream exercised real drops
+    assert {w["verdict"] for w in want.values()} >= {"keep", "drop_sampled"}
