@@ -1816,6 +1816,56 @@ def x59_ingest_curation_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x60_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language curation FUNNEL over the x59 ingest verdicts — the
+    daily observability report a production ingestion pipeline
+    publishes next to the data it admits: batch size, per-stage drop
+    counts (verdict precedence IS stage attribution: each doc counts
+    against the first stage that dropped it, so the columns partition
+    ``n_docs`` exactly — pinned by pytest), the kept count, and the
+    keep rate in integer basis points (``n_keep·10⁴ DIV n_docs`` —
+    exact integer arithmetic, the no-float-division rule for checked
+    outputs).
+
+    Scale shape: ONE hash-aggregate over x59's output keyed by lang —
+    output cardinality = |languages|, partial-agg map-side combinable;
+    adds zero wide stages to the x59 plan it composes.  The DuckDB
+    oracle splices the x59 STATEMENT verbatim as a CTE (one verdict
+    definition on both sides — the x56/x59 recipe)."""
+    v = x59_ingest_curation(spark, sf_dir)
+
+    def cnt(name: str):
+        return (
+            F.sum(F.when(F.col("verdict") == name, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_{name}")
+        )
+
+    return (
+        v.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            cnt("drop_quality"),
+            cnt("drop_exact"),
+            cnt("drop_neardup"),
+            cnt("drop_semdup"),
+            cnt("drop_sampled"),
+            cnt("keep"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_drop_quality",
+            "n_drop_exact",
+            "n_drop_neardup",
+            "n_drop_semdup",
+            "n_drop_sampled",
+            F.col("n_keep"),
+            F.expr("n_keep * 10000 DIV n_docs").alias("keep_bp"),
+        )
+    )
+
+
 def _ingest_curation(spark, sf_dir, sem_fn):
     """Shared body of x59 / x59_auto — ``sem_fn`` supplies the
     incremental SemDeDup probe (fixed oracle k or the auto-k
@@ -3082,4 +3132,31 @@ ORACLES_CORPUS["x59_ingest_curation"] = f"""
         LEFT JOIN ex e ON e.doc_id = q.doc_id
         LEFT JOIN ndagg n ON n.doc_id = q.doc_id
         LEFT JOIN sem s ON s.vec_id = q.doc_id
+"""
+
+# the funnel report (x60): ONE aggregation over the x59 verdict, so the
+# oracle splices the x59 STATEMENT verbatim as a CTE — the verdict is
+# defined exactly once on each side.  Integer-bp keep rate via // (≡
+# Spark DIV on non-negative ints — the x48 idiom).
+ORACLES_CORPUS["x60_ingest_funnel"] = f"""
+        WITH v AS ({ORACLES_CORPUS["x59_ingest_curation"]})
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN verdict = 'drop_quality' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_drop_quality,
+               CAST(sum(CASE WHEN verdict = 'drop_exact' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_drop_exact,
+               CAST(sum(CASE WHEN verdict = 'drop_neardup' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_drop_neardup,
+               CAST(sum(CASE WHEN verdict = 'drop_semdup' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_drop_semdup,
+               CAST(sum(CASE WHEN verdict = 'drop_sampled' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_drop_sampled,
+               CAST(sum(CASE WHEN verdict = 'keep' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_keep,
+               (CAST(sum(CASE WHEN verdict = 'keep' THEN 1 ELSE 0 END)
+                     AS BIGINT) * 10000)
+                   // CAST(count(*) AS BIGINT) AS keep_bp
+        FROM v
+        GROUP BY lang
 """

@@ -1321,6 +1321,37 @@ def test_x59_auto_agrees_with_fixed_on_non_semantic_columns(spark):
             assert fr["verdict"] == ar["verdict"], d
 
 
+def test_x60_funnel_partitions_the_batch_exactly(spark):
+    """Verdict precedence IS stage attribution: the six funnel columns
+    must partition n_docs exactly per language, the totals must match
+    a direct count over x59's verdicts, and keep_bp must be the exact
+    integer quotient."""
+    from data_engineer_project_weather_analytics_spark.plans.corpus import (
+        x59_ingest_curation,
+        x60_ingest_funnel,
+    )
+
+    rows = x60_ingest_funnel(spark, SF_DIR).collect()
+    assert rows
+    parts = (
+        "n_drop_quality n_drop_exact n_drop_neardup n_drop_semdup "
+        "n_drop_sampled n_keep"
+    ).split()
+    for r in rows:
+        assert sum(r[c] for c in parts) == r["n_docs"], r
+        assert r["keep_bp"] == r["n_keep"] * 10000 // r["n_docs"], r
+    verdicts = x59_ingest_curation(spark, SF_DIR).groupBy(
+        "lang", "verdict"
+    ).count().collect()
+    direct: dict[tuple[str, str], int] = {
+        (r["lang"], r["verdict"]): r["count"] for r in verdicts
+    }
+    for r in rows:
+        for c in parts:
+            v = "keep" if c == "n_keep" else c[2:]
+            assert r[c] == direct.get((r["lang"], v), 0), (r["lang"], c)
+
+
 def test_audio_real_wave_decode_matches_fake_stats(spark):
     """The REAL stdlib-wave decode path must reproduce the fake path's
     stats exactly: for a WAV synthesized from payload bytes under the

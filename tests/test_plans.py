@@ -178,6 +178,7 @@ _BOUNDED_BROADCAST_QUERIES = {
     "x56_curation_auto",  # composes x45_auto's two-level codebook products
     "x59_ingest_curation",  # composes x54's k-row codebook products
     "x59_ingest_curation_auto",  # composes x54_auto's two-level codebook products
+    "x60_ingest_funnel",  # one agg over x59: inherits its codebook products
     "x9_tfidf_keywords",
     "tpch_q22_dormant_customers",
     "tpch_q15_top_supplier",   # 1-row max join

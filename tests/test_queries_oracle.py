@@ -93,6 +93,9 @@ def test_x59_oracle_splices_component_texts_verbatim():
     spec59 = sql59[sql59.index("spec(lang, rate_bp)"):sql59.index("qt AS (")]
     spec56 = sql56[sql56.index("spec(lang, rate_bp)"):sql56.index("qt AS (")]
     assert spec59 == spec56
+    # the funnel composes x59: its oracle must splice the x59
+    # STATEMENT verbatim (one verdict definition on both sides)
+    assert sql59 in REGISTRY["x60_ingest_funnel"].sql
 
 
 def test_entry_smoke(spark):
