@@ -98,15 +98,30 @@ def measure(spark, copies: int) -> dict:
     k = similarity.recommended_kmeans_k(n_corpus)
 
     # the static index the stream probes: survivors (seed rows) + the
-    # codebook the stored assignment used, exactly the x54 bootstrap
-    survivors, cents = similarity.semdedup_corpus_index(
+    # fine codebook of the TWO-LEVEL fit (the deployment policy).  The
+    # flat fit at the 100x corpus (k=640 over 160 k vectors) drags
+    # multi-minute straggler tasks on skewed cells — the round-10
+    # abandonment; ``fmap`` is already a flat (cell, centroid) table
+    # the literal-codebook stream probe consumes directly.
+    survivors, fmap, _occ = similarity.semdedup_corpus_index_auto(
         corpus, "vec_id", "embedding", k=k
     )
     survivors = survivors.persist()
-    centroids = [(r["cell"], list(r["centroid"])) for r in cents.collect()]
+    centroids = [(r["cell"], list(r["centroid"])) for r in fmap.collect()]
+    # the stream assigns seeds by FLAT argmax over the literal fine
+    # codebook, while survivors carry the two-level ROUTED cell —
+    # near coarse-boundary vectors can differ; derive the state
+    # accounting from the stream's own assignment rule so state_rows
+    # reflects what the stream actually holds per cell
+    seed_assign = similarity._batch_assign(
+        survivors.select(
+            F.col("corpus_id").alias("__vid"), F.col("__cv").alias("__v")
+        ),
+        fmap.select("cell", "centroid"),
+    )
     seeds_per_cell = {
         r["cell"]: r["n"]
-        for r in survivors.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+        for r in seed_assign.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     n_seed = sum(seeds_per_cell.values())
 
@@ -139,10 +154,16 @@ def measure(spark, copies: int) -> dict:
         stamps: list[tuple[float, int]] = []
 
         def _sink(b, _id):
+            # persist before write+count: an unpersisted micro-batch
+            # DataFrame recomputes the full stateful probe per action,
+            # so the stamp would cover TWO executions of the decision
+            # batch and halve the headline rows/s (ADVICE r10)
             n = 0
             if not b.isEmpty():
+                b.persist()
                 b.write.mode("append").parquet(out)
                 n = b.count()
+                b.unpersist()
             stamps.append((time.perf_counter(), n))
 
         stream = (

@@ -54,6 +54,20 @@ def main() -> None:
         [sys.executable, "-m", "pytest", "tests/test_docs_scale_sync.py", "-q"]
     )
     if gate.returncode != 0:
+        # Only entries the CURRENT harness would replay count as
+        # pending: records banked under a bumped-away JOURNAL_EPOCH,
+        # or for (section, query) pairs since demoted out of a
+        # section, are dead weight — counting them would emit the
+        # "finish the resumed run" refusal for a red gate whose cause
+        # is something else entirely (ADVICE r10).
+        sys.path.insert(0, ROOT)
+        import bench_scale
+
+        registered: set[tuple[str, str]] = (
+            {("scale10", q) for q in bench_scale.QUERIES}
+            | {("scale100", q) for q in bench_scale.SCALE100_QUERIES}
+            | {("scale1000", q) for q in bench_scale.SCALE1000_QUERIES}
+        )
         journal = os.path.join(ROOT, "BENCH_SCALE_journal.jsonl")
         banked: set[tuple[str, str]] = set()
         if os.path.exists(journal):
@@ -62,6 +76,10 @@ def main() -> None:
                     try:
                         rec = json.loads(ln)
                     except ValueError:
+                        continue
+                    if rec.get("rev") != bench_scale.JOURNAL_EPOCH:
+                        continue
+                    if (rec["section"], rec["name"]) not in registered:
                         continue
                     banked.add((rec["section"], rec["name"]))
         installed: set[tuple[str, str]] = set()
