@@ -485,19 +485,18 @@ SCALE1000_QUERIES: tuple[str, ...] = (
     # (x45_auto here, spans/quality/sampling via x43/x49/x44) plus the
     # zero-extra-shuffle plan gate (tests/test_plans.py).  The 100x
     # composed point stays (banked: 14.96x vs 226x work growth).
-    # x53_incremental_neardup at 1000x was ATTEMPTED round 10 and is
-    # DISK-BOUND in this sandbox: the exact-Jaccard VERIFY stage at
-    # 5 M docs (candidate pairs joined back onto the shingle sets)
-    # spilled past the ~76 GB free-disk headroom and the executors
-    # died with SPILL_OUT_OF_MEMORY/no-space — a genuine capacity
-    # finding, recorded here rather than hidden (the fixed-k x54
-    # demotion policy).  The 1000x evidence for the near-dup ingestion
-    # stage is carried by x2b above (the same banded-LSH candidate
-    # generation over the same 5 M docs, banked at 84x/955x-pairs);
-    # x53's own probe+verify is banked at 10x (8.35x vs 9.57x pairs).
-    # Next-round fix: verify via an exploded shingle-token join
-    # (intersection counting without array payload shuffle) instead of
-    # carrying both shingle sets per candidate pair.
+    # x53_incremental_neardup at 1000x: ATTEMPTED round 10 with the
+    # raw-string exploded verify and DISK-BOUND (the |candidates| x
+    # shingles/doc intermediate spilled past the ~76 GB free-disk
+    # headroom at 5 M docs).  REINSTATED round 11 after the verify was
+    # rebuilt on packed 60-bit hashed-shingle sets
+    # (dedup.jaccard_for_candidates_packed): the widest verify
+    # intermediate is now |candidates| rows of two doc-length-bounded
+    # int64 arrays scored in-row by array_intersect — no exploded
+    # join, no post-join corpus-wide aggregation.  Candidate
+    # generation at this scale was already proven by x2b (banked
+    # 84x / 955x-pairs); this entry adds the full probe+verify.
+    "x53_incremental_neardup",
 )
 SCALE1000_TABLES = ("region", "nation", "events", "documents", "embeddings")
 

@@ -100,6 +100,125 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
     )
 
 
+#: Hex prefix length of the portable shingle hash: 15 hex chars = 60
+#: bits — fits signed int64 on both engines (Spark ``conv(..,16,10)``
+#: ≡ DuckDB ``('0x'||..)::BIGINT``, the round-3 portable-hash rule) and
+#: keeps the expected global collision count ~0.1 even at 5 M docs /
+#: 5·10⁸ distinct shingles.  Collisions are SHARED: both engines merge
+#: the same two shingles, so the oracle can never drift.
+SHINGLE_HASH_HEX = 15
+
+
+def shingle_hash64(col: F.Column | str) -> F.Column:
+    """Portable md5-int64 shingle hash (see ``SHINGLE_HASH_HEX``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, SHINGLE_HASH_HEX), 16, 10).cast(
+        "bigint"
+    )
+
+
+def doc_shingle_hash_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Per-doc DISTINCT hashed-shingle SET as an in-row array —
+    ``(id, sh_set array<bigint>, set_size int)`` — the verify-side
+    representation of the near-dup pipeline (x2f/x53).
+
+    Why hashes instead of the raw 3-word strings: the exact-Jaccard
+    verify ships every candidate's shingle set across a shuffle; at
+    5 M docs the raw-string stream is ~190 GB and spilled past this
+    sandbox's disk (round-10 finding).  A 60-bit md5 hash carries the
+    same set semantics at 8 bytes/shingle, and because BOTH engines
+    compute the identical ``md5`` prefix, any collision merges the
+    same pair of shingles on both sides — verify results stay
+    oracle-exact by construction.
+
+    Why an ARRAY instead of exploded rows: set size falls out in-row
+    (no extra aggregate), and the pair verify becomes one
+    ``array_intersect`` per candidate (|candidates| intermediate rows)
+    instead of a |candidates|×shingles/doc exploded join followed by a
+    corpus-wide groupBy — see :func:`jaccard_for_candidates_packed`.
+    Arrays are bounded by document length, never corpus size.
+
+    Same two scale shapes as :func:`doc_shingles`: tokenize ONCE
+    behind a projection boundary, dedup map-side (``array_distinct``
+    over the hashes, which also collapses any within-doc collision
+    exactly as the oracle's ``list(DISTINCT ...)`` does)."""
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+    sh = F.expr(
+        f"""
+        CASE WHEN size(__toks) >= {n}
+             THEN array_distinct(transform(
+                    sequence(0, size(__toks) - {n}),
+                    i -> CAST(conv(substr(md5(
+                            array_join(slice(__toks, i + 1, {n}), ' ')),
+                            1, {SHINGLE_HASH_HEX}), 16, 10) AS BIGINT)))
+             ELSE CAST(array() AS ARRAY<BIGINT>)
+        END
+        """
+    )
+    return toks.select(F.col(id_col), sh.alias("sh_set")).withColumn(
+        "set_size", F.size("sh_set")
+    )
+
+
+def jaccard_for_candidates_packed(
+    doc_sets: DataFrame,
+    id_col: str,
+    candidates: DataFrame,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact hashed-shingle Jaccard over candidate pairs via in-row
+    set intersection — the scale form of
+    :func:`jaccard_for_candidates` (x2f/x53 verify stage).
+
+    ``doc_sets`` is :func:`doc_shingle_hash_sets` output.  Two id
+    equi-joins attach each side's packed set to the pair, then
+    ``size(array_intersect(...))`` scores the pair IN-ROW: the widest
+    intermediate is |candidates| rows (two doc-length-bounded arrays
+    each) and there is NO post-join aggregation — versus the exploded
+    form's |candidates| × shingles/doc join feeding a corpus-wide
+    groupBy, which is what spilled past disk at the 5 M-doc point.
+    A hot document appearing in many candidate pairs replicates its
+    array per pair; that skew is join-key skew on the id, which AQE
+    skew-split handles like any other.
+
+    Chance-band-collision pairs sharing no shingle score 0 and fall to
+    the threshold filter (the exploded form dropped them via the inner
+    join — same output)."""
+    a = doc_sets.select(
+        F.col(id_col).alias("id_a"),
+        F.col("sh_set").alias("__sa"),
+        F.col("set_size").alias("size_a"),
+    )
+    b = doc_sets.select(
+        F.col(id_col).alias("id_b"),
+        F.col("sh_set").alias("__sb"),
+        F.col("set_size").alias("size_b"),
+    )
+    scored = (
+        candidates.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("__sa", "__sb")).alias("n_inter"),
+            "size_a",
+            "size_b",
+        )
+    )
+    return scored.select(
+        "id_a",
+        "id_b",
+        # unrounded (exact-int inputs → bit-identical division)
+        (
+            F.col("n_inter").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_inter"))
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
 def minhash_signatures(
     ds: DataFrame, id_col: str, n_bands: int = 8
 ) -> DataFrame:

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from data_engineer_project_weather_analytics_spark.operators import dedup, similarity
 from data_engineer_project_weather_analytics_spark.operators.prefix_sum import distributed_cumsum
 from data_engineer_project_weather_analytics_spark.plans.analytics import ORACLES_ANALYTICS
+from data_engineer_project_weather_analytics_spark.operators.dedup import SHINGLE_HASH_HEX
 from data_engineer_project_weather_analytics_spark.plans.oracles_extensions import (
     _OK_BUCKETS,
     _SHINGLES,
@@ -477,7 +478,13 @@ def x33_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = toks.select(
         "doc_id", F.posexplode(chunk_arr).alias("pos", "chunk")
     )
-    w = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "pos")
+    # partition on the 60-bit md5-int64 chunk hash (dedup.shingle_hash64
+    # — 8-byte shuffle key vs the 32-char md5 hex string); collisions
+    # are shared with the oracle by construction, so "first occurrence
+    # per chunk hash" is the same set on both engines
+    w = Window.partitionBy(dedup.shingle_hash64("chunk")).orderBy(
+        "doc_id", "pos"
+    )
     kept = (
         ch.select(
             "doc_id", "pos", "chunk", F.row_number().over(w).alias("__r")
@@ -2825,8 +2832,10 @@ ORACLES_CORPUS: dict[str, str] = {
         kept AS (
             SELECT doc_id, pos, chunk FROM (
                 SELECT doc_id, pos, chunk,
-                       row_number() OVER (PARTITION BY md5(chunk)
-                                          ORDER BY doc_id, pos) AS __r
+                       row_number() OVER (
+                           PARTITION BY ('0x' || substr(md5(chunk), 1,
+                               {SHINGLE_HASH_HEX}))::BIGINT
+                           ORDER BY doc_id, pos) AS __r
                 FROM ch
             ) WHERE __r = 1
         ),

@@ -100,18 +100,22 @@ def x2c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def x2f_lsh_verified_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full production near-dup pipeline: LSH candidates verified
-    by exact Jaccard ≥ 0.1.  The exact-Jaccard work is computed ONLY
-    for candidate pairs (shingles join *through* the candidate table in
-    :func:`dedup.jaccard_for_candidates`), so the verifier cost is
-    proportional to |candidates| — not to all co-shingle pairs in the
-    corpus, which is what LSH pruning exists to avoid."""
+    by exact Jaccard ≥ 0.1 over PORTABLE-HASHED shingle sets.  The
+    verify work is computed ONLY for candidate pairs, and each pair is
+    scored in-row from packed 60-bit-hash arrays
+    (:func:`dedup.jaccard_for_candidates_packed`): the widest verify
+    intermediate is |candidates| rows — the raw-string exploded join
+    it replaces was ~190 GB at 5 M docs and spilled past sandbox disk
+    (round-10 finding).  Hash collisions are shared with the DuckDB
+    oracle by construction (same md5 prefix), so the verify stays
+    oracle-exact."""
     docs = load_table(spark, sf_dir, "documents")
     ds = dedup.doc_shingles(docs, "doc_id", "text", n=3)
-    # one aggregation yields signatures AND set sizes (shared exchange)
-    sigs, sizes = dedup.minhash_with_sizes(ds, "doc_id", n_bands=8)
+    sigs = dedup.minhash_signatures(ds, "doc_id", n_bands=8)
     candidates = dedup.lsh_candidate_pairs(sigs, "doc_id", max_bucket=LSH_MAX_BUCKET)
-    return dedup.jaccard_for_candidates(
-        ds, "doc_id", candidates, threshold=0.1, sizes=sizes
+    doc_sets = dedup.doc_shingle_hash_sets(docs, "doc_id", "text", n=3)
+    return dedup.jaccard_for_candidates_packed(
+        doc_sets, "doc_id", candidates, threshold=0.1
     )
 
 
@@ -122,24 +126,26 @@ def x53_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic id-hash split stands in for the corpus/batch
     boundary (train = corpus, test = batch).
 
-    Scale shape: signatures and set sizes come from ONE aggregation
-    over ONE shingle explode (minhash_with_sizes); candidates are the
-    corpus×batch cross product WITHIN kept buckets only
-    (lsh_candidate_pairs_cross — same pre-counted [2, max] bucket cap
-    as the bootstrap, so no within-corpus pairs and no signature
-    self-join); the exact-Jaccard verifier touches candidate pairs
-    only.  At 100 TB the corpus side's signature table would be a
+    Scale shape: candidates are the corpus×batch cross product WITHIN
+    kept buckets only (lsh_candidate_pairs_cross — same pre-counted
+    [2, max] bucket cap as the bootstrap, so no within-corpus pairs
+    and no signature self-join); the verifier scores candidate pairs
+    in-row from packed hashed-shingle sets
+    (:func:`dedup.jaccard_for_candidates_packed` — the raw-string
+    exploded verify spilled past disk at the 5 M-doc point, round 10).
+    At 100 TB the corpus side's signature table would be a
     materialized index updated per batch — the probe and verify
     stages measured here are the recurring cost."""
     docs = load_table(spark, sf_dir, "documents")
     ds = dedup.doc_shingles(docs, "doc_id", "text", n=3)
-    sigs, sizes = dedup.minhash_with_sizes(ds, "doc_id", n_bands=8)
+    sigs = dedup.minhash_signatures(ds, "doc_id", n_bands=8)
     sided = sigs.withColumn("side", text.deterministic_split("doc_id"))
     cand = dedup.lsh_candidate_pairs_cross(
         sided, "doc_id", "side", max_bucket=LSH_MAX_BUCKET
     )
-    return dedup.jaccard_for_candidates(
-        ds, "doc_id", cand, threshold=0.1, sizes=sizes
+    doc_sets = dedup.doc_shingle_hash_sets(docs, "doc_id", "text", n=3)
+    return dedup.jaccard_for_candidates_packed(
+        doc_sets, "doc_id", cand, threshold=0.1
     ).select(
         F.col("id_a").alias("corpus_doc_id"),
         F.col("id_b").alias("batch_doc_id"),

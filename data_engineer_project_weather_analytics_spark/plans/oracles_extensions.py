@@ -13,6 +13,7 @@ from data_engineer_project_weather_analytics_spark.operators.multimodal import (
     N_VIDEO_FRAMES,
     VIDEO_FPS,
 )
+from data_engineer_project_weather_analytics_spark.operators.dedup import SHINGLE_HASH_HEX
 from data_engineer_project_weather_analytics_spark.operators.similarity import ANN_TOPK, seeded_hyperplanes
 from data_engineer_project_weather_analytics_spark.operators.text import PII_PATTERNS
 from data_engineer_project_weather_analytics_spark.plans.extensions import LSH_MAX_BUCKET
@@ -224,6 +225,20 @@ _SHINGLES = """
                         string_split(text, ' ')[i+1] || ' ' ||
                         string_split(text, ' ')[i+2])) AS shingle
         FROM documents
+"""
+
+#: per-doc DISTINCT hashed-shingle set (packed) — the verify-side
+#: twin of operators.dedup.doc_shingle_hash_sets: same md5 prefix
+#: (SHINGLE_HASH_HEX = 15 hex chars = 60 bits), so any hash collision
+#: merges the same two shingles on both engines and the exact-Jaccard
+#: verify can never drift.  Assumes a CTE named ``ds`` in scope.
+_HASH_SETS = f"""
+            SELECT doc_id, sh_set, len(sh_set) AS set_size FROM (
+                SELECT doc_id,
+                       list(DISTINCT ('0x' || substr(md5(shingle), 1,
+                           {SHINGLE_HASH_HEX}))::BIGINT) AS sh_set
+                FROM ds GROUP BY doc_id
+            )
 """
 
 _SIGNATURES = f"""
@@ -458,22 +473,22 @@ ORACLES_EXT: dict[str, str] = {
             JOIN ok_buckets ob ON ob.band = a.band AND ob.minhash = a.minhash
             WHERE a.doc_id < b.doc_id
         ),
-        sizes AS (SELECT doc_id, count(*) AS set_size FROM ds GROUP BY doc_id),
-        inter AS (
-            SELECT c.id_a, c.id_b, count(*) AS n_inter
+        dsa AS ({_HASH_SETS}),
+        scored AS (
+            SELECT c.id_a, c.id_b,
+                   CAST(len(list_intersect(a.sh_set, b.sh_set)) AS BIGINT)
+                       AS n_inter,
+                   a.set_size AS size_a, b.set_size AS size_b
             FROM candidates c
-            JOIN ds a ON a.doc_id = c.id_a
-            JOIN ds b ON b.doc_id = c.id_b AND b.shingle = a.shingle
-            GROUP BY c.id_a, c.id_b
+            JOIN dsa a ON a.doc_id = c.id_a
+            JOIN dsa b ON b.doc_id = c.id_b
         )
         SELECT id_a, id_b,
                CAST(n_inter AS DOUBLE) /
-                   (sa.set_size + sb.set_size - n_inter) AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
+                   (size_a + size_b - n_inter) AS jaccard
+        FROM scored
         WHERE CAST(n_inter AS DOUBLE) /
-                  (sa.set_size + sb.set_size - n_inter) >= 0.1
+                  (size_a + size_b - n_inter) >= 0.1
     """,
     # cross-side candidates only (corpus = md5(id) < 'cd', batch = the
     # rest); same kept-bucket cap as x2b/x2f, same verifier
@@ -495,22 +510,22 @@ ORACLES_EXT: dict[str, str] = {
             WHERE md5(CAST(a.doc_id AS VARCHAR)) < 'cd'
               AND md5(CAST(b.doc_id AS VARCHAR)) >= 'cd'
         ),
-        sizes AS (SELECT doc_id, count(*) AS set_size FROM ds GROUP BY doc_id),
-        inter AS (
-            SELECT c.id_a, c.id_b, count(*) AS n_inter
+        dsa AS ({_HASH_SETS}),
+        scored AS (
+            SELECT c.id_a, c.id_b,
+                   CAST(len(list_intersect(a.sh_set, b.sh_set)) AS BIGINT)
+                       AS n_inter,
+                   a.set_size AS size_a, b.set_size AS size_b
             FROM candidates c
-            JOIN ds a ON a.doc_id = c.id_a
-            JOIN ds b ON b.doc_id = c.id_b AND b.shingle = a.shingle
-            GROUP BY c.id_a, c.id_b
+            JOIN dsa a ON a.doc_id = c.id_a
+            JOIN dsa b ON b.doc_id = c.id_b
         )
         SELECT id_a AS corpus_doc_id, id_b AS batch_doc_id,
                CAST(n_inter AS DOUBLE) /
-                   (sa.set_size + sb.set_size - n_inter) AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
+                   (size_a + size_b - n_inter) AS jaccard
+        FROM scored
         WHERE CAST(n_inter AS DOUBLE) /
-                  (sa.set_size + sb.set_size - n_inter) >= 0.1
+                  (size_a + size_b - n_inter) >= 0.1
     """,
     "x2d_simhash": """
         WITH tok AS (

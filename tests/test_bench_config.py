@@ -151,7 +151,7 @@ def test_bench_scale_accounted_targets_are_timed():
 #: an already-journaled work_rows kind, replica construction,
 #: ACCOUNTING_SLACK)?  If yes → bump JOURNAL_EPOCH too (full
 #: re-measure); if purely additive → keep the epoch and the bank.
-_BENCH_SCALE_MD5 = "61eb88b3240818f82df235e5a648be95"
+_BENCH_SCALE_MD5 = "1eda163f3d68b8a9b76246b666fb2ed0"
 
 
 def test_journal_epoch_discipline():

@@ -256,6 +256,46 @@ def test_duplicate_clusters_long_chain_converges(spark):
     assert len(got) == 30
 
 
+def test_packed_jaccard_matches_exploded_verify(spark):
+    """The packed hashed-shingle verify (x2f/x53's scale form) must
+    reproduce the raw-string exploded verify EXACTLY on a real corpus
+    slice: same pairs, bit-identical jaccard (60-bit hashing leaves
+    set sizes and intersections untouched absent collisions, and a
+    collision would be shared with the oracle anyway)."""
+    from data_engineer_project_weather_analytics_spark.operators import dedup
+    from data_engineer_project_weather_analytics_spark.sources.catalog import load_table
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    ds = dedup.doc_shingles(docs, "doc_id", "text", n=3)
+    sigs, sizes = dedup.minhash_with_sizes(ds, "doc_id", n_bands=8)
+    cand = dedup.lsh_candidate_pairs(sigs, "doc_id", max_bucket=100)
+    old = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_for_candidates(
+            ds, "doc_id", cand, threshold=0.1, sizes=sizes
+        ).collect()
+    }
+    doc_sets = dedup.doc_shingle_hash_sets(docs, "doc_id", "text", n=3)
+    new = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_for_candidates_packed(
+            doc_sets, "doc_id", cand, threshold=0.1
+        ).collect()
+    }
+    assert old == new and len(new) > 0
+    # and the packed set sizes equal the raw distinct-shingle counts
+    raw_sizes = {r.doc_id: r.set_size for r in sizes.collect()}
+    packed_sizes = {
+        r.doc_id: r.set_size
+        for r in doc_sets.filter("set_size > 0").collect()
+    }
+    assert packed_sizes == {
+        d: n for d, n in raw_sizes.items() if n > 0
+    }
+
+
 def test_minhash_bands_beyond_digest_are_nonempty(spark):
     from data_engineer_project_weather_analytics_spark.operators.dedup import doc_shingles, minhash_signatures
 

@@ -127,6 +127,30 @@ def test_lsh_verifier_is_candidate_pruned(spark):
     assert out.count() <= 1
 
 
+def test_packed_verifier_is_aggregation_free(spark):
+    """x2f/x53's packed verify must score each candidate pair IN-ROW
+    (array_intersect over the two packed hash sets): no aggregation
+    node anywhere in the verify subplan — the exploded form's
+    post-join corpus-wide groupBy is exactly what spilled past disk at
+    the 5 M-doc 1000x point (round 10).  The widest intermediate is
+    |candidates| rows by construction."""
+    from data_engineer_project_weather_analytics_spark.operators import dedup
+    from data_engineer_project_weather_analytics_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    doc_sets = dedup.doc_shingle_hash_sets(docs, "doc_id", "text", n=3)
+    cand = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = dedup.jaccard_for_candidates_packed(doc_sets, "doc_id", cand, threshold=0.0)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = out._jdf.queryExecution().explainString(mode)
+    assert "array_intersect" in plan
+    assert "Aggregate" not in plan, plan  # no Hash/Sort/ObjectAggregate
+    assert out.count() <= 1
+    # and the registered x2f pipeline carries the packed verify
+    x2f_plan = _formatted_plan(spark, "x2f_lsh_verified_neardup")
+    assert "array_intersect" in x2f_plan
+
+
 def test_lsh_hot_bucket_capped(spark):
     """A planted mega-bucket (every doc sharing one band signature) must
     emit ZERO pairs when max_bucket caps it — not O(n²)."""
