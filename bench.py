@@ -152,6 +152,7 @@ HEADLINE: dict[str, str] = {
     "x48_sequence_packing": "checksum",
     "x49_span_dedup_rewrite": "checksum",
     "x50_pq_topk": "collect",
+    "x50b_pq_topk_stored": "collect",
     "x51_ivfpq_topk": "collect",
     "x53_incremental_neardup": "checksum",
     "x54_incremental_semdedup": "checksum",
@@ -160,6 +161,14 @@ HEADLINE: dict[str, str] = {
     "x57_reduced_recall": "collect",
     "x58_sq8_recall": "collect",
     "x59_ingest_curation": "checksum",
+    # the auto-k deployment twins (VERDICT r10 task 5): the shapes that
+    # actually run beyond ~10x sf0.1 now carry per-round timings too —
+    # at sf0.1 recommended_kmeans_k(2000) floors to the oracle k, so
+    # these measure the two-level machinery at the registered geometry
+    "x45_semdedup_auto": "checksum",
+    "x54_incremental_semdedup_auto": "checksum",
+    "x56_curation_auto": "checksum",
+    "x59_ingest_curation_auto": "checksum",
 }
 
 
@@ -230,6 +239,14 @@ def main() -> None:
     # x45's 1.35x r8->r9 drift was eyeballed, not gated.  Reference
     # frozen in BASELINE.md at the r9 idle-machine measurement.
     heavy7 = new5_r8 + ["x45_semdedup_keep", "x59_ingest_curation"]
+    # the auto-k deployment twins (r11): their own trend subtotal so
+    # the shapes recommended beyond ~10x sf0.1 are gated like the
+    # fixed-k oracle anchors; reference frozen in BASELINE.md at the
+    # first idle-machine measurement
+    auto4 = (
+        "x45_semdedup_auto x54_incremental_semdedup_auto "
+        "x56_curation_auto x59_ingest_curation_auto"
+    ).split()
     print(
         json.dumps(
             {
@@ -250,6 +267,9 @@ def main() -> None:
                 ),
                 "heavy7_total": round(
                     sum(timings[n] for n in heavy7 if n in timings), 3
+                ),
+                "auto4_total": round(
+                    sum(timings[n] for n in auto4 if n in timings), 3
                 ),
                 "load_factor": (
                     round(load_factor, 3) if load_factor is not None else None

@@ -141,6 +141,11 @@ QUERIES: tuple[str, ...] = (
     "x45_semdedup_auto",
     "x49_span_dedup_rewrite",
     "x50_pq_topk",
+    # the stored-index read path split out of x50: the index BUILD is
+    # an eager side effect at plan-construction time (before run()'s
+    # t0), so the timed region is the pure query — scan of the stored
+    # m-int codes vs x50's full in-query re-train+scan
+    "x50b_pq_topk_stored",
     "x51_ivfpq_topk",
     "x53_incremental_neardup",
     "x54_incremental_semdedup",
@@ -235,6 +240,10 @@ ACCOUNTED: dict[str, str] = {
     # broadcast codebook; ADC scoring is |queries| * n broadcast rows —
     # both input-linear in the corpus
     "x50_pq_topk": "input_rows:embeddings",
+    # the stored-index query scans one codes row per corpus vector
+    # (ADC against broadcast distance tables) — input-linear, with a
+    # far smaller constant than x50's in-query form
+    "x50b_pq_topk_stored": "input_rows:embeddings",
     # IVFADC adds the centroid pass (corpus-linear) and PRUNES the ADC
     # scan to probed cells — still corpus-bounded
     "x51_ivfpq_topk": "input_rows:embeddings",
@@ -462,6 +471,12 @@ SCALE1000_QUERIES: tuple[str, ...] = (
     # corpus-linear (input-row accounting), and IVFADC must show the
     # probe PRUNING the ADC scan on top of it
     "x50_pq_topk",
+    # the stored-index read path at the same 2 M-vector point: the
+    # build happens once at plan-construction (untimed); the timed
+    # query is the stored-codes scan + broadcast distance tables —
+    # the build-once/probe-forever 100 TB ANN contrast to x50's
+    # in-query re-train
+    "x50b_pq_topk_stored",
     "x51_ivfpq_topk",
     # the remaining two compression-recall dials at the 2 M-vector
     # point: both are a constant number of corpus passes against an

@@ -18,9 +18,43 @@ from __future__ import annotations
 
 import math
 import random
+import warnings
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+class SemDedupScaleWarning(UserWarning):
+    """Raised (as a warning) when a FIXED-k flat SemDeDup form is run
+    on a corpus its cell count cannot carry — the oracle-anchor
+    configurations (x45/x54/x56/x59 fixed-k) are quadratic by
+    construction once cells outgrow ``target_cell`` (within-cell pair
+    work is O(Σ cell²)); the deployment shapes are
+    ``recommended_kmeans_k`` + ``two_level=True`` / the ``_auto``
+    registry twins."""
+
+
+#: a fixed-k flat run whose EXPECTED cell width exceeds this multiple
+#: of the deployment target (250 vectors/cell) warns loudly: ~10x the
+#: sf0.1 corpus is where the measured wall-clock turns quadratic
+#: (PARITY.md scale table: 22x wall at 10x input for x45 fixed-k)
+FIXED_K_CELL_GUARD = 10
+
+
+def _warn_fixed_k_scale(n_vectors: int, k: int, target_cell: int = 250) -> None:
+    if n_vectors > k * target_cell * FIXED_K_CELL_GUARD:
+        warnings.warn(
+            SemDedupScaleWarning(
+                f"flat fixed-k SemDeDup over {n_vectors} vectors with "
+                f"k={k} (expected cell width {n_vectors // max(k, 1)} ≫ "
+                f"target {target_cell}): within-cell pair work is "
+                "O(Σ cell²) — this configuration is the DuckDB oracle "
+                "anchor, not the deployment shape.  Use "
+                "k=recommended_kmeans_k(n) with two_level=True (the "
+                "registered *_auto twins) beyond ~10x the sf0.1 corpus."
+            ),
+            stacklevel=3,
+        )
 
 
 #: the ONE ANN top-k: the registered x3 (exact), x3d (LSH) and x3e
@@ -812,6 +846,11 @@ def semdedup_keep(
             broadcast_fine=broadcast_fine,
         )
     else:
+        # loud guard: the flat fixed-k form is the oracle anchor; past
+        # ~10x the sf0.1 corpus its cell widths make the pair stream
+        # quadratic (the count is a metadata-cheap pruned-scan job and
+        # runs once, at plan-construction time)
+        _warn_fixed_k_scale(vectors.select(id_col).count(), k)
         assigned = kmeans_assign(vectors, id_col, vec_col, k, n_iter, keep_vec=True)
     a = assigned.select(
         F.col(id_col).alias("id_a"), "cluster_id", F.col("vec").alias("__va")
@@ -870,6 +909,9 @@ def semdedup_corpus_index(
     In production both sides live as tables updated per ingestion
     batch; here they are recomputed per query — the probe/verify
     stages measured by x54 are the recurring cost (the x53 framing)."""
+    # same loud guard as semdedup_keep: the flat fixed-k index is the
+    # oracle anchor; the deployment form is semdedup_corpus_index_auto
+    _warn_fixed_k_scale(corpus.select(id_col).count(), k)
     cv = corpus.select(
         F.col(id_col).alias("__vid"), _as_double(vec_col).alias("__v")
     )
@@ -1562,6 +1604,111 @@ def ivfpq_topk(
     )
     scored = (
         codes.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(_pq_adc_expr(m)).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )
+
+
+def pq_index_write(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_dir: str,
+    *,
+    dim: int,
+    m: int = 4,
+    n_codewords: int = 16,
+) -> None:
+    """Materialize the PQ index :func:`pq_topk_stored` queries — the
+    BUILD half of the production split (Jégou et al.'s index lives on
+    disk; x50's in-query coding re-trains it per run, ~90 s of the
+    measured 1000x wall).  Writes under ``index_dir``:
+
+    * ``codes`` — ``(vec_id, codes array<int>)``: m small ints per
+      vector, the 100 TB-resident part (4 × 4 bits here vs 64 float32
+      components — the scan that replaces the corpus scan);
+    * ``codebook`` — ONE row ``(cb, qmax)``: the codeword structs plus
+      the global quantizer max, so the query side replays the exact
+      ``floor(x · (127/qmax))`` tree the codes were built with
+      (bit-identical doubles after the parquet round-trip).
+
+    Same deterministic construction as :func:`pq_topk` — a stored
+    index queried by :func:`pq_topk_stored` returns byte-identical
+    rows to the in-query form, which is what lets x50b share x50's
+    DuckDB oracle text verbatim."""
+    d4 = dim // m
+    assert d4 * m == dim, "dim must divide into m equal subspaces"
+    v = vectors.select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("emb"))
+    qz = _pq_quantize(v)
+    cbrow = _pq_codebook(qz, n_codewords)
+    qmax = v.agg(F.max(F.array_max(F.transform("emb", F.abs))).alias("qmax"))
+    cbrow.crossJoin(qmax).write.mode("overwrite").parquet(
+        f"{index_dir}/codebook"
+    )
+    withcb = qz.crossJoin(F.broadcast(cbrow))
+    withcb.select(
+        "vec_id", F.expr(_pq_codes_expr(m, d4, n_codewords)).alias("codes")
+    ).write.mode("overwrite").parquet(f"{index_dir}/codes")
+
+
+def pq_topk_stored(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    dim: int,
+    m: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """ADC top-k against a STORED PQ index (:func:`pq_index_write`) —
+    the recurring 100 TB read path: build once, probe forever.
+
+    Per-query cost: one scan of the ``codes`` parquet (m ints/row —
+    the embedding column is never read), one 1-row codebook broadcast,
+    |queries| distance tables computed from the STORED quantizer max
+    (no corpus-wide max aggregate, no code assignment — the training
+    stages x50 re-runs in-query are absent from this plan, which the
+    plan gate pins), and the rank ≤ k window (WindowGroupLimit).
+    Results are byte-identical to :func:`pq_topk` on the same corpus
+    by construction."""
+    d4 = dim // m
+    assert d4 * m == dim, "dim must divide into m equal subspaces"
+    cb = spark.read.parquet(f"{index_dir}/codebook")  # 1 row: (cb, qmax)
+    codes = spark.read.parquet(f"{index_dir}/codes")
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("emb")
+        )
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "query_id",
+            "cb",
+            # the stored quantizer tree: x * (127/qmax), NOT (x*127)/qmax
+            F.transform(
+                "emb",
+                lambda x: F.floor(x * (F.lit(127.0) / F.col("qmax"))).cast(
+                    "bigint"
+                ),
+            ).alias("qv"),
+        )
+        .select("query_id", F.expr(_pq_dtab_expr(m, d4)).alias("dtab"))
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",

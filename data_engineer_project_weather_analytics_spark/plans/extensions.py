@@ -905,6 +905,46 @@ def x50_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: stored-PQ-index root: build-once cache keyed to the sf dir (path
+#: hash).  /tmp because the testdata dirs are read-only; in production
+#: this is a lakehouse table the ingestion pipeline maintains.
+_PQ_INDEX_ROOT = "/tmp/spark_graft_pq_index"
+
+
+def x50b_pq_topk_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x50 split into the production BUILD/QUERY halves: the PQ codes
+    and codebook are materialized to parquet ONCE per corpus
+    (operators/similarity.py:pq_index_write — idempotent, keyed to the
+    sf dir) and the query scans the STORED codes (pq_topk_stored):
+    m=4 ints per row instead of 64 floats, distance tables from the
+    stored quantizer max, no codebook-training stages in the per-query
+    plan (plan-gated).  This is the real 100 TB ANN read path — build
+    once, probe forever; x50's in-query coding is the oracle-friendly
+    single-statement form.  Output is byte-identical to x50 by
+    construction, so this query shares x50's DuckDB oracle verbatim."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:12]
+    idx = os.path.join(_PQ_INDEX_ROOT, tag)
+    marker = os.path.join(idx, "_DONE")
+    if not os.path.exists(marker):
+        emb = load_table(spark, sf_dir, "embeddings")
+        similarity.pq_index_write(
+            emb, "vec_id", "embedding", idx,
+            dim=_PQ_DIM, m=_PQ_M, n_codewords=_PQ_CODEWORDS,
+        )
+        with open(marker, "w") as fh:
+            fh.write(sf_dir)
+    queries = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _PQ_QUERIES
+    )
+    return similarity.pq_topk_stored(
+        spark, idx, queries, "vec_id", "embedding",
+        dim=_PQ_DIM, m=_PQ_M, k=_PQ_TOPK,
+    )
+
+
 def x51_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC (operators/similarity.py:ivfpq_topk): x3e's inverted-file
     cell probe composed with x50's PQ/ADC scoring — IVF prunes the scan

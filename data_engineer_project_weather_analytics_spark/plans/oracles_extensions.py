@@ -1737,3 +1737,10 @@ for _name in ("x50_pq_topk", "x51_ivfpq_topk", "x52_pq_recall", "x55_ivfpq_recal
 # x57/x58 share only the quantizer prefix of the PQ chain
 for _name in ("x57_reduced_recall", "x58_sq8_recall"):
     ORACLES_EXT[_name] = ORACLES_EXT[_name].replace("__QZ_CTES__", _QZ_CTES)
+
+# x50b queries the STORED PQ index; its output is byte-identical to
+# x50's in-query form by construction (same quantizer max, codebook
+# and codes, round-tripped exactly through parquet doubles), so the
+# oracle is x50's text verbatim — any drift between the stored and
+# in-query paths fails the hash check immediately.
+ORACLES_EXT["x50b_pq_topk_stored"] = ORACLES_EXT["x50_pq_topk"]

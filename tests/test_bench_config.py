@@ -57,8 +57,16 @@ def test_bench_headline_is_registered_with_valid_modes():
     # since r10) folds x45 + x59 into a gated trend too
     heavy7 = new5 + ["x45_semdedup_keep", "x59_ingest_curation"]
     assert [n for n in heavy7 if n not in bench.HEADLINE] == []
+    # the r11 auto-twin subtotal (auto4_total): the deployment shapes
+    # recommended beyond ~10x sf0.1 must stay under per-round timing
+    auto4 = (
+        "x45_semdedup_auto x54_incremental_semdedup_auto "
+        "x56_curation_auto x59_ingest_curation_auto"
+    ).split()
+    assert [n for n in auto4 if n not in bench.HEADLINE] == []
     import inspect
 
+    assert '"auto4_total"' in inspect.getsource(bench.main)
     assert '"new5_r8_total"' in inspect.getsource(bench.main)
     assert '"heavy7_total"' in inspect.getsource(bench.main)
 
@@ -151,7 +159,7 @@ def test_bench_scale_accounted_targets_are_timed():
 #: an already-journaled work_rows kind, replica construction,
 #: ACCOUNTING_SLACK)?  If yes → bump JOURNAL_EPOCH too (full
 #: re-measure); if purely additive → keep the epoch and the bank.
-_BENCH_SCALE_MD5 = "1eda163f3d68b8a9b76246b666fb2ed0"
+_BENCH_SCALE_MD5 = "b62d4507ac8d77203d4801b9b24c85c8"
 
 
 def test_journal_epoch_discipline():
@@ -179,6 +187,35 @@ def test_journal_epoch_discipline():
             f"journal carries stale epochs {revs - {bench_scale.JOURNAL_EPOCH}}: "
             "prune them or delete the journal"
         )
+
+
+def test_ingest_bench_artifact_is_green():
+    """The committed REST-ingest micro-bench (VERDICT r10 task 6): the
+    partition-parallel fetch path must have fetched AND parsed every
+    city end-to-end, and the throttled regime must demonstrate the
+    design point — aggregate rate well above the reference's
+    one-thread sequential floor (14 cities x 0.4 s = 5.6 s/run)."""
+    import json
+
+    import pytest
+
+    if not (ROOT / "INGEST_BENCH.json").exists():
+        pytest.skip(
+            "INGEST_BENCH.json not yet generated on this machine — run "
+            "`python bench_ingest.py` on an idle machine and commit "
+            "the emitted line"
+        )
+    data = json.loads((ROOT / "INGEST_BENCH.json").read_text())
+    u = data["unthrottled"]
+    assert u["parsed_rows"] == u["n_cities"]  # no payload lost end-to-end
+    t = data["throttled"]
+    assert t["fetched"] == t["n_cities"]
+    # partition-parallel throttling must beat the sequential floor by
+    # a wide margin (32 partitions; allow scheduling overhead)
+    assert t["speedup_vs_sequential"] >= 8, t
+    # and the unthrottled machinery is orders above the reference's
+    # 2.5 rows/s (1 city / 0.4 s)
+    assert u["rows_per_s"] >= 100, u
 
 
 def test_stream_bench_artifact_is_green():

@@ -296,6 +296,44 @@ def test_packed_jaccard_matches_exploded_verify(spark):
     }
 
 
+def test_fixed_k_scale_guard_warns(spark, monkeypatch):
+    """The flat fixed-k SemDeDup forms are oracle anchors: running one
+    on a corpus whose expected cell width exceeds the guard must warn
+    loudly (VERDICT r10 task 7), and the deployment-sized configuration
+    must stay silent."""
+    import warnings as w
+
+    from data_engineer_project_weather_analytics_spark.operators import similarity
+
+    # threshold arithmetic: warn iff n > k * target_cell * guard
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        similarity._warn_fixed_k_scale(20_000, 8)   # == bound: silent
+        similarity._warn_fixed_k_scale(20_001, 8)   # past bound: warns
+    assert len(rec) == 1
+    assert issubclass(rec[0].category, similarity.SemDedupScaleWarning)
+
+    # end-to-end: semdedup_keep's flat path emits it (guard pinned to 0
+    # so a 10-row corpus trips it), the two-level path never does
+    rows = [Row(vec_id=i, embedding=[float(i), 1.0]) for i in range(10)]
+    df = spark.createDataFrame(rows)
+    monkeypatch.setattr(similarity, "FIXED_K_CELL_GUARD", 0)
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        similarity.semdedup_keep(df, "vec_id", "embedding", k=2)
+    assert any(
+        issubclass(r.category, similarity.SemDedupScaleWarning) for r in rec
+    )
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        similarity.semdedup_keep(
+            df, "vec_id", "embedding", k=2, two_level=True
+        )
+    assert not any(
+        issubclass(r.category, similarity.SemDedupScaleWarning) for r in rec
+    )
+
+
 def test_minhash_bands_beyond_digest_are_nonempty(spark):
     from data_engineer_project_weather_analytics_spark.operators.dedup import doc_shingles, minhash_signatures
 

@@ -151,6 +151,27 @@ def test_packed_verifier_is_aggregation_free(spark):
     assert "array_intersect" in x2f_plan
 
 
+def test_stored_pq_query_plan_has_no_training_stages(spark):
+    """x50b's per-query plan must be the pure READ path: scan the
+    stored codes parquet + the filter-pruned 8-row query slice of
+    embeddings, distance tables from the STORED quantizer max.  The
+    training stages x50 re-runs in-query — the corpus-wide
+    ``max(array_max(...))`` quantizer aggregate and the per-vector
+    code assignment — must be absent (build once, probe forever; the
+    100 TB ANN read shape, VERDICT r10 task 3)."""
+    plan = _formatted_plan(spark, "x50b_pq_topk_stored")
+    assert "spark_graft_pq_index" in plan  # stored codes are scanned
+    # exactly ONE embeddings scan: the vec_id<8 query side (pushed)
+    assert plan.count("embeddings.parquet") == 1, plan
+    pushed = [
+        l for l in plan.splitlines()
+        if "PushedFilters:" in l and "vec_id" in l
+    ]
+    assert pushed, plan
+    # no quantizer training: the corpus max aggregate is x50-only
+    assert "array_max" not in plan, plan
+
+
 def test_lsh_hot_bucket_capped(spark):
     """A planted mega-bucket (every doc sharing one band signature) must
     emit ZERO pairs when max_bucket caps it — not O(n²)."""
@@ -213,6 +234,9 @@ _BOUNDED_BROADCAST_QUERIES = {
     "x22_bigram_pmi",  # 1-row corpus-token-count join
     "x23_sq8_topk",  # 1-row quantizer-scale join + fixed query-vector set
     "x50_pq_topk",  # 1-row codebook product + fixed query distance tables
+    # stored-index read path: 1-row stored-codebook product + the
+    # 8-row broadcast distance tables (both scale-constant)
+    "x50b_pq_topk_stored",
     "x51_ivfpq_topk",  # same codebook product + |cells|-row centroid probe
     "x52_pq_recall",  # composes x50's codebook product + x3's exact probe
     "x55_ivfpq_recall",  # x51's probe chain + a 3-row nprobe dial broadcast
