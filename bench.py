@@ -154,7 +154,9 @@ HEADLINE: dict[str, str] = {
     "x50_pq_topk": "collect",
     "x50b_pq_topk_stored": "collect",
     "x51_ivfpq_topk": "collect",
+    "x51b_ivfpq_topk_stored": "collect",
     "x53_incremental_neardup": "checksum",
+    "x53b_incremental_neardup_stored": "checksum",
     "x54_incremental_semdedup": "checksum",
     "x55_ivfpq_recall": "collect",
     "x56_curation_materialize": "checksum",

@@ -147,7 +147,12 @@ QUERIES: tuple[str, ...] = (
     # m-int codes vs x50's full in-query re-train+scan
     "x50b_pq_topk_stored",
     "x51_ivfpq_topk",
+    "x51b_ivfpq_topk_stored",
     "x53_incremental_neardup",
+    # the stored-LSH-index read path: per-batch cost only (the corpus
+    # signature/set build is an untimed plan-construction side effect,
+    # cached under /tmp per corpus)
+    "x53b_incremental_neardup_stored",
     "x54_incremental_semdedup",
     "x54_incremental_semdedup_auto",
     "x56_curation_materialize",
@@ -185,6 +190,7 @@ ACCOUNTED: dict[str, str] = {
     # incremental probe: verified cross-split pair output grows with
     # the duplicate mass, exactly like the bootstrap pair queries
     "x53_incremental_neardup": "output_rows",
+    "x53b_incremental_neardup_stored": "output_rows",
     # the curation pipeline's output is the curated corpus itself
     "x16_curation_pipeline": "output_rows",
     # tf-idf keyword output is top-k per surviving doc — input-linear
@@ -244,6 +250,7 @@ ACCOUNTED: dict[str, str] = {
     # (ADC against broadcast distance tables) — input-linear, with a
     # far smaller constant than x50's in-query form
     "x50b_pq_topk_stored": "input_rows:embeddings",
+    "x51b_ivfpq_topk_stored": "input_rows:embeddings",
     # IVFADC adds the centroid pass (corpus-linear) and PRUNES the ADC
     # scan to probed cells — still corpus-bounded
     "x51_ivfpq_topk": "input_rows:embeddings",
@@ -478,6 +485,8 @@ SCALE1000_QUERIES: tuple[str, ...] = (
     # in-query re-train
     "x50b_pq_topk_stored",
     "x51_ivfpq_topk",
+    # stored IVF read path at 2 M vectors: probed posting lists only
+    "x51b_ivfpq_topk_stored",
     # the remaining two compression-recall dials at the 2 M-vector
     # point: both are a constant number of corpus passes against an
     # 8-query broadcast (input-row accounting, same as x50/x51); x58's
@@ -512,6 +521,11 @@ SCALE1000_QUERIES: tuple[str, ...] = (
     # generation at this scale was already proven by x2b (banked
     # 84x / 955x-pairs); this entry adds the full probe+verify.
     "x53_incremental_neardup",
+    # the stored-signature-index twin at 5 M docs: the recurring
+    # per-batch cost once the corpus side is materialized (the 100 TB
+    # steady state x53's docstring promises) — the corpus shingle +
+    # signature aggregation drops out of the timed region
+    "x53b_incremental_neardup_stored",
 )
 SCALE1000_TABLES = ("region", "nation", "events", "documents", "embeddings")
 

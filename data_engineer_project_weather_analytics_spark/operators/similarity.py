@@ -1630,6 +1630,7 @@ def pq_index_write(
     dim: int,
     m: int = 4,
     n_codewords: int = 16,
+    cell_col: str | None = None,
 ) -> None:
     """Materialize the PQ index :func:`pq_topk_stored` queries — the
     BUILD half of the production split (Jégou et al.'s index lives on
@@ -1644,13 +1645,21 @@ def pq_index_write(
       ``floor(x · (127/qmax))`` tree the codes were built with
       (bit-identical doubles after the parquet round-trip).
 
-    Same deterministic construction as :func:`pq_topk` — a stored
-    index queried by :func:`pq_topk_stored` returns byte-identical
-    rows to the in-query form, which is what lets x50b share x50's
-    DuckDB oracle text verbatim."""
+    With ``cell_col`` the index is INVERTED-FILE shaped for
+    :func:`ivfpq_topk_stored`: codes carry their IVF cell and a third
+    artifact, ``centroids`` (the µ-quantized cell means the probe
+    ranking needs), is written alongside.
+
+    Same deterministic construction as :func:`pq_topk` /
+    :func:`ivfpq_topk` — a stored index queried by the ``*_stored``
+    twins returns byte-identical rows to the in-query forms, which is
+    what lets x50b/x51b share x50/x51's DuckDB oracle texts verbatim."""
     d4 = dim // m
     assert d4 * m == dim, "dim must divide into m equal subspaces"
-    v = vectors.select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("emb"))
+    keep = [F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("emb")]
+    if cell_col is not None:
+        keep.insert(1, F.col(cell_col).alias("cell"))
+    v = vectors.select(*keep)
     qz = _pq_quantize(v)
     cbrow = _pq_codebook(qz, n_codewords)
     qmax = v.agg(F.max(F.array_max(F.transform("emb", F.abs))).alias("qmax"))
@@ -1658,9 +1667,14 @@ def pq_index_write(
         f"{index_dir}/codebook"
     )
     withcb = qz.crossJoin(F.broadcast(cbrow))
+    code_cols = ["vec_id"] + (["cell"] if cell_col is not None else [])
     withcb.select(
-        "vec_id", F.expr(_pq_codes_expr(m, d4, n_codewords)).alias("codes")
+        *code_cols, F.expr(_pq_codes_expr(m, d4, n_codewords)).alias("codes")
     ).write.mode("overwrite").parquet(f"{index_dir}/codes")
+    if cell_col is not None:
+        cell_centroids(vectors, cell_col, vec_col).write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/centroids")
 
 
 def pq_topk_stored(
@@ -1709,6 +1723,80 @@ def pq_topk_stored(
     )
     scored = (
         codes.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(_pq_adc_expr(m)).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )
+
+
+def ivfpq_topk_stored(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    dim: int,
+    m: int = 4,
+    k: int = 10,
+    n_probe_cells: int = 2,
+) -> DataFrame:
+    """IVFADC top-k against a STORED inverted-file PQ index
+    (:func:`pq_index_write` with ``cell_col``) — :func:`pq_topk_stored`
+    plus the IVF pruning: rank the STORED µ-quantized centroids per
+    query (quantized-cosine, integer-key rule), then the candidate
+    join keys the stored codes BY CELL against the broadcast probe
+    set, so each query touches only its probed posting lists.  No
+    training stages in the per-query plan; byte-identical to
+    :func:`ivfpq_topk` on the same corpus by construction."""
+    d4 = dim // m
+    assert d4 * m == dim, "dim must divide into m equal subspaces"
+    cb = spark.read.parquet(f"{index_dir}/codebook")  # 1 row: (cb, qmax)
+    codes = spark.read.parquet(f"{index_dir}/codes")  # (vec_id, cell, codes)
+    cents = spark.read.parquet(f"{index_dir}/centroids")  # (cell, centroid)
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("emb")
+        )
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "query_id",
+            "cb",
+            F.col("emb").alias("__qemb"),
+            F.transform(
+                "emb",
+                lambda x: F.floor(x * (F.lit(127.0) / F.col("qmax"))).cast(
+                    "bigint"
+                ),
+            ).alias("qv"),
+        )
+        .select(
+            "query_id", "__qemb", F.expr(_pq_dtab_expr(m, d4)).alias("dtab")
+        )
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("__csimq").desc(), F.col("cell")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("__csimq", sim_q(cosine(F.col("__qemb"), F.col("centroid"))))
+        .withColumn("__r", F.row_number().over(probe_w))
+        .filter(F.col("__r") <= n_probe_cells)
+        .select("query_id", "cell", "dtab")
+    )
+    scored = (
+        codes.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",

@@ -153,6 +153,66 @@ def x53_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: stored-LSH-index root — the x53 docstring's "at 100 TB the corpus
+#: side's signature table would be a materialized index updated per
+#: batch", made literal (the x50b pattern applied to MinHash-LSH)
+_LSH_INDEX_ROOT = "/tmp/spark_graft_lsh_index"
+
+
+def x53b_incremental_neardup_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x53 split into the production BUILD/QUERY halves: the CORPUS
+    side's band signatures AND packed hashed-shingle sets are
+    materialized to parquet once (build); the recurring query shingles
+    + signs ONLY the incoming batch, unions it with the stored corpus
+    signatures (bucket caps count BOTH sides, so the kept-bucket set
+    is identical to x53's single-statement form), probes cross-side
+    candidates, and verifies from the stored corpus sets + the
+    batch's freshly packed sets.  The corpus text is never re-read at
+    query time — per-batch cost is |batch| shingling plus the probe
+    and verify stages.  Byte-identical to x53 by construction →
+    shares x53's oracle text verbatim."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:12]
+    idx = os.path.join(_LSH_INDEX_ROOT, tag)
+    marker = os.path.join(idx, "_DONE")
+    if not os.path.exists(marker):
+        docs = load_table(spark, sf_dir, "documents")
+        corpus = docs.filter(text.deterministic_split("doc_id") == "train")
+        cds = dedup.doc_shingles(corpus, "doc_id", "text", n=3)
+        dedup.minhash_signatures(cds, "doc_id", n_bands=8).write.mode(
+            "overwrite"
+        ).parquet(f"{idx}/sigs")
+        dedup.doc_shingle_hash_sets(corpus, "doc_id", "text", n=3).write.mode(
+            "overwrite"
+        ).parquet(f"{idx}/sets")
+        with open(marker, "w") as fh:
+            fh.write(sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(text.deterministic_split("doc_id") == "test")
+    bds = dedup.doc_shingles(batch, "doc_id", "text", n=3)
+    bsigs = dedup.minhash_signatures(bds, "doc_id", n_bands=8)
+    sided = (
+        spark.read.parquet(f"{idx}/sigs")
+        .withColumn("side", F.lit("train"))
+        .unionByName(bsigs.withColumn("side", F.lit("test")))
+    )
+    cand = dedup.lsh_candidate_pairs_cross(
+        sided, "doc_id", "side", max_bucket=LSH_MAX_BUCKET
+    )
+    doc_sets = spark.read.parquet(f"{idx}/sets").unionByName(
+        dedup.doc_shingle_hash_sets(batch, "doc_id", "text", n=3)
+    )
+    return dedup.jaccard_for_candidates_packed(
+        doc_sets, "doc_id", cand, threshold=0.1
+    ).select(
+        F.col("id_a").alias("corpus_doc_id"),
+        F.col("id_b").alias("batch_doc_id"),
+        "jaccard",
+    )
+
+
 def x2d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprint per document (md5-nibble bit votes)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -956,6 +1016,39 @@ def x51_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", "label",
         dim=_PQ_DIM, m=_PQ_M, n_codewords=_PQ_CODEWORDS,
         n_queries=_PQ_QUERIES, k=_PQ_TOPK, n_probe_cells=2,
+    )
+
+
+def x51b_ivfpq_topk_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x51 split into the production BUILD/QUERY halves (the x50b
+    pattern applied to the inverted-file index): codes WITH their IVF
+    cell, the codebook+quantizer max, and the µ-quantized cell
+    centroids are materialized once; the query ranks the STORED
+    centroids per query and joins the stored codes BY CELL against the
+    broadcast probe set — each query touches only its probed posting
+    lists, and no training stages appear in the per-query plan.
+    Byte-identical to x51 by construction → shares x51's oracle."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:12]
+    idx = os.path.join(_PQ_INDEX_ROOT, tag + "_ivf")
+    marker = os.path.join(idx, "_DONE")
+    if not os.path.exists(marker):
+        emb = load_table(spark, sf_dir, "embeddings")
+        similarity.pq_index_write(
+            emb, "vec_id", "embedding", idx,
+            dim=_PQ_DIM, m=_PQ_M, n_codewords=_PQ_CODEWORDS,
+            cell_col="label",
+        )
+        with open(marker, "w") as fh:
+            fh.write(sf_dir)
+    queries = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _PQ_QUERIES
+    )
+    return similarity.ivfpq_topk_stored(
+        spark, idx, queries, "vec_id", "embedding",
+        dim=_PQ_DIM, m=_PQ_M, k=_PQ_TOPK, n_probe_cells=2,
     )
 
 

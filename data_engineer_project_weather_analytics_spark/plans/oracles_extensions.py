@@ -1744,3 +1744,11 @@ for _name in ("x57_reduced_recall", "x58_sq8_recall"):
 # oracle is x50's text verbatim — any drift between the stored and
 # in-query paths fails the hash check immediately.
 ORACLES_EXT["x50b_pq_topk_stored"] = ORACLES_EXT["x50_pq_topk"]
+ORACLES_EXT["x51b_ivfpq_topk_stored"] = ORACLES_EXT["x51_ivfpq_topk"]
+# same argument for the stored LSH signature index: the union of the
+# stored corpus signatures/sets with the freshly-signed batch is
+# row-identical to x53's single-statement computation (signatures and
+# hash sets are per-doc; bucket caps count both sides either way)
+ORACLES_EXT["x53b_incremental_neardup_stored"] = ORACLES_EXT[
+    "x53_incremental_neardup"
+]

@@ -170,6 +170,32 @@ def test_stored_pq_query_plan_has_no_training_stages(spark):
     assert pushed, plan
     # no quantizer training: the corpus max aggregate is x50-only
     assert "array_max" not in plan, plan
+    # the stored IVF sibling: same invariants, plus the probe joins
+    # stored codes BY CELL (posting-list pruning survives storage)
+    ivf = _formatted_plan(spark, "x51b_ivfpq_topk_stored")
+    assert "spark_graft_pq_index" in ivf
+    assert ivf.count("embeddings.parquet") == 1, ivf
+    assert "array_max" not in ivf, ivf
+    assert re.search(r"Left keys \[1\]: \[cell", ivf), ivf
+
+
+def test_stored_lsh_index_query_uses_stored_corpus_side(spark):
+    """x53b's per-query plan must take the corpus side from the stored
+    signature + packed-set parquets (both scanned) and shingle/sign
+    ONLY the incoming batch; every documents scan in the plan carries
+    the batch-side split filter, so the corpus text is never
+    re-shingled at query time.  The verify stays packed
+    (array_intersect in-row)."""
+    plan = _formatted_plan(spark, "x53b_incremental_neardup_stored")
+    assert "spark_graft_lsh_index" in plan
+    assert "/sigs" in plan and "/sets" in plan, plan
+    assert "array_intersect" in plan
+    # each documents scan is the batch slice: the split predicate
+    # prints as NOT((md5(..) < cd) <=> true); a corpus-side scan would
+    # carry the same comparison WITHOUT the NOT
+    split_lines = [l for l in plan.splitlines() if "< cd" in l]
+    assert split_lines, plan
+    assert all("NOT ((md5" in l for l in split_lines), split_lines
 
 
 def test_lsh_hot_bucket_capped(spark):
@@ -238,6 +264,9 @@ _BOUNDED_BROADCAST_QUERIES = {
     # 8-row broadcast distance tables (both scale-constant)
     "x50b_pq_topk_stored",
     "x51_ivfpq_topk",  # same codebook product + |cells|-row centroid probe
+    # stored IVF read path: 1-row stored codebook + stored |cells|-row
+    # centroid probe (both scale-constant broadcasts)
+    "x51b_ivfpq_topk_stored",
     "x52_pq_recall",  # composes x50's codebook product + x3's exact probe
     "x55_ivfpq_recall",  # x51's probe chain + a 3-row nprobe dial broadcast
     "x57_reduced_recall",  # 1-row sign-matrix + fixed query-vector set + 2-row method dial
