@@ -158,6 +158,7 @@ HEADLINE: dict[str, str] = {
     "x53_incremental_neardup": "checksum",
     "x53b_incremental_neardup_stored": "checksum",
     "x54_incremental_semdedup": "checksum",
+    "x54b_incremental_semdedup_stored": "checksum",
     "x55_ivfpq_recall": "collect",
     "x56_curation_materialize": "checksum",
     "x57_reduced_recall": "collect",

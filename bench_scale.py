@@ -154,6 +154,10 @@ QUERIES: tuple[str, ...] = (
     # cached under /tmp per corpus)
     "x53b_incremental_neardup_stored",
     "x54_incremental_semdedup",
+    # the stored-SemDeDup-index read path: per-batch probe cost only
+    # (the corpus survivor/codebook build is an untimed
+    # plan-construction side effect, cached under /tmp per corpus)
+    "x54b_incremental_semdedup_stored",
     "x54_incremental_semdedup_auto",
     "x56_curation_materialize",
     "x56_curation_auto",
@@ -283,6 +287,9 @@ ACCOUNTED: dict[str, str] = {
     # fixed k the cells grow with the corpus, so the stream is
     # superlinear by construction and the accounting bounds it
     "x54_incremental_semdedup": "probe_pair_stream",
+    # stored-index twin probes the identical candidate stream
+    # (kind-cached: shares the fixed-k probe measurement)
+    "x54b_incremental_semdedup_stored": "probe_pair_stream",
     # the auto-k deployment probe: ALL its work measured — the
     # two-level index build on the corpus split (the semdedup_auto_work
     # terms), the batch probe's coarse + routed-fine scored rows, and

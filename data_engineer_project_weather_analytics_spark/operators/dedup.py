@@ -676,3 +676,99 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Stored LSH index: the build / append / probe lifecycle
+# ---------------------------------------------------------------------------
+
+def lsh_index_write(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_dir: str,
+    *,
+    n: int = 3,
+    n_bands: int = 8,
+) -> None:
+    """Materialize the corpus side of the incremental near-dup
+    pipeline (x53) as a STORED LSH index — the BUILD half of the
+    production split.  Two parquet artifacts under ``index_dir``:
+    ``sigs`` (per-(doc, band) MinHash signatures,
+    :func:`minhash_signatures`) and ``sets`` (per-doc packed
+    hashed-shingle sets, :func:`doc_shingle_hash_sets`) — everything a
+    future batch probe needs; the corpus TEXT is never read again."""
+    ds = doc_shingles(corpus, id_col, text_col, n=n)
+    minhash_signatures(ds, id_col, n_bands=n_bands).write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/sigs")
+    doc_shingle_hash_sets(corpus, id_col, text_col, n=n).write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/sets")
+
+
+def lsh_index_append(
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_dir: str,
+    *,
+    n: int = 3,
+    n_bands: int = 8,
+) -> None:
+    """The MAINTENANCE half of the stored split: append an ADMITTED
+    batch's signatures and packed sets to the stored index, so the
+    NEXT batch's probe sees today's admissions as corpus — the
+    steady-state ingestion loop (probe → admit survivors → append).
+    Which rows to admit is the caller's decision layer (x59's
+    verdicts); this appends exactly what it is given.  The written
+    data derives only from the batch (the index is never read), so the
+    append is a plain additive write — safe while concurrent probes
+    hold older file listings."""
+    ds = doc_shingles(batch, id_col, text_col, n=n)
+    minhash_signatures(ds, id_col, n_bands=n_bands).write.mode(
+        "append"
+    ).parquet(f"{index_dir}/sigs")
+    doc_shingle_hash_sets(batch, id_col, text_col, n=n).write.mode(
+        "append"
+    ).parquet(f"{index_dir}/sets")
+
+
+def lsh_probe_stored(
+    spark,
+    index_dir: str,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    n_bands: int = 8,
+    max_bucket: int | None = None,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Probe an incoming batch against a STORED LSH index
+    (:func:`lsh_index_write` / grown by :func:`lsh_index_append`) —
+    the QUERY half of the production split and the recurring per-batch
+    cost: shingle + sign ONLY the batch, union with the stored corpus
+    signatures (bucket caps count BOTH sides, so the kept-bucket set
+    is identical to the single-statement form), emit cross-side
+    candidates, and verify exact hashed-shingle Jaccard from the
+    stored sets + the batch's fresh sets.  Output ``(id_a ∈ corpus,
+    id_b ∈ batch, jaccard)`` — byte-identical to the in-query
+    x53 computation on the same corpus by construction."""
+    bds = doc_shingles(batch, id_col, text_col, n=n)
+    bsigs = minhash_signatures(bds, id_col, n_bands=n_bands)
+    sided = (
+        spark.read.parquet(f"{index_dir}/sigs")
+        .withColumn("side", F.lit("train"))
+        .unionByName(bsigs.withColumn("side", F.lit("test")))
+    )
+    cand = lsh_candidate_pairs_cross(
+        sided, id_col, "side", max_bucket=max_bucket
+    )
+    doc_sets = spark.read.parquet(f"{index_dir}/sets").unionByName(
+        doc_shingle_hash_sets(batch, id_col, text_col, n=n)
+    )
+    return jaccard_for_candidates_packed(
+        doc_sets, id_col, cand, threshold=threshold
+    )

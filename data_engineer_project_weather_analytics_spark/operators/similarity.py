@@ -1052,6 +1052,108 @@ def _probe_keep(
     )
 
 
+def semdedup_index_write(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_dir: str,
+    *,
+    k: int = KMEANS_K,
+    n_iter: int = KMEANS_ITERS,
+    threshold: float = 0.8,
+) -> None:
+    """Materialize the SemDeDup corpus index
+    :func:`semdedup_incremental_stored` probes — the BUILD half of the
+    production split (the :func:`pq_index_write` pattern applied to
+    the semantic-dedup state).  Two parquet artifacts under
+    ``index_dir``:
+
+    - ``survivors`` — the corpus' greedy min-id keep set
+      (``cell, corpus_id, __cv``), the rows every future batch is
+      verified against;
+    - ``cents`` — the codebook of the final corpus assignment pass
+      (``cell, centroid``), so a probed batch sees exactly the
+      geometry the stored survivors saw.
+
+    Doubles round-trip parquet bit-exactly, so a stored index queried
+    by :func:`semdedup_incremental_stored` returns byte-identical rows
+    to :func:`semdedup_incremental` on the same corpus — which is what
+    lets the stored registration share x54's DuckDB oracle text
+    verbatim."""
+    survivors, cents = semdedup_corpus_index(
+        corpus, id_col, vec_col, k, n_iter, threshold
+    )
+    survivors.write.mode("overwrite").parquet(f"{index_dir}/survivors")
+    cents.write.mode("overwrite").parquet(f"{index_dir}/cents")
+
+
+def semdedup_incremental_stored(
+    spark,
+    index_dir: str,
+    batch: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental semantic dedup against a STORED corpus index
+    (:func:`semdedup_index_write`) — the QUERY half of the production
+    split.  The recurring per-batch cost is exactly the probe:
+    one broadcast-codebook assignment pass over the batch
+    (:func:`_batch_assign` against the stored ``cents``) and the
+    same-cell survivor verify (:func:`_probe_keep` against the stored
+    ``survivors``).  No k-means training and no corpus pair stream in
+    the per-query plan; byte-identical to
+    :func:`semdedup_incremental` on the same corpus by construction."""
+    survivors = spark.read.parquet(f"{index_dir}/survivors")
+    cents = spark.read.parquet(f"{index_dir}/cents")
+    bv = batch.select(
+        F.col(id_col).alias("__vid"), _as_double(vec_col).alias("__v")
+    )
+    bassigned = _batch_assign(bv, cents)
+    return _probe_keep(bassigned, survivors, id_col, threshold)
+
+
+def semdedup_index_append(
+    spark,
+    index_dir: str,
+    batch: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The MAINTENANCE half of the stored SemDeDup split: probe the
+    batch against the stored index (:func:`semdedup_incremental_stored`),
+    then append the KEPT vectors — with their assigned cell — to the
+    stored survivor set, so the NEXT batch's probe sees today's
+    admissions as corpus.  Arrival order IS the greedy ordering:
+    every earlier vector precedes every later one, the x45 min-id
+    rule lifted to ingestion time.  Within-batch near-pairs are NOT
+    deduped against each other (exactly
+    :func:`semdedup_incremental`'s documented semantics — a batch is
+    one atomic arrival); the next batch sees all of them.
+
+    The verdicts are eagerly pinned (``localCheckpoint``) before the
+    write so the append job never reads the directory it writes, and
+    the returned verdict rows are the pinned ones — the caller's
+    decision layer and the appended survivors can never disagree.
+    The codebook is immutable (batches are assigned to the EXISTING
+    geometry); re-centering is a rebuild, not an append."""
+    verdict = semdedup_incremental_stored(
+        spark, index_dir, batch, id_col, vec_col, threshold
+    ).localCheckpoint()
+    bv = batch.select(
+        F.col(id_col).alias("__kid"), _as_double(vec_col).alias("__cv")
+    )
+    kept = (
+        verdict.filter(F.col("kept") == 1)
+        .select(id_col, F.col("cluster_id").alias("cell"))
+        .join(bv, F.col(id_col) == F.col("__kid"))
+        .select("cell", F.col(id_col).alias("corpus_id"), "__cv")
+    )
+    kept.write.mode("append").parquet(f"{index_dir}/survivors")
+    return verdict
+
+
 def semdedup_corpus_index_auto(
     corpus: DataFrame,
     id_col: str,

@@ -180,32 +180,14 @@ def x53b_incremental_neardup_stored(spark: SparkSession, sf_dir: str) -> DataFra
     if not os.path.exists(marker):
         docs = load_table(spark, sf_dir, "documents")
         corpus = docs.filter(text.deterministic_split("doc_id") == "train")
-        cds = dedup.doc_shingles(corpus, "doc_id", "text", n=3)
-        dedup.minhash_signatures(cds, "doc_id", n_bands=8).write.mode(
-            "overwrite"
-        ).parquet(f"{idx}/sigs")
-        dedup.doc_shingle_hash_sets(corpus, "doc_id", "text", n=3).write.mode(
-            "overwrite"
-        ).parquet(f"{idx}/sets")
+        dedup.lsh_index_write(corpus, "doc_id", "text", idx, n=3, n_bands=8)
         with open(marker, "w") as fh:
             fh.write(sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     batch = docs.filter(text.deterministic_split("doc_id") == "test")
-    bds = dedup.doc_shingles(batch, "doc_id", "text", n=3)
-    bsigs = dedup.minhash_signatures(bds, "doc_id", n_bands=8)
-    sided = (
-        spark.read.parquet(f"{idx}/sigs")
-        .withColumn("side", F.lit("train"))
-        .unionByName(bsigs.withColumn("side", F.lit("test")))
-    )
-    cand = dedup.lsh_candidate_pairs_cross(
-        sided, "doc_id", "side", max_bucket=LSH_MAX_BUCKET
-    )
-    doc_sets = spark.read.parquet(f"{idx}/sets").unionByName(
-        dedup.doc_shingle_hash_sets(batch, "doc_id", "text", n=3)
-    )
-    return dedup.jaccard_for_candidates_packed(
-        doc_sets, "doc_id", cand, threshold=0.1
+    return dedup.lsh_probe_stored(
+        spark, idx, batch, "doc_id", "text",
+        n=3, n_bands=8, max_bucket=LSH_MAX_BUCKET, threshold=0.1,
     ).select(
         F.col("id_a").alias("corpus_doc_id"),
         F.col("id_b").alias("batch_doc_id"),
@@ -299,6 +281,48 @@ def x54_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semdedup_incremental(
         corpus, batch, "vec_id", "embedding",
         k=similarity.KMEANS_K, n_iter=similarity.KMEANS_ITERS, threshold=0.8,
+    )
+
+
+#: stored-SemDeDup-index root — completes the stored-index triad
+#: (x50b/x51b PQ codes, x53b LSH signatures, this: the semantic-dedup
+#: corpus state x54's docstring says "in production both sides live as
+#: tables updated per ingestion batch")
+_SEM_INDEX_ROOT = "/tmp/spark_graft_sem_index"
+
+
+def x54b_incremental_semdedup_stored(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """x54 split into the production BUILD/QUERY halves: the corpus'
+    greedy-survivor set and its k-means codebook are materialized to
+    parquet once (`semdedup_index_write`); the recurring query assigns
+    ONLY the incoming batch against the stored codebook and verifies
+    against the stored same-cell survivors
+    (`semdedup_incremental_stored`).  No k-means training and no
+    corpus pair stream in the per-query plan — the recurring cost is
+    the probe itself.  Byte-identical to x54 by construction → shares
+    x54's oracle text verbatim."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:12]
+    idx = os.path.join(_SEM_INDEX_ROOT, tag)
+    marker = os.path.join(idx, "_DONE")
+    if not os.path.exists(marker):
+        emb = load_table(spark, sf_dir, "embeddings")
+        corpus = emb.filter(text.deterministic_split("vec_id") == "train")
+        similarity.semdedup_index_write(
+            corpus, "vec_id", "embedding", idx,
+            k=similarity.KMEANS_K, n_iter=similarity.KMEANS_ITERS,
+            threshold=0.8,
+        )
+        with open(marker, "w") as fh:
+            fh.write(sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = emb.filter(text.deterministic_split("vec_id") == "test")
+    return similarity.semdedup_incremental_stored(
+        spark, idx, batch, "vec_id", "embedding", threshold=0.8
     )
 
 

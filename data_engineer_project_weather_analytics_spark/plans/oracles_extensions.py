@@ -1752,3 +1752,9 @@ ORACLES_EXT["x51b_ivfpq_topk_stored"] = ORACLES_EXT["x51_ivfpq_topk"]
 ORACLES_EXT["x53b_incremental_neardup_stored"] = ORACLES_EXT[
     "x53_incremental_neardup"
 ]
+# and for the stored SemDeDup corpus index: survivors + codebook
+# round-trip parquet bit-exactly (doubles are IEEE-preserved), so the
+# stored probe is byte-identical to x54's in-query computation
+ORACLES_EXT["x54b_incremental_semdedup_stored"] = ORACLES_EXT[
+    "x54_incremental_semdedup"
+]

@@ -159,7 +159,7 @@ def test_bench_scale_accounted_targets_are_timed():
 #: an already-journaled work_rows kind, replica construction,
 #: ACCOUNTING_SLACK)?  If yes → bump JOURNAL_EPOCH too (full
 #: re-measure); if purely additive → keep the epoch and the bank.
-_BENCH_SCALE_MD5 = "7a4ecbc07e41367df227a617e0d6bd3f"
+_BENCH_SCALE_MD5 = "4014883d011915545373214a970ea015"
 
 
 def test_journal_epoch_discipline():

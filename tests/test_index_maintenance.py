@@ -1,0 +1,135 @@
+"""Stored-index MAINTENANCE lifecycle: build → probe → append →
+probe.  The stored read paths (x50b/x51b/x53b/x54b) prove the QUERY
+half; these tests prove the steady-state loop — a batch admitted
+today is corpus for the batch that arrives tomorrow — for both index
+families that own per-batch admission state (LSH signatures, SemDeDup
+survivors).  The PQ index has no admission semantics (it indexes
+everything), so its lifecycle is build/rebuild only."""
+
+from pyspark.sql import functions as F
+
+from data_engineer_project_weather_analytics_spark.operators import dedup, similarity
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id bigint, emb array<double>")
+
+
+BASE = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    "lambda mu nu xi omicron pi rho sigma tau upsilon"
+)
+
+
+def test_lsh_index_append_makes_admissions_visible_to_next_batch(
+    spark, tmp_path
+):
+    idx = str(tmp_path / "lsh_idx")
+    corpus = _docs(
+        spark,
+        [
+            (1, "one two three four five six seven eight nine ten"),
+            (2, "red orange yellow green blue indigo violet black white gray"),
+        ],
+    )
+    dedup.lsh_index_write(corpus, "doc_id", "text", idx)
+
+    # batch 1: a doc unrelated to the corpus — probe finds nothing
+    batch1 = _docs(spark, [(100, BASE)])
+    p1 = dedup.lsh_probe_stored(
+        spark, idx, batch1, "doc_id", "text", threshold=0.1
+    )
+    assert p1.count() == 0
+
+    # admit batch 1 into the index
+    dedup.lsh_index_append(batch1, "doc_id", "text", idx)
+
+    # batch 2: a near-dup of the batch-1 doc — the probe must now
+    # surface the cross-batch pair, with batch-1's doc on the CORPUS
+    # side (id_a): yesterday's admission is today's corpus
+    batch2 = _docs(spark, [(200, BASE.replace("omicron", "painted"))])
+    p2 = dedup.lsh_probe_stored(
+        spark, idx, batch2, "doc_id", "text", threshold=0.1
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in p2] == [(100, 200)]
+    assert p2[0].jaccard > 0.5
+
+
+def test_semdedup_index_append_dedups_next_batch(spark, tmp_path):
+    idx = str(tmp_path / "sem_idx")
+    # corpus: one tight cluster on the first axis
+    corpus = _vecs(
+        spark,
+        [
+            (1, [1.0, 0.05, 0.0, 0.0]),
+            (2, [1.0, 0.00, 0.1, 0.0]),
+            (3, [0.9, 0.10, 0.0, 0.1]),
+        ],
+    )
+    similarity.semdedup_index_write(
+        corpus, "vec_id", "emb", idx, k=2, n_iter=2, threshold=0.8
+    )
+
+    u = [0.0, 0.1, 1.0, 0.0]           # far from the corpus cluster
+    u_near = [0.0, 0.12, 1.0, 0.02]    # cosine(u, u_near) > 0.99
+
+    # before any append, BOTH u and its near-twin pass the probe
+    pre = {
+        r.vec_id: r
+        for r in similarity.semdedup_incremental_stored(
+            spark, idx, _vecs(spark, [(100, u), (200, u_near)]),
+            "vec_id", "emb",
+        ).collect()
+    }
+    assert pre[100].kept == 1 and pre[200].kept == 1
+
+    # admit batch 1 (u) — returned verdicts are the probe rows
+    v1 = {
+        r.vec_id: r
+        for r in similarity.semdedup_index_append(
+            spark, idx, _vecs(spark, [(100, u)]), "vec_id", "emb"
+        ).collect()
+    }
+    assert v1[100].kept == 1
+
+    # batch 2: the near-twin is now dropped against batch-1's admission
+    v2 = {
+        r.vec_id: r
+        for r in similarity.semdedup_incremental_stored(
+            spark, idx, _vecs(spark, [(200, u_near)]), "vec_id", "emb"
+        ).collect()
+    }
+    assert v2[200].kept == 0
+    assert v2[200].n_corpus_near == 1
+    assert v2[200].best_sim >= 9900  # quantized cosine vs the twin
+
+
+def test_semdedup_index_append_only_adds_kept_rows(spark, tmp_path):
+    idx = str(tmp_path / "sem_idx2")
+    corpus = _vecs(spark, [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])])
+    similarity.semdedup_index_write(
+        corpus, "vec_id", "emb", idx, k=2, n_iter=2, threshold=0.8
+    )
+    n0 = spark.read.parquet(f"{idx}/survivors").count()
+    # one dup of corpus vec 1 (dropped), one novel vector (kept)
+    batch = _vecs(
+        spark, [(10, [0.99, 0.01, 0.0, 0.0]), (11, [0.0, 0.0, 0.0, 1.0])]
+    )
+    v = {
+        r.vec_id: r
+        for r in similarity.semdedup_index_append(
+            spark, idx, batch, "vec_id", "emb"
+        ).collect()
+    }
+    assert v[10].kept == 0 and v[11].kept == 1
+    surv = spark.read.parquet(f"{idx}/survivors")
+    assert surv.count() == n0 + 1
+    appended = surv.filter(F.col("corpus_id") >= 10).collect()
+    assert [r.corpus_id for r in appended] == [11]
+    # the appended row carries the vector and its assigned cell, so the
+    # next probe can verify against it without touching the batch table
+    assert appended[0]["__cv"] == [0.0, 0.0, 0.0, 1.0]

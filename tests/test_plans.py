@@ -198,6 +198,25 @@ def test_stored_lsh_index_query_uses_stored_corpus_side(spark):
     assert all("NOT ((md5" in l for l in split_lines), split_lines
 
 
+def test_stored_semdedup_query_plan_has_no_training_stages(spark):
+    """x54b's per-query plan must take the corpus side (survivors +
+    codebook) from the stored parquets and assign/verify ONLY the
+    incoming batch: exactly one embeddings scan, carrying the
+    batch-side split filter (the NOT form — x53b's gate recipe), and
+    no k-means iteration stages (the stored codebook arrives by scan,
+    not by training aggregates over the corpus)."""
+    plan = _formatted_plan(spark, "x54b_incremental_semdedup_stored")
+    assert "spark_graft_sem_index" in plan
+    assert "/survivors" in plan and "/cents" in plan, plan
+    # the probe tail consumes the assigned batch twice (candidate agg
+    # + left-join back), so two BATCH-side scans are the expected
+    # shape; a third scan would be a corpus-side leak
+    assert plan.count("embeddings.parquet") == 2, plan
+    split_lines = [l for l in plan.splitlines() if "< cd" in l]
+    assert len(split_lines) >= 2, plan
+    assert all("NOT ((md5" in l for l in split_lines), split_lines
+
+
 def test_lsh_hot_bucket_capped(spark):
     """A planted mega-bucket (every doc sharing one band signature) must
     emit ZERO pairs when max_bucket caps it — not O(n²)."""
@@ -244,6 +263,9 @@ _BOUNDED_BROADCAST_QUERIES = {
     "x45_semdedup_keep",  # same k-row codebook product (kmeans substrate)
     "x45_semdedup_auto",  # two-level kmeans: coarse-codebook products
     "x54_incremental_semdedup",  # corpus kmeans + batch probe: k-row codebook products
+    # stored-index probe: the same k-row codebook product, read from
+    # the materialized index instead of trained in-query
+    "x54b_incremental_semdedup_stored",
     "x54_incremental_semdedup_auto",  # two-level index + probe: coarse/fine codebook products
     "x56_curation_materialize",  # composes x45's k-row codebook products
     "x56_curation_auto",  # composes x45_auto's two-level codebook products
