@@ -108,6 +108,62 @@ def test_semdedup_index_append_dedups_next_batch(spark, tmp_path):
     assert v2[200].best_sim >= 9900  # quantized cosine vs the twin
 
 
+def test_streaming_micro_batches_maintain_stored_index(spark, tmp_path):
+    """The maintenance loop driven end-to-end by Structured Streaming:
+    each micro-batch probes the PARQUET SemDeDup index and appends its
+    admissions (semdedup_index_append inside foreachBatch), so a later
+    micro-batch's near-twin of an earlier admission is dropped.  The
+    DURABLE twin of streaming_semdedup_probe: the parquet index IS the
+    state, so admissions survive restarts without checkpoint replay —
+    and a non-streaming client (the batch x54b query) sees the same
+    index."""
+    import time
+
+    idx = str(tmp_path / "sem_stream_idx")
+    corpus = _vecs(
+        spark, [(1, [1.0, 0.05, 0.0, 0.0]), (2, [1.0, 0.0, 0.1, 0.0])]
+    )
+    similarity.semdedup_index_write(
+        corpus, "vec_id", "emb", idx, k=2, n_iter=2, threshold=0.8
+    )
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    u = [0.0, 0.1, 1.0, 0.0]
+    u_near = [0.0, 0.12, 1.0, 0.02]
+    _vecs(spark, [(100, u)]).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    _vecs(spark, [(200, u_near)]).coalesce(1).write.mode("append").parquet(
+        src
+    )
+
+    stream = (
+        spark.readStream.schema("vec_id bigint, emb array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def _admit(b, _id):
+        if not b.isEmpty():
+            similarity.semdedup_index_append(
+                spark, idx, b, "vec_id", "emb"
+            ).write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(_admit)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r.vec_id: r for r in spark.read.parquet(out).collect()}
+    # micro-batch 1's vector was novel → admitted; micro-batch 2's
+    # near-twin was dropped against that admission
+    assert got[100].kept == 1
+    assert got[200].kept == 0 and got[200].n_corpus_near == 1
+    assert got[200].best_sim >= 9900
+
+
 def test_semdedup_index_append_only_adds_kept_rows(spark, tmp_path):
     idx = str(tmp_path / "sem_idx2")
     corpus = _vecs(spark, [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])])
