@@ -154,6 +154,9 @@ QUERIES: tuple[str, ...] = (
     # cached under /tmp per corpus)
     "x53b_incremental_neardup_stored",
     "x54_incremental_semdedup",
+    # train↔eval decontamination: one corpus-linear shingle pass
+    # against the broadcast eval shingle set
+    "x61_decontamination",
     # the stored-SemDeDup-index read path: per-batch probe cost only
     # (the corpus survivor/codebook build is an untimed
     # plan-construction side effect, cached under /tmp per corpus)
@@ -290,6 +293,9 @@ ACCOUNTED: dict[str, str] = {
     # stored-index twin probes the identical candidate stream
     # (kind-cached: shares the fixed-k probe measurement)
     "x54b_incremental_semdedup_stored": "probe_pair_stream",
+    # decontamination work is the train shingle stream — linear in the
+    # document corpus (the broadcast eval side is fixed by contract)
+    "x61_decontamination": "input_rows:documents",
     # the auto-k deployment probe: ALL its work measured — the
     # two-level index build on the corpus split (the semdedup_auto_work
     # terms), the batch probe's coarse + routed-fine scored rows, and

@@ -772,3 +772,57 @@ def lsh_probe_stored(
     return jaccard_for_candidates_packed(
         doc_sets, id_col, cand, threshold=threshold
     )
+
+
+def decontamination_scan(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination — flag TRAIN documents sharing at
+    least one word n-gram with ANY eval/benchmark document (the
+    GPT-3-appendix / Llama-2 contamination rule; the published
+    pipelines use 8-13-gram windows, the engine's shingle width is the
+    dial).  Output per CONTAMINATED train doc: its distinct-shingle
+    count, the number of those shingles that appear anywhere in the
+    eval suite, and the contamination fraction (exact-int division —
+    bit-portable).
+
+    Scale shape: the eval side's DISTINCT hashed-shingle set is
+    broadcast — benchmark suites are fixed-size while the corpus
+    grows, so the broadcast is scale-constant in production — and the
+    train shingle stream left-joins it in ONE pass closed by one
+    map-side-combinable aggregate: corpus-linear, no shuffle of the
+    shingle stream.  Portable md5-int64 shingle hashes
+    (``SHINGLE_HASH_HEX``): any collision is SHARED with the DuckDB
+    oracle, so the check can never drift."""
+    tsh = doc_shingles(train, id_col, text_col, n=n).select(
+        F.col(id_col), shingle_hash64("shingle").alias("sh")
+    )
+    esh = (
+        doc_shingles(eval_docs, id_col, text_col, n=n)
+        .select(shingle_hash64("shingle").alias("sh"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        tsh.join(F.broadcast(esh), "sh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("bigint").alias(
+                "n_hit"
+            ),
+        )
+        .filter(F.col("n_hit") > 0)
+        .select(
+            F.col(id_col).alias("train_doc_id"),
+            "n_shingles",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_shingles")).alias(
+                "contamination"
+            ),
+        )
+    )

@@ -195,6 +195,30 @@ def x53b_incremental_neardup_stored(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+#: hex threshold of the deterministic "benchmark/eval" slice: docs with
+#: md5(doc_id) ≥ 'fa' (~2.3 %) stand in for the FIXED eval suite the
+#: decontamination rule protects — disjoint from the 'cd' train side by
+#: construction ('cd' < 'fa')
+EVAL_SPLIT_HEX = "fa"
+
+
+def x61_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.py:
+    decontamination_scan): the training split scanned for word-n-gram
+    collisions against the eval/benchmark slice — the curation stage
+    every published LLM data pipeline runs before training, and the
+    one dedup direction the x2/x53 family doesn't cover (train↔eval,
+    not train↔train).  One corpus-linear pass against the broadcast
+    eval shingle set; per contaminated train doc: shingle count, hit
+    count, contamination fraction."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(text.deterministic_split("doc_id") == "train")
+    evals = docs.filter(
+        F.md5(F.col("doc_id").cast("string")) >= EVAL_SPLIT_HEX
+    )
+    return dedup.decontamination_scan(train, evals, "doc_id", "text", n=3)
+
+
 def x2d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprint per document (md5-nibble bit votes)."""
     docs = load_table(spark, sf_dir, "documents")

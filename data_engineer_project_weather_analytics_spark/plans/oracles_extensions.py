@@ -527,6 +527,35 @@ ORACLES_EXT: dict[str, str] = {
         WHERE CAST(n_inter AS DOUBLE) /
                   (size_a + size_b - n_inter) >= 0.1
     """,
+    # train↔eval decontamination: the eval slice ('fa' threshold =
+    # plans.extensions.EVAL_SPLIT_HEX) is the fixed benchmark suite;
+    # hashed shingles shared with the Spark side (SHINGLE_HASH_HEX) so
+    # a collision can never drift the hit counts
+    "x61_decontamination": f"""
+        WITH ds AS ({_SHINGLES}),
+        tsh AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(shingle), 1,
+                       {SHINGLE_HASH_HEX}))::BIGINT AS sh
+            FROM ds WHERE md5(CAST(doc_id AS VARCHAR)) < 'cd'
+        ),
+        esh AS (
+            SELECT DISTINCT
+                   ('0x' || substr(md5(shingle), 1,
+                       {SHINGLE_HASH_HEX}))::BIGINT AS sh
+            FROM ds WHERE md5(CAST(doc_id AS VARCHAR)) >= 'fa'
+        ),
+        agg AS (
+            SELECT t.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_shingles,
+                   CAST(count(e.sh) AS BIGINT) AS n_hit
+            FROM tsh t LEFT JOIN esh e ON t.sh = e.sh
+            GROUP BY t.doc_id
+        )
+        SELECT doc_id AS train_doc_id, n_shingles, n_hit,
+               CAST(n_hit AS DOUBLE) / n_shingles AS contamination
+        FROM agg WHERE n_hit > 0
+    """,
     "x2d_simhash": """
         WITH tok AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents

@@ -159,7 +159,7 @@ def test_bench_scale_accounted_targets_are_timed():
 #: an already-journaled work_rows kind, replica construction,
 #: ACCOUNTING_SLACK)?  If yes → bump JOURNAL_EPOCH too (full
 #: re-measure); if purely additive → keep the epoch and the bank.
-_BENCH_SCALE_MD5 = "4014883d011915545373214a970ea015"
+_BENCH_SCALE_MD5 = "0ec89ffe0bb9b27e5de2a56ea392cd55"
 
 
 def test_journal_epoch_discipline():

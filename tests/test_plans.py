@@ -217,6 +217,21 @@ def test_stored_semdedup_query_plan_has_no_training_stages(spark):
     assert all("NOT ((md5" in l for l in split_lines), split_lines
 
 
+def test_decontamination_scan_is_one_broadcast_pass(spark):
+    """x61's train shingle stream must close in ONE pass: a broadcast
+    hash join against the eval shingle set (never a shuffled join of
+    two exploded shingle streams) followed by the per-doc hash
+    aggregate — the corpus side shuffles only the aggregated doc rows,
+    not the shingle stream."""
+    plan = _formatted_plan(spark, "x61_decontamination")
+    assert "BroadcastHashJoin" in plan, plan
+    assert re.search(r"Left keys \[1\]: \[sh#", plan), plan
+    assert "SortMergeJoin" not in plan, plan
+    # the eval side is deduped BEFORE the broadcast (distinct shingle
+    # set), so the build side stays minimal
+    assert plan.count("HashAggregate") >= 2, plan
+
+
 def test_lsh_hot_bucket_capped(spark):
     """A planted mega-bucket (every doc sharing one band signature) must
     emit ZERO pairs when max_bucket caps it — not O(n²)."""
@@ -289,6 +304,11 @@ _BOUNDED_BROADCAST_QUERIES = {
     # stored IVF read path: 1-row stored codebook + stored |cells|-row
     # centroid probe (both scale-constant broadcasts)
     "x51b_ivfpq_topk_stored",
+    # decontamination broadcasts the eval slice's distinct shingle set:
+    # in production the eval/benchmark suite is FIXED while the corpus
+    # grows, so the broadcast side is scale-constant by contract (the
+    # synthetic stand-in slices documents, hence the allowlisting)
+    "x61_decontamination",
     "x52_pq_recall",  # composes x50's codebook product + x3's exact probe
     "x55_ivfpq_recall",  # x51's probe chain + a 3-row nprobe dial broadcast
     "x57_reduced_recall",  # 1-row sign-matrix + fixed query-vector set + 2-row method dial
