@@ -164,6 +164,48 @@ def test_streaming_micro_batches_maintain_stored_index(spark, tmp_path):
     assert got[200].best_sim >= 9900
 
 
+def test_index_compact_preserves_probe_results(spark, tmp_path):
+    """Compaction is pure housekeeping: after several appends have
+    littered the LSH index with small files, compact_index must shrink
+    the file count without changing a single probe row — and the
+    staged-swap must leave no .compact_* residue."""
+    import os
+
+    from data_engineer_project_weather_analytics_spark.operators import index_store
+
+    idx = str(tmp_path / "lsh_idx_c")
+    corpus = _docs(spark, [(1, BASE)])
+    dedup.lsh_index_write(corpus, "doc_id", "text", idx)
+    for i, word in enumerate(["painted", "gilded", "carved"]):
+        dedup.lsh_index_append(
+            _docs(spark, [(10 + i, BASE.replace("omicron", word))]),
+            "doc_id",
+            "text",
+            idx,
+        )
+    probe = _docs(spark, [(99, BASE.replace("kappa", "copper"))])
+
+    def probe_rows():
+        return sorted(
+            tuple(r)
+            for r in dedup.lsh_probe_stored(
+                spark, idx, probe, "doc_id", "text", threshold=0.1
+            ).collect()
+        )
+
+    before_rows = probe_rows()
+    assert len(before_rows) >= 4  # corpus doc + 3 appended near-dups
+    stats = index_store.compact_index(
+        spark, idx, index_store.LSH_INDEX_LAYOUT
+    )
+    assert set(stats) == {"sigs", "sets"}
+    for sub, (n_before, n_after) in stats.items():
+        assert n_before >= 4, (sub, stats)  # write + 3 appends
+        assert n_after == 1, (sub, stats)
+    assert probe_rows() == before_rows
+    assert not [p for p in os.listdir(idx) if p.startswith(".compact")]
+
+
 def test_semdedup_index_append_only_adds_kept_rows(spark, tmp_path):
     idx = str(tmp_path / "sem_idx2")
     corpus = _vecs(spark, [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])])
