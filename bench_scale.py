@@ -446,6 +446,12 @@ SCALE100_QUERIES: tuple[str, ...] = (
     # corpus-linear (broadcast codebook + distance tables, one ranking
     # window) — a cliff here means the coding left whole-stage codegen
     "x50_pq_topk",
+    # decontamination one decade up: 500 k train docs scanned against
+    # the broadcast eval shingle set (~4 MB at this scale) — must stay
+    # input-linear; the stored/semdedup stored twins do NOT join this
+    # section (x54b's untimed index build is still the demoted fixed-k
+    # 1.6e9-cosine verify)
+    "x61_decontamination",
     # the composed steady-state ingest verdict one decade up, via the
     # AUTO-k twin only (the fixed-k x54 probe it would otherwise embed
     # is the demoted 100x scale-killer: ~1.6e9 cosines over <=8 cells);

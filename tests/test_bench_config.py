@@ -159,7 +159,7 @@ def test_bench_scale_accounted_targets_are_timed():
 #: an already-journaled work_rows kind, replica construction,
 #: ACCOUNTING_SLACK)?  If yes → bump JOURNAL_EPOCH too (full
 #: re-measure); if purely additive → keep the epoch and the bank.
-_BENCH_SCALE_MD5 = "0ec89ffe0bb9b27e5de2a56ea392cd55"
+_BENCH_SCALE_MD5 = "a905189cc34406a5876139ae85deab53"
 
 
 def test_journal_epoch_discipline():
