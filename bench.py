@@ -159,6 +159,7 @@ HEADLINE: dict[str, str] = {
     "x53b_incremental_neardup_stored": "checksum",
     "x54_incremental_semdedup": "checksum",
     "x54b_incremental_semdedup_stored": "checksum",
+    "x54c_incremental_semdedup_auto_stored": "checksum",
     "x61_decontamination": "checksum",
     "x55_ivfpq_recall": "collect",
     "x56_curation_materialize": "checksum",

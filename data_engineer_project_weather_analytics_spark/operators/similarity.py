@@ -1239,6 +1239,62 @@ def semdedup_incremental_auto(
     return _probe_keep(bassigned, survivors, id_col, threshold)
 
 
+def semdedup_index_write_auto(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_dir: str,
+    *,
+    k: int | None = None,
+    n_iter: int = KMEANS_ITERS,
+    threshold: float = 0.8,
+) -> None:
+    """The DEPLOYMENT form of :func:`semdedup_index_write`: the auto-k
+    two-level corpus index materialized to parquet — ``survivors``
+    plus BOTH codebooks of the final assignment pass (``fmap`` fine,
+    ``occ`` occupied-coarse), exactly what
+    :func:`semdedup_incremental_stored_auto`'s two-level probe needs.
+    This is the stored shape to run beyond ~10× sf0.1; the flat
+    :func:`semdedup_index_write` is the oracle anchor."""
+    survivors, fmap, occ = semdedup_corpus_index_auto(
+        corpus, id_col, vec_col, k=k, n_iter=n_iter, threshold=threshold
+    )
+    survivors.write.mode("overwrite").parquet(f"{index_dir}/survivors")
+    fmap.write.mode("overwrite").parquet(f"{index_dir}/fmap")
+    occ.write.mode("overwrite").parquet(f"{index_dir}/occ")
+
+
+def semdedup_incremental_stored_auto(
+    spark,
+    index_dir: str,
+    batch: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental semantic dedup against a STORED auto-k two-level
+    index (:func:`semdedup_index_write_auto`): the recurring per-batch
+    cost is exactly the two-level probe — coarse argmax over the
+    stored occupied codebook, fine argmax within the routed cell, then
+    the same-cell survivor verify.  No k-means training, no corpus
+    scan, no corpus pair stream at query time; byte-identical to
+    :func:`semdedup_incremental_auto` on the same corpus (parquet
+    round-trips the codebook doubles bit-exactly)."""
+    survivors = spark.read.parquet(f"{index_dir}/survivors")
+    fmap = spark.read.parquet(f"{index_dir}/fmap")
+    occ = spark.read.parquet(f"{index_dir}/occ")
+    # the broadcast-or-shard decision the fit made, re-derived from the
+    # stored fine codebook's own size (k rows — an index-metadata count)
+    k = fmap.count()
+    bv = batch.select(
+        F.col(id_col).alias("__vid"), _as_double(vec_col).alias("__v")
+    )
+    bassigned = _batch_assign_two_level(
+        bv, fmap, occ, broadcast_fine=k <= FINE_CODEBOOK_BROADCAST_MAX_K
+    )
+    return _probe_keep(bassigned, survivors, id_col, threshold)
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame, id_col: str, vec_col: str, threshold: float = 0.8
 ) -> DataFrame:

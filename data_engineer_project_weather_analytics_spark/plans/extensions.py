@@ -1348,6 +1348,40 @@ def x54_incremental_semdedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def x54c_incremental_semdedup_auto_stored(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The x54b BUILD/QUERY split applied to the DEPLOYMENT (auto-k
+    two-level) index: survivors + both final-pass codebooks
+    materialized once (`semdedup_index_write_auto`), the recurring
+    query running ONLY the two-level batch probe against the stored
+    artifacts (`semdedup_incremental_stored_auto`).  This is the
+    complete production shape of the semantic-dedup read path — auto-k
+    so the verify stream stays linear, stored so the per-batch cost is
+    the probe alone.  Rows-only like every auto twin (k depends on a
+    runtime count()); row-for-row agreement with
+    x54_incremental_semdedup_auto is pinned by pytest."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:12]
+    idx = os.path.join(_SEM_INDEX_ROOT, tag + "_auto")
+    marker = os.path.join(idx, "_DONE")
+    if not os.path.exists(marker):
+        emb = load_table(spark, sf_dir, "embeddings")
+        corpus = emb.filter(text.deterministic_split("vec_id") == "train")
+        similarity.semdedup_index_write_auto(
+            corpus, "vec_id", "embedding", idx, threshold=0.8
+        )
+        with open(marker, "w") as fh:
+            fh.write(sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = emb.filter(text.deterministic_split("vec_id") == "test")
+    return similarity.semdedup_incremental_stored_auto(
+        spark, idx, batch, "vec_id", "embedding", threshold=0.8
+    )
+
+
 #: rows-only registrations (genuinely non-SQL-expressible paths)
 NO_ORACLE = {
     "x5_multimodal_features": _x5_multimodal_features,
@@ -1356,6 +1390,7 @@ NO_ORACLE = {
     "x3b_embedding_neardup_auto": x3b_embedding_neardup_auto,
     "x45_semdedup_auto": x45_semdedup_auto,
     "x54_incremental_semdedup_auto": x54_incremental_semdedup_auto,
+    "x54c_incremental_semdedup_auto_stored": x54c_incremental_semdedup_auto_stored,
 }
 
 

@@ -164,6 +164,27 @@ def test_streaming_micro_batches_maintain_stored_index(spark, tmp_path):
     assert got[200].best_sim >= 9900
 
 
+def test_stored_auto_probe_agrees_with_in_query_auto(spark):
+    """x54c (stored auto-k two-level index) must return row-for-row
+    the rows x54_auto computes in-query on the same corpus — the
+    byte-identity claim the stored split rests on, proven at the
+    registered-query level (both are rows-only at the driver, so this
+    pytest IS their cross-check)."""
+    import data_engineer_project_weather_analytics_spark.plans.extensions as E
+
+    sf = "/root/testdata/sf0.001"
+    want = sorted(
+        tuple(r)
+        for r in E.x54_incremental_semdedup_auto(spark, sf).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in E.x54c_incremental_semdedup_auto_stored(spark, sf).collect()
+    )
+    assert got == want
+    assert len(got) > 0
+
+
 def test_index_compact_preserves_probe_results(spark, tmp_path):
     """Compaction is pure housekeeping: after several appends have
     littered the LSH index with small files, compact_index must shrink

@@ -282,6 +282,9 @@ _BOUNDED_BROADCAST_QUERIES = {
     # the materialized index instead of trained in-query
     "x54b_incremental_semdedup_stored",
     "x54_incremental_semdedup_auto",  # two-level index + probe: coarse/fine codebook products
+    # stored auto probe: the same coarse/fine codebook products, read
+    # from the materialized index instead of fit in-query
+    "x54c_incremental_semdedup_auto_stored",
     "x56_curation_materialize",  # composes x45's k-row codebook products
     "x56_curation_auto",  # composes x45_auto's two-level codebook products
     "x59_ingest_curation",  # composes x54's k-row codebook products
