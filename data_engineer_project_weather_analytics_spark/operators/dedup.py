@@ -695,13 +695,15 @@ def lsh_index_write(
     pipeline (x53) as a STORED LSH index — the BUILD half of the
     production split.  Two parquet artifacts under ``index_dir``:
     ``sigs`` (per-(doc, band) MinHash signatures,
-    :func:`minhash_signatures`) and ``sets`` (per-doc packed
-    hashed-shingle sets, :func:`doc_shingle_hash_sets`) — everything a
-    future batch probe needs; the corpus TEXT is never read again."""
+    :func:`minhash_signatures`, hive-partitioned BY BAND so band-keyed
+    probe stages and band-restricted maintenance open only their
+    band's files) and ``sets`` (per-doc packed hashed-shingle sets,
+    :func:`doc_shingle_hash_sets`) — everything a future batch probe
+    needs; the corpus TEXT is never read again."""
     ds = doc_shingles(corpus, id_col, text_col, n=n)
     minhash_signatures(ds, id_col, n_bands=n_bands).write.mode(
         "overwrite"
-    ).parquet(f"{index_dir}/sigs")
+    ).partitionBy("band").parquet(f"{index_dir}/sigs")
     doc_shingle_hash_sets(corpus, id_col, text_col, n=n).write.mode(
         "overwrite"
     ).parquet(f"{index_dir}/sets")
@@ -728,7 +730,7 @@ def lsh_index_append(
     ds = doc_shingles(batch, id_col, text_col, n=n)
     minhash_signatures(ds, id_col, n_bands=n_bands).write.mode(
         "append"
-    ).parquet(f"{index_dir}/sigs")
+    ).partitionBy("band").parquet(f"{index_dir}/sigs")
     doc_shingle_hash_sets(batch, id_col, text_col, n=n).write.mode(
         "append"
     ).parquet(f"{index_dir}/sets")

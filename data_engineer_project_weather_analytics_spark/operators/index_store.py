@@ -8,12 +8,30 @@ opens thousands of tiny files, the classic small-files problem.
 files, semantics-preserving by construction (same rows, better
 layout), so probes keep their plans and lose the per-file open cost.
 
+Artifacts that carry a pruning key (IVF codes carry their ``cell``,
+LSH signatures their ``band``) are laid out hive-partitioned on that
+key — ``partitionBy`` at write time — so a probe that touches two
+cells opens only two cells' files (dynamic partition pruning at the
+probe join), the stored-index analog of the reference's indexed BI
+read (``README.md:105-115``) at corpus scale.  Compaction preserves
+the partitioned layout: one file per live partition value instead of
+one global file.
+
 On a real lake the index would live in a transactional table format
 whose compaction is atomic; on a plain filesystem the swap here is two
 directory renames with the old artifact kept until the new one is in
-place (a crash between the renames leaves the ``.compact_trash``
-directory to recover from, never a half-written artifact in the live
-path).
+place.  A crash between the renames leaves the staged/trash
+directories behind, never a half-written artifact in the live path;
+:func:`recover_index` repairs every reachable crash state (documented
+below) back to a fully-live artifact.
+
+Retraction (:func:`delete_from_index`) removes a key set from the
+artifacts that carry per-row corpus state — the index-layer analog of
+the reference's ON DELETE CASCADE (``sql/createtable.sql:13``): when
+corpus documents are retracted or re-crawled, their signatures /
+survivor rows / codes must stop matching future probes.  Geometry
+artifacts (codebooks, centroids) are immutable under deletion exactly
+as under append — re-centering is a rebuild, not a delete.
 """
 
 from __future__ import annotations
@@ -21,21 +39,34 @@ from __future__ import annotations
 import os
 import shutil
 
-#: artifact → sort columns for each index family's layout.  Sorting
-#: within the rewritten files gives parquet row-group min/max stats a
-#: real pruning surface for the probe-side filters (band/minhash
-#: bucket lookups, cell-keyed posting-list scans).
-LSH_INDEX_LAYOUT: dict[str, list[str]] = {
-    "sigs": ["band", "minhash"],
-    "sets": ["doc_id"],
+from pyspark.sql import functions as F
+
+#: artifact → layout spec for each index family.
+#:
+#: - ``partition``: hive-partition columns (pruning keys).  Applied
+#:   only when the column is actually present — the flat (non-IVF) PQ
+#:   index writes ``codes`` without a ``cell`` column and stays
+#:   unpartitioned.
+#: - ``sort``: within-file sort columns, giving parquet row-group
+#:   min/max stats a pruning surface for probe-side filters.
+#: - ``key``: the per-row corpus identity :func:`delete_from_index`
+#:   retracts on; ``None`` marks immutable geometry (codebooks,
+#:   centroids) that deletion never touches.
+LSH_INDEX_LAYOUT: dict[str, dict] = {
+    "sigs": {"partition": ["band"], "sort": ["minhash"], "key": "doc_id"},
+    "sets": {"partition": [], "sort": ["doc_id"], "key": "doc_id"},
 }
-SEM_INDEX_LAYOUT: dict[str, list[str]] = {
-    "survivors": ["cell", "corpus_id"],
-    "cents": ["cell"],
+SEM_INDEX_LAYOUT: dict[str, dict] = {
+    "survivors": {"partition": [], "sort": ["cell", "corpus_id"], "key": "corpus_id"},
+    "cents": {"partition": [], "sort": ["cell"], "key": None},
+    # the auto-k two-level index stores both codebooks instead of cents
+    "fmap": {"partition": [], "sort": ["cell"], "key": None},
+    "occ": {"partition": [], "sort": [], "key": None},
 }
-PQ_INDEX_LAYOUT: dict[str, list[str]] = {
-    "codes": ["vec_id"],
-    "codebook": [],
+PQ_INDEX_LAYOUT: dict[str, dict] = {
+    "codes": {"partition": ["cell"], "sort": ["vec_id"], "key": "vec_id"},
+    "codebook": {"partition": [], "sort": [], "key": None},
+    "centroids": {"partition": [], "sort": ["cell"], "key": None},
 }
 
 
@@ -48,16 +79,44 @@ def _n_parquet_files(path: str) -> int:
     )
 
 
+def _staged_rewrite(df, path: str, spec: dict, target_files: int) -> None:
+    """Write ``df`` as the new contents of artifact ``path`` via the
+    crash-safe staged-rename swap.  Partitioned artifacts get one file
+    per live partition value (hash-repartition on the partition key
+    puts each value in exactly one task); unpartitioned ones get
+    ``target_files`` files."""
+    parent, sub = os.path.split(path.rstrip("/"))
+    staged = os.path.join(parent, f".compact_{sub}")
+    trash = os.path.join(parent, f".compact_trash_{sub}")
+    pcols = [c for c in spec.get("partition", ()) if c in df.columns]
+    sort_cols = [c for c in spec.get("sort", ()) if c in df.columns]
+    if pcols:
+        w = df.repartition(*[F.col(c) for c in pcols])
+    else:
+        w = df.repartition(target_files)
+    if pcols or sort_cols:
+        w = w.sortWithinPartitions(*pcols, *sort_cols)
+    writer = w.write.mode("overwrite")
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(staged)
+    shutil.rmtree(trash, ignore_errors=True)
+    os.replace(path, trash)
+    os.replace(staged, path)
+    shutil.rmtree(trash)
+
+
 def compact_index(
     spark,
     index_dir: str,
-    layout: dict[str, list[str]],
+    layout: dict[str, dict],
     target_files: int = 1,
 ) -> dict[str, tuple[int, int]]:
-    """Rewrite every artifact of a stored index into ``target_files``
-    sorted parquet files.  Returns ``{artifact: (files_before,
-    files_after)}`` so callers (and tests) can assert the compaction
-    actually bought something.
+    """Rewrite every artifact of a stored index into its compact
+    layout: ``target_files`` sorted parquet files, or — for artifacts
+    with a partition key — one sorted file per live partition value.
+    Returns ``{artifact: (files_before, files_after)}`` so callers
+    (and tests) can assert the compaction actually bought something.
 
     Row-preserving: the rewrite is a plain
     ``repartition → sortWithinPartitions → write`` of the artifact's
@@ -65,21 +124,107 @@ def compact_index(
     byte-identical results before and after.  Missing artifacts (an
     index variant without ``centroids``, say) are skipped."""
     stats: dict[str, tuple[int, int]] = {}
-    for sub, sort_cols in layout.items():
+    for sub, spec in layout.items():
         path = os.path.join(index_dir, sub)
         if not os.path.isdir(path):
             continue
         before = _n_parquet_files(path)
         df = spark.read.parquet(path)
-        staged = os.path.join(index_dir, f".compact_{sub}")
-        trash = os.path.join(index_dir, f".compact_trash_{sub}")
-        w = df.repartition(target_files)
-        if sort_cols:
-            w = w.sortWithinPartitions(*sort_cols)
-        w.write.mode("overwrite").parquet(staged)
-        shutil.rmtree(trash, ignore_errors=True)
-        os.replace(path, trash)
-        os.replace(staged, path)
-        shutil.rmtree(trash)
+        _staged_rewrite(df, path, spec, target_files)
         stats[sub] = (before, _n_parquet_files(path))
     return stats
+
+
+def delete_from_index(
+    spark,
+    index_dir: str,
+    layout: dict[str, dict],
+    ids,
+    target_files: int = 1,
+) -> dict[str, tuple[int, int]]:
+    """Retract a key set from a stored index: every artifact whose
+    layout carries a ``key`` is rewritten without the rows whose key is
+    in ``ids`` (a one-column DataFrame, any column name), via the same
+    staged-rename swap as :func:`compact_index` — a crash mid-delete
+    is recoverable by :func:`recover_index` and never leaves a
+    half-written artifact live.  Geometry artifacts (``key: None``)
+    are untouched: batches were assigned against that geometry, so the
+    remaining rows stay exactly the rows a probe must verify against.
+
+    Returns ``{artifact: (rows_before, rows_after)}``.
+
+    Equivalence to a rebuild: for the LSH family, the remaining
+    signatures and packed sets are row-for-row what
+    ``lsh_index_write`` would produce on the retained corpus (each
+    doc's rows derive only from that doc), so post-delete probes are
+    byte-identical to a full rebuild.  For the SemDeDup / PQ families
+    the geometry is frozen (a rebuild would re-fit centroids /
+    quantizer maxima on the retained corpus), so deletion here is
+    state removal under the existing geometry — the same contract as
+    ``semdedup_index_append``; re-fitting is a rebuild."""
+    keys = ids.toDF("__del_key")
+    stats: dict[str, tuple[int, int]] = {}
+    for sub, spec in layout.items():
+        if spec.get("key") is None:
+            continue
+        path = os.path.join(index_dir, sub)
+        if not os.path.isdir(path):
+            continue
+        df = spark.read.parquet(path)
+        before = df.count()
+        kept = df.join(
+            F.broadcast(keys),
+            df[spec["key"]] == keys["__del_key"],
+            "left_anti",
+        )
+        # pin the retained rows BEFORE the swap: the rewrite reads the
+        # directory it is about to replace, so the plan must not hold a
+        # lazy scan of the old files when the staged dir is renamed in
+        # (the semdedup_index_append lineage-truncation rule)
+        kept = kept.localCheckpoint()
+        _staged_rewrite(kept, path, spec, target_files)
+        stats[sub] = (before, spark.read.parquet(path).count())
+    return stats
+
+
+def recover_index(index_dir: str, layout: dict[str, dict]) -> dict[str, str]:
+    """Repair a stored index after a crash inside a staged-rename swap
+    (:func:`compact_index` / :func:`delete_from_index`).  Idempotent;
+    returns ``{artifact: action}`` for every artifact it touched.
+
+    Reachable crash states, per artifact:
+
+    - live path present (+ staged and/or trash residue): the crash hit
+      before the old artifact was moved aside, or after the new one was
+      already in place — the live path is authoritative either way, so
+      residue is dropped (a dropped staged dir just means the
+      compaction re-runs later);
+    - live path MISSING, staged write complete (``_SUCCESS`` present):
+      the crash hit between the two renames — finish the swap;
+    - live path missing and staged absent/incomplete: roll the trash
+      copy back in.
+    """
+    actions: dict[str, str] = {}
+    for sub in layout:
+        path = os.path.join(index_dir, sub)
+        staged = os.path.join(index_dir, f".compact_{sub}")
+        trash = os.path.join(index_dir, f".compact_trash_{sub}")
+        if os.path.isdir(path):
+            residue = []
+            for p, what in ((staged, "staged"), (trash, "trash")):
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
+                    residue.append(what)
+            if residue:
+                actions[sub] = "dropped_" + "_and_".join(residue)
+        elif os.path.isdir(staged) and os.path.exists(
+            os.path.join(staged, "_SUCCESS")
+        ):
+            os.replace(staged, path)
+            shutil.rmtree(trash, ignore_errors=True)
+            actions[sub] = "completed_swap"
+        elif os.path.isdir(trash):
+            shutil.rmtree(staged, ignore_errors=True)
+            os.replace(trash, path)
+            actions[sub] = "rolled_back"
+    return actions

@@ -1806,7 +1806,11 @@ def pq_index_write(
     With ``cell_col`` the index is INVERTED-FILE shaped for
     :func:`ivfpq_topk_stored`: codes carry their IVF cell and a third
     artifact, ``centroids`` (the µ-quantized cell means the probe
-    ranking needs), is written alongside.
+    ranking needs), is written alongside.  The codes are
+    hive-partitioned BY CELL (``partitionBy``), so the probe join's
+    dynamic partition pruning opens only the probed cells' files — at
+    100 TB the per-query scan is the probed posting lists' bytes, not
+    the whole codes artifact filtered after the read.
 
     Same deterministic construction as :func:`pq_topk` /
     :func:`ivfpq_topk` — a stored index queried by the ``*_stored``
@@ -1826,9 +1830,15 @@ def pq_index_write(
     )
     withcb = qz.crossJoin(F.broadcast(cbrow))
     code_cols = ["vec_id"] + (["cell"] if cell_col is not None else [])
-    withcb.select(
+    codes_df = withcb.select(
         *code_cols, F.expr(_pq_codes_expr(m, d4, n_codewords)).alias("codes")
-    ).write.mode("overwrite").parquet(f"{index_dir}/codes")
+    )
+    codes_writer = codes_df.write.mode("overwrite")
+    if cell_col is not None:
+        # cell-partitioned layout: each posting list is its own
+        # directory, so the *_stored probes prune at the FILE level
+        codes_writer = codes_writer.partitionBy("cell")
+    codes_writer.parquet(f"{index_dir}/codes")
     if cell_col is not None:
         cell_centroids(vectors, cell_col, vec_col).write.mode(
             "overwrite"

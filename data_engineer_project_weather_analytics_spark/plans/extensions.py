@@ -175,7 +175,9 @@ def x53b_incremental_neardup_stored(spark: SparkSession, sf_dir: str) -> DataFra
     import os
 
     tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:12]
-    idx = os.path.join(_LSH_INDEX_ROOT, tag)
+    # "_p2": band-partitioned sigs layout (r12) — old unpartitioned
+    # caches under the bare tag must not be reused
+    idx = os.path.join(_LSH_INDEX_ROOT, tag + "_p2")
     marker = os.path.join(idx, "_DONE")
     if not os.path.exists(marker):
         docs = load_table(spark, sf_dir, "documents")
@@ -1080,7 +1082,9 @@ def x51b_ivfpq_topk_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:12]
-    idx = os.path.join(_PQ_INDEX_ROOT, tag + "_ivf")
+    # "_ivf2": cell-partitioned codes layout (r12) — old unpartitioned
+    # caches under "_ivf" must not be reused
+    idx = os.path.join(_PQ_INDEX_ROOT, tag + "_ivf2")
     marker = os.path.join(idx, "_DONE")
     if not os.path.exists(marker):
         emb = load_table(spark, sf_dir, "embeddings")

@@ -222,7 +222,15 @@ def test_index_compact_preserves_probe_results(spark, tmp_path):
     assert set(stats) == {"sigs", "sets"}
     for sub, (n_before, n_after) in stats.items():
         assert n_before >= 4, (sub, stats)  # write + 3 appends
-        assert n_after == 1, (sub, stats)
+    # sets: unpartitioned → one global file.  sigs: band-partitioned
+    # layout → one file per live band partition, never more
+    assert stats["sets"][1] == 1, stats
+    n_bands = len(
+        [d for d in os.listdir(os.path.join(idx, "sigs")) if d.startswith("band=")]
+    )
+    assert n_bands >= 1
+    assert stats["sigs"][1] == n_bands, (stats, n_bands)
+    assert stats["sigs"][1] < stats["sigs"][0], stats
     assert probe_rows() == before_rows
     assert not [p for p in os.listdir(idx) if p.startswith(".compact")]
 
@@ -252,3 +260,217 @@ def test_semdedup_index_append_only_adds_kept_rows(spark, tmp_path):
     # the appended row carries the vector and its assigned cell, so the
     # next probe can verify against it without touching the batch table
     assert appended[0]["__cv"] == [0.0, 0.0, 0.0, 1.0]
+
+
+def test_delete_from_index_lsh_matches_rebuild(spark, tmp_path):
+    """Retraction (VERDICT r11 task 3): deleting a doc from the stored
+    LSH index must leave EXACTLY the state a full rebuild on the
+    retained corpus produces — each doc's signature and packed-set
+    rows derive only from that doc, so probe results after the delete
+    are byte-identical to the rebuild's (the x54b shared-oracle trick
+    applied to deletion).  The index-layer analog of the reference's
+    ON DELETE CASCADE (sql/createtable.sql:13)."""
+    import os
+
+    from data_engineer_project_weather_analytics_spark.operators import index_store
+
+    idx = str(tmp_path / "lsh_del")
+    rebuilt = str(tmp_path / "lsh_rebuilt")
+    corpus = _docs(
+        spark,
+        [
+            (1, BASE),
+            (2, BASE.replace("omicron", "painted")),
+            (3, "one two three four five six seven eight nine ten"),
+        ],
+    )
+    dedup.lsh_index_write(corpus, "doc_id", "text", idx)
+    # retract doc 2 (the near-dup of doc 1)
+    stats = index_store.delete_from_index(
+        spark, idx, index_store.LSH_INDEX_LAYOUT,
+        spark.createDataFrame([(2,)], "id bigint"),
+    )
+    assert set(stats) == {"sigs", "sets"}
+    for sub, (rows_before, rows_after) in stats.items():
+        assert rows_after < rows_before, (sub, stats)
+    assert not [p for p in os.listdir(idx) if p.startswith(".compact")]
+
+    dedup.lsh_index_write(
+        corpus.filter("doc_id != 2"), "doc_id", "text", rebuilt
+    )
+    probe = _docs(spark, [(99, BASE.replace("kappa", "copper"))])
+
+    def probe_rows(where):
+        return sorted(
+            tuple(r)
+            for r in dedup.lsh_probe_stored(
+                spark, where, probe, "doc_id", "text", threshold=0.1
+            ).collect()
+        )
+
+    got, want = probe_rows(idx), probe_rows(rebuilt)
+    assert got == want
+    assert [r[0] for r in got] == [1]  # doc 2 no longer matches
+    # stored state itself is row-identical to the rebuild
+    for sub in ("sigs", "sets"):
+        a = sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{idx}/{sub}").collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{rebuilt}/{sub}").collect()
+        )
+        assert a == b, sub
+
+
+def test_delete_from_index_semdedup_unblocks_near_twin(spark, tmp_path):
+    """SemDeDup retraction: removing a survivor means its near-twins
+    pass future probes again (the retracted doc must stop shadowing
+    the corpus), while the codebook stays frozen — deletion, like
+    append, operates under the existing geometry; re-centering is a
+    rebuild."""
+    from data_engineer_project_weather_analytics_spark.operators import index_store
+
+    idx = str(tmp_path / "sem_del")
+    corpus = _vecs(
+        spark, [(1, [1.0, 0.05, 0.0, 0.0]), (2, [1.0, 0.0, 0.1, 0.0])]
+    )
+    similarity.semdedup_index_write(
+        corpus, "vec_id", "emb", idx, k=2, n_iter=2, threshold=0.8
+    )
+    u = [0.0, 0.1, 1.0, 0.0]
+    u_near = [0.0, 0.12, 1.0, 0.02]
+    similarity.semdedup_index_append(
+        spark, idx, _vecs(spark, [(100, u)]), "vec_id", "emb"
+    )
+    cents_before = sorted(
+        tuple(r) for r in spark.read.parquet(f"{idx}/cents").collect()
+    )
+    blocked = similarity.semdedup_incremental_stored(
+        spark, idx, _vecs(spark, [(200, u_near)]), "vec_id", "emb"
+    ).collect()
+    assert blocked[0].kept == 0
+
+    stats = index_store.delete_from_index(
+        spark, idx, index_store.SEM_INDEX_LAYOUT,
+        spark.createDataFrame([(100,)], "id bigint"),
+    )
+    # only the survivors artifact carries per-row corpus state
+    assert set(stats) == {"survivors"}
+    rows_before, rows_after = stats["survivors"]
+    assert rows_after == rows_before - 1
+    freed = similarity.semdedup_incremental_stored(
+        spark, idx, _vecs(spark, [(200, u_near)]), "vec_id", "emb"
+    ).collect()
+    assert freed[0].kept == 1
+    cents_after = sorted(
+        tuple(r) for r in spark.read.parquet(f"{idx}/cents").collect()
+    )
+    assert cents_after == cents_before  # geometry untouched
+
+
+def test_delete_from_index_pq_removes_neighbor(spark, tmp_path):
+    """PQ retraction: a deleted vector disappears from stored-probe
+    results (its posting-list row is gone) while the codebook and
+    quantizer max stay frozen — the append/delete contract shared by
+    every index family."""
+    from data_engineer_project_weather_analytics_spark.operators import index_store
+
+    idx = str(tmp_path / "pq_del")
+    vecs = _vecs(
+        spark,
+        [(i, [float(i % 3) + 0.1 * i, 1.0 - 0.05 * i, 0.5, 0.25]) for i in range(8)],
+    )
+    similarity.pq_index_write(
+        vecs, "vec_id", "emb", idx, dim=4, m=2, n_codewords=4
+    )
+    queries = _vecs(spark, [(0, [0.1, 1.0, 0.5, 0.25])])
+
+    def neighbors():
+        return {
+            r.neighbor_id
+            for r in similarity.pq_topk_stored(
+                spark, idx, queries, "vec_id", "emb", dim=4, m=2, k=8
+            ).collect()
+        }
+
+    assert 5 in neighbors()
+    stats = index_store.delete_from_index(
+        spark, idx, index_store.PQ_INDEX_LAYOUT,
+        spark.createDataFrame([(5,)], "id bigint"),
+    )
+    assert set(stats) == {"codes"}
+    assert stats["codes"] == (8, 7)
+    assert 5 not in neighbors()
+
+
+def test_recover_index_repairs_every_crash_state(spark, tmp_path):
+    """Compaction crash recovery (VERDICT r11 task 7): simulate a kill
+    at each point inside the staged-rename swap and assert
+    recover_index restores a fully-live artifact with unchanged probe
+    results — the .compact_trash invariant the compact_index docstring
+    promises, now pinned."""
+    import os
+    import shutil
+
+    from data_engineer_project_weather_analytics_spark.operators import index_store
+
+    idx = str(tmp_path / "lsh_crash")
+    corpus = _docs(spark, [(1, BASE), (2, BASE.replace("omicron", "painted"))])
+    dedup.lsh_index_write(corpus, "doc_id", "text", idx)
+    probe = _docs(spark, [(99, BASE.replace("kappa", "copper"))])
+
+    def probe_rows():
+        return sorted(
+            tuple(r)
+            for r in dedup.lsh_probe_stored(
+                spark, idx, probe, "doc_id", "text", threshold=0.1
+            ).collect()
+        )
+
+    want = probe_rows()
+    assert len(want) == 2
+    sets_live = os.path.join(idx, "sets")
+    staged = os.path.join(idx, ".compact_sets")
+    trash = os.path.join(idx, ".compact_trash_sets")
+
+    # state A — crash after the staged write, before any rename:
+    # live intact, staged orphan → residue dropped, live wins
+    shutil.copytree(sets_live, staged)
+    actions = index_store.recover_index(idx, index_store.LSH_INDEX_LAYOUT)
+    assert actions == {"sets": "dropped_staged"}
+    assert not os.path.exists(staged)
+    assert probe_rows() == want
+
+    # state B — crash BETWEEN the two renames: live missing, complete
+    # staged (_SUCCESS present) + trash → recovery finishes the swap
+    shutil.copytree(sets_live, staged)
+    os.replace(sets_live, trash)
+    actions = index_store.recover_index(idx, index_store.LSH_INDEX_LAYOUT)
+    assert actions == {"sets": "completed_swap"}
+    assert os.path.isdir(sets_live) and not os.path.exists(trash)
+    assert probe_rows() == want
+
+    # state C — crash after the swap, before the trash cleanup:
+    # live new + trash orphan → residue dropped
+    shutil.copytree(sets_live, trash)
+    actions = index_store.recover_index(idx, index_store.LSH_INDEX_LAYOUT)
+    assert actions == {"sets": "dropped_trash"}
+    assert not os.path.exists(trash)
+    assert probe_rows() == want
+
+    # state D — live missing and the staged write never finished (no
+    # _SUCCESS): recovery must ROLL BACK the trash copy, never promote
+    # a half-written artifact
+    shutil.copytree(sets_live, staged)
+    os.remove(os.path.join(staged, "_SUCCESS"))
+    os.replace(sets_live, trash)
+    actions = index_store.recover_index(idx, index_store.LSH_INDEX_LAYOUT)
+    assert actions == {"sets": "rolled_back"}
+    assert os.path.isdir(sets_live) and not os.path.exists(staged)
+    assert not os.path.exists(trash)
+    assert probe_rows() == want
+
+    # idempotent on a healthy index
+    assert index_store.recover_index(idx, index_store.LSH_INDEX_LAYOUT) == {}

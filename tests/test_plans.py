@@ -174,9 +174,40 @@ def test_stored_pq_query_plan_has_no_training_stages(spark):
     # stored codes BY CELL (posting-list pruning survives storage)
     ivf = _formatted_plan(spark, "x51b_ivfpq_topk_stored")
     assert "spark_graft_pq_index" in ivf
-    assert ivf.count("embeddings.parquet") == 1, ivf
+    # the cell-partitioned codes scan carries a dynamic-pruning
+    # SUBQUERY that re-prints the probe side below the main plan (it
+    # REUSES the probe's broadcast at runtime — not a second scan), so
+    # count embeddings scans in the main section only
+    ivf_main = ivf.split("===== Subqueries =====")[0]
+    assert ivf_main.count("embeddings.parquet") == 1, ivf
     assert "array_max" not in ivf, ivf
     assert re.search(r"Left keys \[1\]: \[cell", ivf), ivf
+
+
+def test_stored_index_partition_pruned_layouts(spark):
+    """The stored-index pruning layouts (VERDICT r11 task 1): IVF codes
+    are written ``partitionBy(cell)``, so x51b's probe join prunes at
+    the FILE level — the codes scan must carry a
+    ``dynamicpruningexpression(cell IN ...)`` PartitionFilter (each
+    query opens only its probed cells' posting-list files, not the
+    whole codes artifact filtered after the read).  LSH signatures are
+    written ``partitionBy(band)``: the sigs scan's ReadSchema must NOT
+    contain ``band`` (it arrives from the directory layout, not the
+    file bytes), proving the partitioned layout is live."""
+    ivf = _formatted_plan(spark, "x51b_ivfpq_topk_stored")
+    assert re.search(
+        r"dynamicpruningexpression\(cell#\d+ IN dynamicpruning", ivf
+    ), ivf
+    lsh = _formatted_plan(spark, "x53b_incremental_neardup_stored")
+    lines = lsh.splitlines()
+    sig_schemas = []
+    for i, line in enumerate(lines):
+        if "/sigs" in line and "Location" in line:
+            for nb in lines[i : i + 6]:
+                if "ReadSchema" in nb:
+                    sig_schemas.append(nb)
+    assert sig_schemas, lsh
+    assert all("band" not in s for s in sig_schemas), sig_schemas
 
 
 def test_stored_lsh_index_query_uses_stored_corpus_side(spark):
