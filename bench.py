@@ -161,6 +161,7 @@ HEADLINE: dict[str, str] = {
     "x54b_incremental_semdedup_stored": "checksum",
     "x54c_incremental_semdedup_auto_stored": "checksum",
     "x61_decontamination": "checksum",
+    "x61b_decontamination_fixed_eval": "checksum",
     "x55_ivfpq_recall": "collect",
     "x56_curation_materialize": "checksum",
     "x57_reduced_recall": "collect",
@@ -252,6 +253,15 @@ def main() -> None:
         "x45_semdedup_auto x54_incremental_semdedup_auto "
         "x56_curation_auto x59_ingest_curation_auto"
     ).split()
+    # the stored-index read paths (r12, VERDICT r11 task 6): the
+    # build-once/probe-forever queries across all three index families
+    # plus the deployment-shape auto split; reference frozen in
+    # BASELINE.md at the first post-partitioned-layout idle measurement
+    stored4 = (
+        "x50b_pq_topk_stored x51b_ivfpq_topk_stored "
+        "x53b_incremental_neardup_stored "
+        "x54c_incremental_semdedup_auto_stored"
+    ).split()
     print(
         json.dumps(
             {
@@ -275,6 +285,9 @@ def main() -> None:
                 ),
                 "auto4_total": round(
                     sum(timings[n] for n in auto4 if n in timings), 3
+                ),
+                "stored4_total": round(
+                    sum(timings[n] for n in stored4 if n in timings), 3
                 ),
                 "load_factor": (
                     round(load_factor, 3) if load_factor is not None else None

@@ -157,6 +157,10 @@ QUERIES: tuple[str, ...] = (
     # train↔eval decontamination: one corpus-linear shingle pass
     # against the broadcast eval shingle set
     "x61_decontamination",
+    # the production-contract twin: FIXED 64-doc eval suite + 8-gram
+    # windows — the broadcast is scale-CONSTANT, so this form carries
+    # the 100x and 1000x points x61's growing eval slice cannot
+    "x61b_decontamination_fixed_eval",
     # the stored-SemDeDup-index read path: per-batch probe cost only
     # (the corpus survivor/codebook build is an untimed
     # plan-construction side effect, cached under /tmp per corpus)
@@ -296,6 +300,7 @@ ACCOUNTED: dict[str, str] = {
     # decontamination work is the train shingle stream — linear in the
     # document corpus (the broadcast eval side is fixed by contract)
     "x61_decontamination": "input_rows:documents",
+    "x61b_decontamination_fixed_eval": "input_rows:documents",
     # the auto-k deployment probe: ALL its work measured — the
     # two-level index build on the corpus split (the semdedup_auto_work
     # terms), the batch probe's coarse + routed-fine scored rows, and
@@ -452,6 +457,10 @@ SCALE100_QUERIES: tuple[str, ...] = (
     # section (x54b's untimed index build is still the demoted fixed-k
     # 1.6e9-cosine verify)
     "x61_decontamination",
+    # the fixed-eval production form at the same decade: the eval side
+    # is 64 docs HERE AND AT EVERY SCALE — the wall must track the
+    # train shingle stream alone
+    "x61b_decontamination_fixed_eval",
     # the composed steady-state ingest verdict one decade up, via the
     # AUTO-k twin only (the fixed-k x54 probe it would otherwise embed
     # is the demoted 100x scale-killer: ~1.6e9 cosines over <=8 cells);
@@ -545,6 +554,12 @@ SCALE1000_QUERIES: tuple[str, ...] = (
     # steady state x53's docstring promises) — the corpus shingle +
     # signature aggregation drops out of the timed region
     "x53b_incremental_neardup_stored",
+    # decontamination at the production contract, three decades up:
+    # the 64-doc eval suite's broadcast shingle set is IDENTICAL in
+    # size to the 1x run, so the 5 M-doc wall is the train 8-gram
+    # shingle stream alone (input-linear bound) — the 1000x point
+    # x61's corpus-growing eval slice cannot carry (VERDICT r11 #3)
+    "x61b_decontamination_fixed_eval",
 )
 SCALE1000_TABLES = ("region", "nation", "events", "documents", "embeddings")
 

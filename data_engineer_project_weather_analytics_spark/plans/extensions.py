@@ -221,6 +221,44 @@ def x61_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.decontamination_scan(train, evals, "doc_id", "text", n=3)
 
 
+#: the fixed eval-suite size of the PRODUCTION decontamination contract
+#: (x61b): benchmark suites don't grow with the corpus, so the eval
+#: side is pinned to this many docs at every scale — what makes the
+#: broadcast truly scale-constant and the whole scan input-linear
+EVAL_SUITE_ROWS = 64
+
+#: x61b's shingle width: the published contamination rules match on
+#: 8-13-gram windows (GPT-3 appendix C uses 13-grams, Llama 2 tokenized
+#: 8+-token spans); 8 is the conservative end of that band
+DECON_SHINGLE_N = 8
+
+
+def x61b_decontamination_fixed_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Decontamination at the PRODUCTION shape (VERDICT r11 task 4):
+    x61's scan with the two knobs set to the published contracts —
+    the eval suite held at a FIXED row count (the lowest
+    ``EVAL_SUITE_ROWS`` doc_ids of the eval slice: benchmark suites
+    are fixed while the corpus grows, so the broadcast shingle set is
+    scale-CONSTANT, not merely scale-proportional like x61's synthetic
+    slice) and 8-gram shingle windows (the GPT-3/Llama-2 band, where
+    x61's 3-grams over-flag).  Same one-pass broadcast-join shape
+    (operators/dedup.py:decontamination_scan); input-linear at any
+    replica, which is what lets this form carry a 1000× BENCH_SCALE
+    point where x61 cannot."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(text.deterministic_split("doc_id") == "train")
+    evals = (
+        docs.filter(F.md5(F.col("doc_id").cast("string")) >= EVAL_SPLIT_HEX)
+        .orderBy("doc_id")
+        .limit(EVAL_SUITE_ROWS)
+    )
+    return dedup.decontamination_scan(
+        train, evals, "doc_id", "text", n=DECON_SHINGLE_N
+    )
+
+
 def x2d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprint per document (md5-nibble bit votes)."""
     docs = load_table(spark, sf_dir, "documents")

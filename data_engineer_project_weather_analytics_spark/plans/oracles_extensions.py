@@ -16,7 +16,12 @@ from data_engineer_project_weather_analytics_spark.operators.multimodal import (
 from data_engineer_project_weather_analytics_spark.operators.dedup import SHINGLE_HASH_HEX
 from data_engineer_project_weather_analytics_spark.operators.similarity import ANN_TOPK, seeded_hyperplanes
 from data_engineer_project_weather_analytics_spark.operators.text import PII_PATTERNS
-from data_engineer_project_weather_analytics_spark.plans.extensions import LSH_MAX_BUCKET
+from data_engineer_project_weather_analytics_spark.plans.extensions import (
+    DECON_SHINGLE_N,
+    EVAL_SPLIT_HEX,
+    EVAL_SUITE_ROWS,
+    LSH_MAX_BUCKET,
+)
 
 #: capped-bucket CTE body — tracks plans.extensions.LSH_MAX_BUCKET so
 #: the Spark cap and the oracle cap can never drift (used by x2b, x2f,
@@ -226,6 +231,24 @@ _SHINGLES = """
                         string_split(text, ' ')[i+2])) AS shingle
         FROM documents
 """
+
+def _shingles_n(n: int, src: str = "documents") -> str:
+    """Distinct (doc_id, n-word shingle) pairs over ``src`` — the
+    parametric form of ``_SHINGLES`` for non-default widths (x61b's
+    8-gram windows).  Same construction: 1-based DuckDB list indexing,
+    ``generate_series`` bounded at 0 for short docs."""
+    words = " || ' ' || ".join(
+        f"string_split(text, ' ')[i+{j}]" if j else "string_split(text, ' ')[i]"
+        for j in range(n)
+    )
+    return f"""
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(string_split(text, ' ')) - {n - 1}, 0)),
+                   i -> {words})) AS shingle
+        FROM {src}
+"""
+
 
 #: per-doc DISTINCT hashed-shingle set (packed) — the verify-side
 #: twin of operators.dedup.doc_shingle_hash_sets: same md5 prefix
@@ -544,6 +567,42 @@ ORACLES_EXT: dict[str, str] = {
                    ('0x' || substr(md5(shingle), 1,
                        {SHINGLE_HASH_HEX}))::BIGINT AS sh
             FROM ds WHERE md5(CAST(doc_id AS VARCHAR)) >= 'fa'
+        ),
+        agg AS (
+            SELECT t.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_shingles,
+                   CAST(count(e.sh) AS BIGINT) AS n_hit
+            FROM tsh t LEFT JOIN esh e ON t.sh = e.sh
+            GROUP BY t.doc_id
+        )
+        SELECT doc_id AS train_doc_id, n_shingles, n_hit,
+               CAST(n_hit AS DOUBLE) / n_shingles AS contamination
+        FROM agg WHERE n_hit > 0
+    """,
+    # production-contract decontamination (x61b): FIXED eval suite
+    # (lowest EVAL_SUITE_ROWS doc_ids of the eval slice) and 8-gram
+    # windows — same one-pass shape, scale-constant eval side
+    "x61b_decontamination_fixed_eval": f"""
+        WITH eval_suite AS (
+            SELECT doc_id, text FROM documents
+            WHERE md5(CAST(doc_id AS VARCHAR)) >= '{EVAL_SPLIT_HEX}'
+            ORDER BY doc_id LIMIT {EVAL_SUITE_ROWS}
+        ),
+        tds AS ({_shingles_n(DECON_SHINGLE_N, '''(
+            SELECT doc_id, text FROM documents
+            WHERE md5(CAST(doc_id AS VARCHAR)) < 'cd') t''')}),
+        eds AS ({_shingles_n(DECON_SHINGLE_N, "eval_suite")}),
+        tsh AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(shingle), 1,
+                       {SHINGLE_HASH_HEX}))::BIGINT AS sh
+            FROM tds
+        ),
+        esh AS (
+            SELECT DISTINCT
+                   ('0x' || substr(md5(shingle), 1,
+                       {SHINGLE_HASH_HEX}))::BIGINT AS sh
+            FROM eds
         ),
         agg AS (
             SELECT t.doc_id,

@@ -363,15 +363,83 @@ def with_cell_assignment(
     return df.withColumn(cell_col, _unpack_argmax_id(best).cast("int"))
 
 
+def with_two_level_cell_assignment(
+    df: DataFrame,
+    vec_col: str,
+    fmap_rows: list[tuple[int, list[float], int]],
+    occ_rows: list[tuple[int, list[float]]],
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Per-ROW TWO-LEVEL nearest-centroid assignment against literal
+    codebooks — :func:`with_cell_assignment` lifted to the deployment
+    geometry (``similarity._batch_assign_two_level``'s coarse→fine
+    route as pure narrow projections): coarse argmax over the ~√k-row
+    occupied codebook (``occ_rows``: ``(coarse, ccent)``), then fine
+    argmax ONLY among the routed coarse cell's members (``fmap_rows``:
+    ``(cell, centroid, coarse)``) via a lazily-evaluated CASE branch
+    per coarse cell — each row computes ~2·√k cosines instead of the
+    flat form's k.  Same packed-BIGINT ``greatest()`` keys as the
+    batch hash-agg argmax (quantized cosine, ties to the lowest id),
+    so the assignment is BIT-IDENTICAL to
+    ``_batch_assign_two_level`` — asserted by
+    tests/test_streaming.py::test_streaming_semdedup_stored_probe_equals_batch_x54c.
+    This is what lets a stream probe the STORED auto-k index (x54c's
+    artifacts) without paying the flat k-wide literal argmax that
+    dominated the 100× streaming point (round-11 finding)."""
+    from collections import defaultdict
+
+    from data_engineer_project_weather_analytics_spark.operators.similarity import (
+        _as_double,
+        _pack_argmax,
+        _unpack_argmax_id,
+        cosine,
+        sim_q,
+    )
+
+    v = _as_double(vec_col)
+
+    def lit_vec(xs: list[float]) -> F.Column:
+        return F.array(*[F.lit(float(x)) for x in xs])
+
+    cpacked = [
+        _pack_argmax(sim_q(cosine(v, lit_vec(cc))), F.lit(int(c)))
+        for c, cc in occ_rows
+    ]
+    cbest = cpacked[0] if len(cpacked) == 1 else F.greatest(*cpacked)
+    routed = df.withColumn(
+        "__coarse", _unpack_argmax_id(cbest).cast("int")
+    )
+    members: dict[int, list[tuple[int, list[float]]]] = defaultdict(list)
+    for cell, cent, coarse in fmap_rows:
+        members[int(coarse)].append((int(cell), cent))
+    fine_expr = None
+    for coarse in sorted(members):
+        packed = [
+            _pack_argmax(sim_q(cosine(v, lit_vec(cent))), F.lit(cell))
+            for cell, cent in members[coarse]
+        ]
+        best = packed[0] if len(packed) == 1 else F.greatest(*packed)
+        cellv = _unpack_argmax_id(best).cast("int")
+        cond = F.col("__coarse") == coarse
+        fine_expr = (
+            F.when(cond, cellv)
+            if fine_expr is None
+            else fine_expr.when(cond, cellv)
+        )
+    return routed.withColumn(cell_col, fine_expr).drop("__coarse")
+
+
 def streaming_semdedup_probe(
     stream: DataFrame,
     id_col: str,
     vec_col: str,
-    centroids: list[tuple[int, list[float]]],
+    centroids: list[tuple[int, list[float]]] | None = None,
     threshold: float = 0.8,
     max_cell: int = 10_000,
     state_ttl_ms: int | None = None,
     seed_col: str | None = None,
+    fmap_rows: list[tuple[int, list[float], int]] | None = None,
+    occ_rows: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Streaming incremental semantic dedup — the micro-batch twin of
     the batch x54 probe (operators/similarity.py:semdedup_incremental):
@@ -398,10 +466,29 @@ def streaming_semdedup_probe(
     idle cells wholesale (ProcessingTime timeout, re-armed per touch).
 
     Output per probe vector: the x54 row
-    ``(vec_id, cluster_id, n_corpus_near, best_sim, kept)``."""
+    ``(vec_id, cluster_id, n_corpus_near, best_sim, kept)``.
+
+    Codebook: pass EITHER ``centroids`` (flat literal codebook — the
+    oracle-k regime) or ``fmap_rows``/``occ_rows`` (the two-level
+    codebooks of the stored auto-k index,
+    :func:`with_two_level_cell_assignment` — the deployment regime:
+    ~2·√k cosines per row instead of k, which is what makes the
+    stream probe viable once k tracks the corpus)."""
     import math
 
-    assigned = with_cell_assignment(stream, vec_col, centroids)
+    if (fmap_rows is None) == (centroids is None):
+        raise ValueError(
+            "pass exactly one of `centroids` (flat) or "
+            "`fmap_rows`+`occ_rows` (two-level stored codebooks)"
+        )
+    if fmap_rows is not None:
+        if occ_rows is None:
+            raise ValueError("fmap_rows requires occ_rows")
+        assigned = with_two_level_cell_assignment(
+            stream, vec_col, fmap_rows, occ_rows
+        )
+    else:
+        assigned = with_cell_assignment(stream, vec_col, centroids)
     from data_engineer_project_weather_analytics_spark.operators.similarity import _as_double
 
     sel = [

@@ -64,11 +64,20 @@ def test_bench_headline_is_registered_with_valid_modes():
         "x56_curation_auto x59_ingest_curation_auto"
     ).split()
     assert [n for n in auto4 if n not in bench.HEADLINE] == []
+    # the r12 stored-read-path subtotal (stored4_total): the
+    # build-once/probe-forever queries must stay under per-round timing
+    stored4 = (
+        "x50b_pq_topk_stored x51b_ivfpq_topk_stored "
+        "x53b_incremental_neardup_stored "
+        "x54c_incremental_semdedup_auto_stored"
+    ).split()
+    assert [n for n in stored4 if n not in bench.HEADLINE] == []
     import inspect
 
     assert '"auto4_total"' in inspect.getsource(bench.main)
     assert '"new5_r8_total"' in inspect.getsource(bench.main)
     assert '"heavy7_total"' in inspect.getsource(bench.main)
+    assert '"stored4_total"' in inspect.getsource(bench.main)
 
 
 def test_bench_load_sentinel_exists():
@@ -159,7 +168,7 @@ def test_bench_scale_accounted_targets_are_timed():
 #: an already-journaled work_rows kind, replica construction,
 #: ACCOUNTING_SLACK)?  If yes → bump JOURNAL_EPOCH too (full
 #: re-measure); if purely additive → keep the epoch and the bank.
-_BENCH_SCALE_MD5 = "a905189cc34406a5876139ae85deab53"
+_BENCH_SCALE_MD5 = "cde4f6b037f5a3bede254412d5275f54"  # r12: +x61b (additive — journal kept)
 
 
 def test_journal_epoch_discipline():

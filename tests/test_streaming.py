@@ -1091,6 +1091,90 @@ def test_streaming_semdedup_probe_equals_batch_x54(spark, tmp_path):
     assert rows2[0]["best_sim"] >= 9900  # near-parallel to the survivor
 
 
+def test_streaming_semdedup_stored_probe_equals_batch_x54c(spark, tmp_path):
+    """Stream ≡ batch for the STORED-index probe (VERDICT r11 task 5):
+    the stream consumes the x54c artifacts — survivors seeded into
+    state, BOTH codebooks (fmap/occ) folded in as literals — and its
+    decisions must equal semdedup_incremental_stored_auto's rows
+    exactly.  The two-level literal assignment routes coarse→fine like
+    the batch probe (bit-identical packed-argmax keys), so the stream
+    pays ~2·√k cosines per row instead of the flat k that dominated
+    the 100× streaming point."""
+    import time
+
+    from data_engineer_project_weather_analytics_spark.operators import similarity
+    from data_engineer_project_weather_analytics_spark.streaming.stateful import (
+        streaming_semdedup_probe,
+    )
+
+    corpus, batch = _planted_embeddings()
+    schema = "vec_id long, embedding array<double>"
+    corpus_df = spark.createDataFrame(corpus, schema)
+    batch_df = spark.createDataFrame(batch, schema)
+    idx = str(tmp_path / "auto_idx")
+    similarity.semdedup_index_write_auto(
+        corpus_df, "vec_id", "embedding", idx
+    )
+    survivors = spark.read.parquet(f"{idx}/survivors")
+    fmap_rows = [
+        (r["cell"], list(r["centroid"]), r["coarse"])
+        for r in spark.read.parquet(f"{idx}/fmap").collect()
+    ]
+    occ_rows = [
+        (r["coarse"], list(r["ccent"]))
+        for r in spark.read.parquet(f"{idx}/occ").collect()
+    ]
+    seed_rows = [
+        (r["corpus_id"], list(r["__cv"])) for r in survivors.collect()
+    ]
+
+    src = str(tmp_path / "emb")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    _write_emb(spark, src, seed_rows, seed=True)
+    time.sleep(1.1)
+    _write_emb(spark, src, batch, seed=False)
+
+    stream = (
+        spark.readStream.schema(EMB_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def _sink(b, _id):
+        if not b.isEmpty():
+            b.write.mode("append").parquet(out)
+
+    q = (
+        streaming_semdedup_probe(
+            stream, "vec_id", "embedding",
+            seed_col="is_seed", fmap_rows=fmap_rows, occ_rows=occ_rows,
+        )
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["vec_id"]: (
+            r["cluster_id"], r["n_corpus_near"], r["best_sim"], r["kept"]
+        )
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["vec_id"]: (
+            r["cluster_id"], r["n_corpus_near"], r["best_sim"], r["kept"]
+        )
+        for r in similarity.semdedup_incremental_stored_auto(
+            spark, idx, batch_df, "vec_id", "embedding"
+        ).collect()
+    }
+    assert got == want
+    assert sum(1 for v in got.values() if v[3] == 0) >= 8  # drops exercised
+
+
 def test_streaming_semdedup_saturation_keeps_deciding(spark, tmp_path):
     """A cell past ``max_cell`` survivors must keep DECIDING against
     the capped survivor list while ADMITTING no more (bounded state —
