@@ -197,6 +197,61 @@ def x53b_incremental_neardup_stored(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+#: hex threshold of the deterministic "retracted re-crawl" slice:
+#: corpus docs with md5(doc_id) < '08' (~3.1 %) are DELETED from the
+#: stored index after the build (x53c) — the doc ids a production
+#: pipeline would retract on takedown/re-crawl.  Below the 'cd' train
+#: threshold by construction, so only corpus-side docs are affected.
+RETRACT_SPLIT_HEX = "08"
+
+
+def x53c_incremental_neardup_retracted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The stored-index RETRACTION made oracle-checked end-to-end
+    (r12): build the x53b corpus index, then DELETE the deterministic
+    re-crawl slice (``RETRACT_SPLIT_HEX``) from the stored signatures
+    and packed sets (operators/index_store.py:delete_from_index — the
+    index-layer ON DELETE CASCADE, crash-safe staged swap), then probe
+    the incoming batch against the post-delete index.  Because each
+    doc's signature/set rows derive only from that doc, deletion is
+    row-identical to a full rebuild on the retained corpus (pinned by
+    the lifecycle pytest), so the oracle is x53's text with the
+    corpus narrowed to the retained docs — any ghost row a broken
+    delete left behind (a retracted doc still matching probes) fails
+    the hash check immediately."""
+    import hashlib
+    import os
+
+    from data_engineer_project_weather_analytics_spark.operators import index_store
+
+    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:12]
+    idx = os.path.join(_LSH_INDEX_ROOT, tag + "_p2r")
+    marker = os.path.join(idx, "_DONE")
+    if not os.path.exists(marker):
+        docs = load_table(spark, sf_dir, "documents")
+        corpus = docs.filter(text.deterministic_split("doc_id") == "train")
+        dedup.lsh_index_write(corpus, "doc_id", "text", idx, n=3, n_bands=8)
+        retracted = corpus.filter(
+            F.md5(F.col("doc_id").cast("string")) < RETRACT_SPLIT_HEX
+        ).select("doc_id")
+        index_store.delete_from_index(
+            spark, idx, index_store.LSH_INDEX_LAYOUT, retracted
+        )
+        with open(marker, "w") as fh:
+            fh.write(sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(text.deterministic_split("doc_id") == "test")
+    return dedup.lsh_probe_stored(
+        spark, idx, batch, "doc_id", "text",
+        n=3, n_bands=8, max_bucket=LSH_MAX_BUCKET, threshold=0.1,
+    ).select(
+        F.col("id_a").alias("corpus_doc_id"),
+        F.col("id_b").alias("batch_doc_id"),
+        "jaccard",
+    )
+
+
 #: hex threshold of the deterministic "benchmark/eval" slice: docs with
 #: md5(doc_id) ≥ 'fa' (~2.3 %) stand in for the FIXED eval suite the
 #: decontamination rule protects — disjoint from the 'cd' train side by

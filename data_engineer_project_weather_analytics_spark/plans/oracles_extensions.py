@@ -21,6 +21,7 @@ from data_engineer_project_weather_analytics_spark.plans.extensions import (
     EVAL_SPLIT_HEX,
     EVAL_SUITE_ROWS,
     LSH_MAX_BUCKET,
+    RETRACT_SPLIT_HEX,
 )
 
 #: capped-bucket CTE body — tracks plans.extensions.LSH_MAX_BUCKET so
@@ -1840,6 +1841,22 @@ ORACLES_EXT["x51b_ivfpq_topk_stored"] = ORACLES_EXT["x51_ivfpq_topk"]
 ORACLES_EXT["x53b_incremental_neardup_stored"] = ORACLES_EXT[
     "x53_incremental_neardup"
 ]
+# retraction, oracle-checked end-to-end (r12): deleting the re-crawl
+# slice from the stored index is ROW-IDENTICAL to a full rebuild on
+# the retained corpus (each doc's signature/set rows derive only from
+# that doc — pinned by the lifecycle pytest), so x53c's oracle is
+# x53's text with the single documents scan narrowed to the retained
+# docs: shingles, signatures, hash sets AND bucket-cap widths all see
+# the post-delete corpus + batch exactly as the stored index does.  A
+# ghost row a broken delete left behind fails the hash immediately.
+assert ORACLES_EXT["x53_incremental_neardup"].count("FROM documents") == 1
+ORACLES_EXT["x53c_incremental_neardup_retracted"] = ORACLES_EXT[
+    "x53_incremental_neardup"
+].replace(
+    "FROM documents",
+    "FROM (SELECT * FROM documents WHERE "
+    f"md5(CAST(doc_id AS VARCHAR)) >= '{RETRACT_SPLIT_HEX}') documents",
+)
 # and for the stored SemDeDup corpus index: survivors + codebook
 # round-trip parquet bit-exactly (doubles are IEEE-preserved), so the
 # stored probe is byte-identical to x54's in-query computation
