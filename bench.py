@@ -162,6 +162,7 @@ HEADLINE: dict[str, str] = {
     "x54c_incremental_semdedup_auto_stored": "checksum",
     "x61_decontamination": "checksum",
     "x61b_decontamination_fixed_eval": "checksum",
+    "x61c_contamination_eval_coverage": "collect",
     "x55_ivfpq_recall": "collect",
     "x56_curation_materialize": "checksum",
     "x57_reduced_recall": "collect",

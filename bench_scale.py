@@ -161,6 +161,10 @@ QUERIES: tuple[str, ...] = (
     # windows — the broadcast is scale-CONSTANT, so this form carries
     # the 100x and 1000x points x61's growing eval slice cannot
     "x61b_decontamination_fixed_eval",
+    # the per-EVAL-doc coverage direction: same one-pass corpus scan
+    # reduced to the bounded hit set, per-doc arithmetic on the fixed
+    # 64-doc suite only
+    "x61c_contamination_eval_coverage",
     # the stored-SemDeDup-index read path: per-batch probe cost only
     # (the corpus survivor/codebook build is an untimed
     # plan-construction side effect, cached under /tmp per corpus)
@@ -301,6 +305,7 @@ ACCOUNTED: dict[str, str] = {
     # document corpus (the broadcast eval side is fixed by contract)
     "x61_decontamination": "input_rows:documents",
     "x61b_decontamination_fixed_eval": "input_rows:documents",
+    "x61c_contamination_eval_coverage": "input_rows:documents",
     # the auto-k deployment probe: ALL its work measured — the
     # two-level index build on the corpus split (the semdedup_auto_work
     # terms), the batch probe's coarse + routed-fine scored rows, and

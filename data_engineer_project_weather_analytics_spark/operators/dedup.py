@@ -700,6 +700,8 @@ def lsh_index_write(
     band's files) and ``sets`` (per-doc packed hashed-shingle sets,
     :func:`doc_shingle_hash_sets`) — everything a future batch probe
     needs; the corpus TEXT is never read again."""
+    from data_engineer_project_weather_analytics_spark.operators import index_store
+
     ds = doc_shingles(corpus, id_col, text_col, n=n)
     minhash_signatures(ds, id_col, n_bands=n_bands).write.mode(
         "overwrite"
@@ -707,6 +709,14 @@ def lsh_index_write(
     doc_shingle_hash_sets(corpus, id_col, text_col, n=n).write.mode(
         "overwrite"
     ).parquet(f"{index_dir}/sets")
+    spark = corpus.sparkSession
+    index_store.record_base_rows(
+        index_dir,
+        {
+            sub: spark.read.parquet(f"{index_dir}/{sub}").count()
+            for sub in ("sigs", "sets")
+        },
+    )
 
 
 def lsh_index_append(
@@ -825,6 +835,60 @@ def decontamination_scan(
             "n_hit",
             (F.col("n_hit").cast("double") / F.col("n_shingles")).alias(
                 "contamination"
+            ),
+        )
+    )
+
+
+def decontamination_eval_coverage(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """The OTHER direction of the decontamination report: per EVAL
+    document, the fraction of its shingles that appear anywhere in the
+    training corpus — the "dirty eval item" table the published
+    contamination appendices report (which benchmark rows are
+    compromised and must be excluded from the eval, where
+    :func:`decontamination_scan` reports which TRAIN docs to drop).
+    Every eval doc with ≥1 shingle appears, zero-hit rows included — a
+    coverage report must list the clean items too.
+
+    Scale shape: the corpus-sized side is still consumed in ONE linear
+    pass against the broadcast eval shingle set — the train stream is
+    semi-joined to the broadcast set and reduced to the DISTINCT hit
+    hashes (output bounded by the eval set size, never the corpus),
+    then the per-eval-doc arithmetic runs entirely on eval-sized
+    tables.  No corpus-wide distinct, no shuffle of the train shingle
+    stream."""
+    esh_docs = doc_shingles(eval_docs, id_col, text_col, n=n).select(
+        F.col(id_col), shingle_hash64("shingle").alias("sh")
+    )
+    eset = esh_docs.select("sh").distinct()
+    hits = (
+        doc_shingles(train, id_col, text_col, n=n)
+        .select(shingle_hash64("shingle").alias("sh"))
+        .join(F.broadcast(eset), "sh", "left_semi")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        esh_docs.join(F.broadcast(hits), "sh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("bigint").alias(
+                "n_hit"
+            ),
+        )
+        .select(
+            F.col(id_col).alias("eval_doc_id"),
+            "n_shingles",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_shingles")).alias(
+                "coverage"
             ),
         )
     )

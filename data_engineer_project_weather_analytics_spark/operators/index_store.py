@@ -36,10 +36,20 @@ as under append — re-centering is a rebuild, not a delete.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+from collections.abc import Callable
 
 from pyspark.sql import functions as F
+
+#: sidecar recording the row counts of the append-bearing artifacts at
+#: BUILD time — the baseline :func:`index_freshness` drifts against
+BASE_META = "_base_meta.json"
+#: marker a completed whole-index rebuild writes INSIDE the staged dir
+#: before the swap, so :func:`recover_rebuild` can tell a promotable
+#: staged index from a half-built one
+REBUILD_COMPLETE = "_REBUILD_COMPLETE"
 
 #: artifact → layout spec for each index family.
 #:
@@ -56,6 +66,14 @@ LSH_INDEX_LAYOUT: dict[str, dict] = {
     "sigs": {"partition": ["band"], "sort": ["minhash"], "key": "doc_id"},
     "sets": {"partition": [], "sort": ["doc_id"], "key": "doc_id"},
 }
+#: Survivors are deliberately NOT hive-partitioned by cell: under the
+#: auto-k policy the cell count tracks the corpus (k ≈ n/250 — 8 000
+#: cells at 2 M vectors, millions at 100 TB), so ``partitionBy(cell)``
+#: would manufacture the small-files problem compaction exists to
+#: solve (one directory per cell, most holding a single tiny file).
+#: CELL-SORTED files give the probe row-group min/max pruning on the
+#: same key without the directory explosion; hive partitioning is
+#: reserved for BOUNDED-cardinality keys (IVF label cells, LSH bands).
 SEM_INDEX_LAYOUT: dict[str, dict] = {
     "survivors": {"partition": [], "sort": ["cell", "corpus_id"], "key": "corpus_id"},
     "cents": {"partition": [], "sort": ["cell"], "key": None},
@@ -185,6 +203,125 @@ def delete_from_index(
         _staged_rewrite(kept, path, spec, target_files)
         stats[sub] = (before, spark.read.parquet(path).count())
     return stats
+
+
+def record_base_rows(index_dir: str, rows: dict[str, int]) -> None:
+    """Write the build-time row counts of the append-bearing artifacts
+    (called by the index writers) — the baseline freshness drifts
+    against.  Appends and deletes move the live counts away from
+    these; a rebuild resets them."""
+    with open(os.path.join(index_dir, BASE_META), "w") as fh:
+        json.dump({"base_rows": rows}, fh)
+
+
+def index_freshness(
+    spark,
+    index_dir: str,
+    layout: dict[str, dict],
+    rebuild_threshold: float = 0.5,
+) -> dict:
+    """How far the stored index has drifted from the geometry it was
+    built with.  Appends admit rows against the FROZEN codebook and
+    deletes remove mass the centroids were fit on — both are correct
+    per-operation (the append/delete contract) but compound: once most
+    of the index postdates the fit, the geometry no longer describes
+    the corpus and re-centering (a rebuild) is due.  Per
+    append-bearing artifact: live rows, build-time baseline, and the
+    appended/deleted fractions; ``recommend_rebuild`` is True once
+    either fraction of any artifact crosses ``rebuild_threshold``.
+    Cost: one count per artifact — metadata-cheap next to any probe.
+    Indexes built before the baseline sidecar existed report unknown
+    fractions and never trigger a recommendation."""
+    meta_path = os.path.join(index_dir, BASE_META)
+    base: dict[str, int] | None = None
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            base = json.load(fh)["base_rows"]
+    artifacts: dict[str, dict] = {}
+    worst = 0.0
+    known = False
+    for sub, spec in layout.items():
+        if spec.get("key") is None:
+            continue
+        path = os.path.join(index_dir, sub)
+        if not os.path.isdir(path):
+            continue
+        now = spark.read.parquet(path).count()
+        b = base.get(sub) if base else None
+        if b is None or now == 0 or b == 0:
+            appended = deleted = None
+        else:
+            appended = max(0.0, (now - b) / now)
+            deleted = max(0.0, (b - now) / b)
+            worst = max(worst, appended, deleted)
+            known = True
+        artifacts[sub] = {
+            "rows": now,
+            "base_rows": b,
+            "appended_fraction": appended,
+            "deleted_fraction": deleted,
+        }
+    return {
+        "artifacts": artifacts,
+        "recommend_rebuild": known and worst >= rebuild_threshold,
+    }
+
+
+def rebuild_index(index_dir: str, build: Callable[[str], None]) -> None:
+    """Whole-index re-center with the compact_index crash contract
+    lifted to the index ROOT: ``build`` (any index writer partially
+    applied to a target dir) materializes the fresh index into a
+    staged sibling, a completeness marker is stamped, and two renames
+    swap it live — concurrent probes hold file listings of the old
+    artifacts throughout, and a crash at any point is repaired by
+    :func:`recover_rebuild`, never leaving a half-built index live.
+    This is the operation append/delete defer to: geometry is
+    immutable under maintenance, rebuild is where it moves."""
+    root = index_dir.rstrip("/")
+    staged = root + ".rebuild_staged"
+    trash = root + ".rebuild_trash"
+    shutil.rmtree(staged, ignore_errors=True)
+    build(staged)
+    with open(os.path.join(staged, REBUILD_COMPLETE), "w") as fh:
+        fh.write("ok")
+    shutil.rmtree(trash, ignore_errors=True)
+    if os.path.isdir(root):
+        os.replace(root, trash)
+    os.replace(staged, root)
+    shutil.rmtree(trash, ignore_errors=True)
+    # the marker is transport state, not index state
+    os.remove(os.path.join(root, REBUILD_COMPLETE))
+
+
+def recover_rebuild(index_dir: str) -> str | None:
+    """Repair a crashed :func:`rebuild_index` (the root-level analog of
+    :func:`recover_index`): live index present → drop staged/trash
+    residue (an interrupted build just re-runs); live missing with a
+    COMPLETE staged index (marker present) → finish the swap; live
+    missing otherwise → roll the trash copy back.  Idempotent; returns
+    the action taken or None."""
+    root = index_dir.rstrip("/")
+    staged = root + ".rebuild_staged"
+    trash = root + ".rebuild_trash"
+    if os.path.isdir(root):
+        residue = []
+        for p, what in ((staged, "staged"), (trash, "trash")):
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+                residue.append(what)
+        return "dropped_" + "_and_".join(residue) if residue else None
+    if os.path.isdir(staged) and os.path.exists(
+        os.path.join(staged, REBUILD_COMPLETE)
+    ):
+        os.replace(staged, root)
+        os.remove(os.path.join(root, REBUILD_COMPLETE))
+        shutil.rmtree(trash, ignore_errors=True)
+        return "completed_swap"
+    if os.path.isdir(trash):
+        shutil.rmtree(staged, ignore_errors=True)
+        os.replace(trash, root)
+        return "rolled_back"
+    return None
 
 
 def recover_index(index_dir: str, layout: dict[str, dict]) -> dict[str, str]:

@@ -1080,11 +1080,18 @@ def semdedup_index_write(
     to :func:`semdedup_incremental` on the same corpus — which is what
     lets the stored registration share x54's DuckDB oracle text
     verbatim."""
+    from data_engineer_project_weather_analytics_spark.operators import index_store
+
     survivors, cents = semdedup_corpus_index(
         corpus, id_col, vec_col, k, n_iter, threshold
     )
     survivors.write.mode("overwrite").parquet(f"{index_dir}/survivors")
     cents.write.mode("overwrite").parquet(f"{index_dir}/cents")
+    spark = corpus.sparkSession
+    index_store.record_base_rows(
+        index_dir,
+        {"survivors": spark.read.parquet(f"{index_dir}/survivors").count()},
+    )
 
 
 def semdedup_incremental_stored(
@@ -1256,12 +1263,19 @@ def semdedup_index_write_auto(
     :func:`semdedup_incremental_stored_auto`'s two-level probe needs.
     This is the stored shape to run beyond ~10× sf0.1; the flat
     :func:`semdedup_index_write` is the oracle anchor."""
+    from data_engineer_project_weather_analytics_spark.operators import index_store
+
     survivors, fmap, occ = semdedup_corpus_index_auto(
         corpus, id_col, vec_col, k=k, n_iter=n_iter, threshold=threshold
     )
     survivors.write.mode("overwrite").parquet(f"{index_dir}/survivors")
     fmap.write.mode("overwrite").parquet(f"{index_dir}/fmap")
     occ.write.mode("overwrite").parquet(f"{index_dir}/occ")
+    spark = corpus.sparkSession
+    index_store.record_base_rows(
+        index_dir,
+        {"survivors": spark.read.parquet(f"{index_dir}/survivors").count()},
+    )
 
 
 def semdedup_incremental_stored_auto(
@@ -1843,6 +1857,13 @@ def pq_index_write(
         cell_centroids(vectors, cell_col, vec_col).write.mode(
             "overwrite"
         ).parquet(f"{index_dir}/centroids")
+    from data_engineer_project_weather_analytics_spark.operators import index_store
+
+    spark = vectors.sparkSession
+    index_store.record_base_rows(
+        index_dir,
+        {"codes": spark.read.parquet(f"{index_dir}/codes").count()},
+    )
 
 
 def pq_topk_stored(

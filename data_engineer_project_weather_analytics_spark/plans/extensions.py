@@ -314,6 +314,31 @@ def x61b_decontamination_fixed_eval(
     )
 
 
+def x61c_contamination_eval_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The per-EVAL-doc direction of the decontamination report
+    (operators/dedup.py:decontamination_eval_coverage): for every doc
+    of the FIXED eval suite (x61b's 64-doc/8-gram contract), the
+    fraction of its shingles appearing anywhere in the training corpus
+    — the "dirty benchmark item" table the published contamination
+    appendices report, complementing x61/x61b's which-train-docs-to-
+    drop view.  Zero-hit eval rows included (a coverage report lists
+    the clean items too).  Corpus side: one linear pass reduced to the
+    DISTINCT hit hashes (bounded by the eval set), so the per-doc
+    arithmetic runs on eval-sized tables only."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(text.deterministic_split("doc_id") == "train")
+    evals = (
+        docs.filter(F.md5(F.col("doc_id").cast("string")) >= EVAL_SPLIT_HEX)
+        .orderBy("doc_id")
+        .limit(EVAL_SUITE_ROWS)
+    )
+    return dedup.decontamination_eval_coverage(
+        train, evals, "doc_id", "text", n=DECON_SHINGLE_N
+    )
+
+
 def x2d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprint per document (md5-nibble bit votes)."""
     docs = load_table(spark, sf_dir, "documents")

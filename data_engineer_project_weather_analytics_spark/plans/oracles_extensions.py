@@ -616,6 +616,43 @@ ORACLES_EXT: dict[str, str] = {
                CAST(n_hit AS DOUBLE) / n_shingles AS contamination
         FROM agg WHERE n_hit > 0
     """,
+    # per-EVAL-doc contamination coverage (x61c): distinct train
+    # shingle hashes intersected with the eval set first (bounded by
+    # the eval set), then the per-doc arithmetic on eval-sized tables
+    "x61c_contamination_eval_coverage": f"""
+        WITH eval_suite AS (
+            SELECT doc_id, text FROM documents
+            WHERE md5(CAST(doc_id AS VARCHAR)) >= '{EVAL_SPLIT_HEX}'
+            ORDER BY doc_id LIMIT {EVAL_SUITE_ROWS}
+        ),
+        eds AS ({_shingles_n(DECON_SHINGLE_N, "eval_suite")}),
+        esh AS (
+            -- eds is DISTINCT at the raw-shingle level; no hash-level
+            -- DISTINCT here, so a within-doc hash collision stays two
+            -- rows exactly as on the Spark side (the x61 tsh rule)
+            SELECT doc_id,
+                   ('0x' || substr(md5(shingle), 1,
+                       {SHINGLE_HASH_HEX}))::BIGINT AS sh
+            FROM eds
+        ),
+        tds AS ({_shingles_n(DECON_SHINGLE_N, '''(
+            SELECT doc_id, text FROM documents
+            WHERE md5(CAST(doc_id AS VARCHAR)) < 'cd') t''')}),
+        hits AS (
+            SELECT DISTINCT t.sh FROM (
+                SELECT ('0x' || substr(md5(shingle), 1,
+                           {SHINGLE_HASH_HEX}))::BIGINT AS sh
+                FROM tds
+            ) t
+            JOIN (SELECT DISTINCT sh FROM esh) e ON t.sh = e.sh
+        )
+        SELECT e.doc_id AS eval_doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(count(h.sh) AS BIGINT) AS n_hit,
+               CAST(count(h.sh) AS DOUBLE) / count(*) AS coverage
+        FROM esh e LEFT JOIN hits h ON e.sh = h.sh
+        GROUP BY e.doc_id
+    """,
     "x2d_simhash": """
         WITH tok AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents

@@ -168,7 +168,7 @@ def test_bench_scale_accounted_targets_are_timed():
 #: an already-journaled work_rows kind, replica construction,
 #: ACCOUNTING_SLACK)?  If yes → bump JOURNAL_EPOCH too (full
 #: re-measure); if purely additive → keep the epoch and the bank.
-_BENCH_SCALE_MD5 = "cde4f6b037f5a3bede254412d5275f54"  # r12: +x61b (additive — journal kept)
+_BENCH_SCALE_MD5 = "a1c6a061d36ef0c8d36862e1104183b8"  # r12: +x61b/+x61c (additive — journal kept)
 
 
 def test_journal_epoch_discipline():

@@ -474,3 +474,123 @@ def test_recover_index_repairs_every_crash_state(spark, tmp_path):
 
     # idempotent on a healthy index
     assert index_store.recover_index(idx, index_store.LSH_INDEX_LAYOUT) == {}
+
+
+def test_index_freshness_recommends_rebuild_after_drift(spark, tmp_path):
+    """The freshness advisor closes the maintenance loop: appends and
+    deletes are correct per-operation under the frozen geometry, but
+    once most of an index postdates the fit the advisor must say so —
+    and a rebuild must reset the baseline."""
+    from data_engineer_project_weather_analytics_spark.operators import index_store
+
+    idx = str(tmp_path / "sem_fresh")
+    corpus = _vecs(
+        spark, [(1, [1.0, 0.05, 0.0, 0.0]), (2, [0.0, 1.0, 0.1, 0.0])]
+    )
+    similarity.semdedup_index_write(
+        corpus, "vec_id", "emb", idx, k=2, n_iter=2, threshold=0.8
+    )
+    fresh = index_store.index_freshness(
+        spark, idx, index_store.SEM_INDEX_LAYOUT
+    )
+    assert fresh["recommend_rebuild"] is False
+    assert fresh["artifacts"]["survivors"]["appended_fraction"] == 0.0
+
+    # admit three novel vectors: 3 of 5 survivors now postdate the fit
+    batch = _vecs(
+        spark,
+        [
+            (10, [0.0, 0.0, 1.0, 0.0]),
+            (11, [0.0, 0.0, 0.0, 1.0]),
+            (12, [0.5, 0.0, 0.0, -1.0]),
+        ],
+    )
+    similarity.semdedup_index_append(spark, idx, batch, "vec_id", "emb")
+    fresh = index_store.index_freshness(
+        spark, idx, index_store.SEM_INDEX_LAYOUT
+    )
+    assert fresh["artifacts"]["survivors"]["rows"] == 5
+    assert fresh["artifacts"]["survivors"]["appended_fraction"] == 0.6
+    assert fresh["recommend_rebuild"] is True
+
+    # a rebuild re-fits on the full corpus and RESETS the baseline
+    full = corpus.unionByName(batch)
+    index_store.rebuild_index(
+        idx,
+        lambda staged: similarity.semdedup_index_write(
+            full, "vec_id", "emb", staged, k=2, n_iter=2, threshold=0.8
+        ),
+    )
+    fresh = index_store.index_freshness(
+        spark, idx, index_store.SEM_INDEX_LAYOUT
+    )
+    assert fresh["recommend_rebuild"] is False
+    assert fresh["artifacts"]["survivors"]["appended_fraction"] == 0.0
+    # and the rebuilt index serves probes (fresh geometry over all 5)
+    probe = similarity.semdedup_incremental_stored(
+        spark, idx, _vecs(spark, [(100, [0.0, 0.0, 1.0, 0.02])]),
+        "vec_id", "emb",
+    ).collect()
+    assert probe[0].kept == 0  # near-dup of vec 10, now in the fit
+
+    # deletion drift counts too
+    index_store.delete_from_index(
+        spark, idx, index_store.SEM_INDEX_LAYOUT,
+        spark.createDataFrame([(1,), (2,), (10,)], "id bigint"),
+    )
+    fresh = index_store.index_freshness(
+        spark, idx, index_store.SEM_INDEX_LAYOUT
+    )
+    assert fresh["artifacts"]["survivors"]["deleted_fraction"] >= 0.5
+    assert fresh["recommend_rebuild"] is True
+
+
+def test_rebuild_index_crash_recovery(spark, tmp_path):
+    """recover_rebuild repairs every reachable crash state of the
+    whole-index swap — including refusing to promote a staged index
+    whose build never finished (no completeness marker)."""
+    import os
+    import shutil
+
+    from data_engineer_project_weather_analytics_spark.operators import index_store
+
+    idx = str(tmp_path / "lsh_rb")
+    corpus = _docs(spark, [(1, BASE)])
+    dedup.lsh_index_write(corpus, "doc_id", "text", idx)
+    probe = _docs(spark, [(99, BASE.replace("kappa", "copper"))])
+
+    def probe_rows():
+        return sorted(
+            tuple(r)
+            for r in dedup.lsh_probe_stored(
+                spark, idx, probe, "doc_id", "text", threshold=0.1
+            ).collect()
+        )
+
+    want = probe_rows()
+    assert len(want) == 1
+    staged, trash = idx + ".rebuild_staged", idx + ".rebuild_trash"
+
+    # crash DURING the staged build: live intact, no marker → residue
+    # dropped, live wins
+    shutil.copytree(idx, staged)
+    assert index_store.recover_rebuild(idx) == "dropped_staged"
+    assert probe_rows() == want
+
+    # crash between the renames with a COMPLETE staged build
+    shutil.copytree(idx, staged)
+    open(os.path.join(staged, index_store.REBUILD_COMPLETE), "w").close()
+    os.replace(idx, trash)
+    assert index_store.recover_rebuild(idx) == "completed_swap"
+    assert not os.path.exists(trash) and not os.path.exists(staged)
+    assert probe_rows() == want
+
+    # live missing and staged INCOMPLETE (no marker): roll back
+    shutil.copytree(idx, staged)
+    os.replace(idx, trash)
+    assert index_store.recover_rebuild(idx) == "rolled_back"
+    assert not os.path.exists(staged) and not os.path.exists(trash)
+    assert probe_rows() == want
+
+    # healthy index: no-op
+    assert index_store.recover_rebuild(idx) is None
