@@ -1480,8 +1480,29 @@ def test_audio_codec_errors_are_named(spark):
         [(1, "audio", buf.getvalue(), 44, None, None, 8000)],
         schema=multimodal.MEDIA_SCHEMA,
     )
-    with pytest.raises(Exception, match="only 16-bit mono PCM WAV"):
+
+    def _collect_stereo():
+        # the first raises above crashes Python workers BY DESIGN; the
+        # very next Python-eval job can race the worker factory's
+        # recovery and die with a java.nio.channels error
+        # (ClosedChannelException / CancelledKeyException — both seen
+        # in r12 full-suite runs; the test passes in isolation).  Retry
+        # on that infrastructure signature only, so the test stays
+        # pinned to the codec contract, not worker-daemon timing.
+        import time
+
+        for _ in range(3):
+            try:
+                multimodal.audio_features(stereo, fake=False).collect()
+                return  # no exception: let pytest.raises fail loudly
+            except Exception as exc:
+                if "java.nio.channels" not in str(exc):
+                    raise
+                time.sleep(1.0)
         multimodal.audio_features(stereo, fake=False).collect()
+
+    with pytest.raises(Exception, match="only 16-bit mono PCM WAV"):
+        _collect_stereo()
 
 
 def test_video_real_avi_decode_matches_fake_stats(spark):
