@@ -404,6 +404,36 @@ KMEANS_K = 8
 KMEANS_ITERS = 3
 
 
+def _pin_codebook(df: DataFrame, single_partition: bool = True) -> DataFrame:
+    """Materialize a CODEBOOK-sized frame (≤ k rows — never corpus
+    rows) and truncate its lineage (``coalesce(1)`` +  eager
+    ``localCheckpoint``).
+
+    Why (optimization guide §3.3/§7.3, measured in round 12): the
+    Lloyd loops rebuild the codebook from the previous iteration's
+    assignment, and every iteration references the previous subtree
+    SEVERAL times (the two-level loop: ``fmap`` feeds both ``occ`` and
+    the fine join; ``vc`` feeds both ``s4`` and the reattach join) —
+    so the UNPINNED logical plan grows exponentially in the iteration
+    count.  At sf0.1 the x45_auto static plan reached 4.8 MB with
+    1600 parquet scans of one table and Catalyst analysis dominated
+    the wall clock (the auto twins ran 30-60 s on 2000 vectors while
+    the single-pass probe runs ~2 s).  Pinning the per-iteration
+    codebooks caps the plan at one iteration's depth: each pass is
+    planned and executed exactly once, and every downstream consumer
+    (pair join, probes, stored writes) sees a k-row leaf.
+
+    Values are unchanged — the pinned rows are the same deterministic
+    µ-quantized centroids the lazy plan computes — so oracle hashes
+    are untouched.  Only codebook-sized state is ever pinned; corpus
+    frames stay lazy.  ``single_partition=False`` for the FINE
+    codebook past the broadcast ceiling (k ∝ n there — it must stay
+    sharded, exactly like its join strategy; ≤ a few k·dim·8 bytes per
+    executor either way, never corpus bytes)."""
+    pinned = df.coalesce(1) if single_partition else df
+    return pinned.localCheckpoint(eager=True)
+
+
 def _batch_assign(v: DataFrame, cents: DataFrame) -> DataFrame:
     """One Lloyd assignment pass of ``v`` (``__vid``, ``__v``) against a
     broadcast codebook ``cents`` (``cell``, ``centroid``): argmax over
@@ -446,14 +476,19 @@ def _kmeans_fit(
     ).cast("long")
     seeds = v.select("__vid", "__v", h.alias("__h")).orderBy("__h", "__vid").limit(k)
     w = Window.orderBy("__h", "__vid")  # k rows post-limit: bounded window
-    cents = seeds.select(
-        F.row_number().over(w).alias("cell"), F.col("__v").alias("centroid")
+    # each iteration's codebook is pinned (k rows): the loop's plan
+    # stays one-pass deep instead of nesting every previous iteration
+    # under the next — see _pin_codebook for the measured rationale
+    cents = _pin_codebook(
+        seeds.select(
+            F.row_number().over(w).alias("cell"), F.col("__v").alias("centroid")
+        )
     )
     assigned = None
     for it in range(n_iter):
         assigned = _batch_assign(v, cents)
         if it < n_iter - 1:
-            cents = cell_centroids(assigned, "cell", "__v")
+            cents = _pin_codebook(cell_centroids(assigned, "cell", "__v"))
     return assigned, cents
 
 
@@ -653,8 +688,24 @@ def _kmeans_fit_two_level(
     ).cast("long")
     seeds = v.select("__vid", "__v", h.alias("__h")).orderBy("__h", "__vid").limit(k)
     w = Window.orderBy("__h", "__vid")  # k rows post-limit: bounded window
-    fine = seeds.select(
-        F.row_number().over(w).alias("cell"), F.col("__v").alias("centroid")
+    # every per-iteration codebook below (fine / fmap / occ) is pinned
+    # (_pin_codebook): fmap is referenced twice per pass (occ + the
+    # fine join) and fine derives from the WHOLE previous pass, so the
+    # unpinned plan grows exponentially in n_iter — measured at sf0.1:
+    # a 4.8 MB static plan with 1600 scans of the vector table, and
+    # Catalyst analysis dominating the auto twins' wall clock (x45_auto
+    # 52.6 s → 11.8 s pinned).  A lazier variant (pin fine only, leave
+    # fmap/occ as derivations of the pinned leaf) was probed and is
+    # ~1-2.5 s SLOWER per auto query: the duplicated tiny aggregates
+    # re-execute at every reference, which costs more than the extra
+    # pin jobs.  The fine codebook keeps its sharded layout past the
+    # broadcast ceiling (single_partition only when it would broadcast
+    # anyway).
+    fine = _pin_codebook(
+        seeds.select(
+            F.row_number().over(w).alias("cell"), F.col("__v").alias("centroid")
+        ),
+        single_partition=broadcast_fine,
     )
     coarse = fine.filter(F.col("cell") <= coarse_k).select(
         F.col("cell").alias("coarse"), F.col("centroid").alias("ccent")
@@ -663,7 +714,7 @@ def _kmeans_fit_two_level(
     for it in range(n_iter):
         # 1. fine → coarse routing (codebook × coarse codebook product)
         fbest = F.struct(F.col("__cs").alias("s"), (-F.col("coarse")).alias("nc"))
-        fmap = (
+        fmap = _pin_codebook(
             fine.crossJoin(F.broadcast(coarse))
             .select(
                 "cell",
@@ -675,13 +726,18 @@ def _kmeans_fit_two_level(
             .agg(F.max(fbest).alias("__m"), F.first("centroid").alias("centroid"))
             .select(
                 "cell", "centroid", (-F.col("__m.nc")).cast("int").alias("coarse")
-            )
+            ),
+            single_partition=broadcast_fine,
         )
         # 2. occupied-coarse codebook (µ-quantized mean of member fine
         #    centroids) — every coarse id here has ≥1 fine centroid
-        occ = cell_centroids(
-            fmap.select(F.col("coarse").alias("cc"), "centroid"), "cc", "centroid"
-        ).select(F.col("cell").alias("coarse"), F.col("centroid").alias("ccent"))
+        occ = _pin_codebook(
+            cell_centroids(
+                fmap.select(F.col("coarse").alias("cc"), "centroid"),
+                "cc",
+                "centroid",
+            ).select(F.col("cell").alias("coarse"), F.col("centroid").alias("ccent"))
+        )
         # 3. vector → coarse argmax (n × |occ| rows, tiny broadcast).
         #    The scored product carries the vector ONLY transiently
         #    inside the pipelined project→hash-agg stage: the agg state
@@ -731,7 +787,10 @@ def _kmeans_fit_two_level(
             "__vid", "__v", "coarse", "cell", "__cs"
         )
         if it < n_iter - 1:
-            fine = cell_centroids(assigned, "cell", "__v")
+            fine = _pin_codebook(
+                cell_centroids(assigned, "cell", "__v"),
+                single_partition=broadcast_fine,
+            )
             coarse = occ
     return assigned, fmap, occ
 
