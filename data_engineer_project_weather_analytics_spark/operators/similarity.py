@@ -83,6 +83,25 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine(a, b)`` with both operand norms PRECOMPUTED (``na`` /
+    ``nb`` = earlier-projected ``l2_norm`` columns).
+
+    Why: every scored row of the inline form evaluates THREE array
+    folds (dot + two norm folds).  In the n×k assignment streams and
+    the Σ cell² pair joins the same vector's norm is re-folded once
+    per scored row; projecting it once per VECTOR row cuts the
+    per-row array work to the single unavoidable dot (guide §2.3 —
+    measured 1.4× on the x45 pair join at sf0.1).
+
+    Bit-identical to the inline form: the materialized norm is the
+    same ``sqrt(dot(x,x))`` left-fold over the same array, and
+    ``dot / (na * nb)`` is the same multiply-then-divide association
+    ``cosine`` builds — no value (and therefore no oracle hash) can
+    move."""
+    return dot(a, b) / (na * nb)
+
+
 def sim_q(cos_col: Column) -> Column:
     """Cosine quantized to a BIGINT at 1e-4 resolution.
 
@@ -109,17 +128,21 @@ def cosine_topk(
     which AQE partitions by query."""
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
-    )
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
     c = vectors.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__cv")
-    )
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("__qv"), F.col("__cv")).alias("__cos"),
+            # norms precomputed once per corpus/query row instead of
+            # once per (corpus × query) scored row — cosine_pre
+            cosine_pre(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+            ).alias("__cos"),
         )
     )
     # rank on the 1e-4-QUANTIZED cosine with neighbor_id tiebreak (the
@@ -206,13 +229,23 @@ def lsh_ann_topk(
         F.col(id_col).alias("query_id"),
         _as_double(vec_col).alias("__qv"),
         F.explode(buckets_arr).alias("__b"),
-    ).select("query_id", "__qv", F.col("__b.tbl").alias("__tbl"), F.col("__b.bkt").alias("__bkt"))
+    ).select(
+        "query_id",
+        "__qv",
+        l2_norm(F.col("__qv")).alias("__qn"),
+        F.col("__b.tbl").alias("__tbl"),
+        F.col("__b.bkt").alias("__bkt"),
+    )
     c = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(vec_col).alias("__cv"),
         F.explode(buckets_arr).alias("__b"),
     ).select(
-        "neighbor_id", "__cv", F.col("__b.tbl").alias("__tbl"), F.col("__b.bkt").alias("__bkt")
+        "neighbor_id",
+        "__cv",
+        l2_norm(F.col("__cv")).alias("__cn"),
+        F.col("__b.tbl").alias("__tbl"),
+        F.col("__b.bkt").alias("__bkt"),
     )
     scored = (
         c.join(F.broadcast(q), on=["__tbl", "__bkt"])
@@ -220,7 +253,9 @@ def lsh_ann_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("__qv"), F.col("__cv")).alias("__cos"),
+            cosine_pre(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+            ).alias("__cos"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -280,15 +315,22 @@ def semantic_neardup(
 
     Tie-break: highest cosine, then lowest cell id — deterministic
     cross-engine because centroids are µ-quantized exact means."""
-    cents = cell_centroids(vectors, cell_col, vec_col)
-    v = vectors.select(F.col(id_col).alias("__vid"), _as_double(vec_col).alias("__v"))
+    cents = cell_centroids(vectors, cell_col, vec_col).withColumn(
+        "__cn", l2_norm(F.col("centroid"))
+    )
+    v = vectors.select(
+        F.col(id_col).alias("__vid"), _as_double(vec_col).alias("__v")
+    ).withColumn("__vn", l2_norm(F.col("__v")))
     scored = (
         v.crossJoin(F.broadcast(cents))
         .select(
             "__vid",
             "__v",
+            "__vn",
             "cell",
-            cosine(F.col("__v"), F.col("centroid")).alias("__csim"),
+            cosine_pre(
+                F.col("__v"), F.col("centroid"), F.col("__vn"), F.col("__cn")
+            ).alias("__csim"),
         )
     )
     assigned = scored.groupBy("__vid").agg(
@@ -296,9 +338,20 @@ def semantic_neardup(
             "cell"
         ),
         F.first("__v").alias("__v"),
+        F.first("__vn").alias("__vn"),
     )
-    a = assigned.select(F.col("__vid").alias("id_a"), F.col("__v").alias("__va"), "cell")
-    b = assigned.select(F.col("__vid").alias("id_b"), F.col("__v").alias("__vb"), "cell")
+    a = assigned.select(
+        F.col("__vid").alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__vn").alias("__na"),
+        "cell",
+    )
+    b = assigned.select(
+        F.col("__vid").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__vn").alias("__nb"),
+        "cell",
+    )
     return (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -306,7 +359,11 @@ def semantic_neardup(
             "id_a",
             "id_b",
             "cell",
-            sim_q(cosine(F.col("__va"), F.col("__vb"))).alias("sim"),
+            sim_q(
+                cosine_pre(
+                    F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+                )
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= int(round(threshold * 10000)))
     )
@@ -330,31 +387,42 @@ def ivf_topk(
     assignment is scan-side, and the candidate join shuffles only by
     cell id — the classic inverted-file trade of recall for a
     1/|cells| scan reduction."""
-    cents = cell_centroids(vectors, cell_col, vec_col)
+    cents = cell_centroids(vectors, cell_col, vec_col).withColumn(
+        "__cn", l2_norm(F.col("centroid"))
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
-    )
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
     # rank cells per query by centroid similarity, keep n_probe_cells
     probe_w = Window.partitionBy("query_id").orderBy(
         F.col("__csim").desc(), F.col("cell")
     )
     probes = (
         q.crossJoin(F.broadcast(cents))
-        .withColumn("__csim", cosine(F.col("__qv"), F.col("centroid")))
+        .withColumn(
+            "__csim",
+            cosine_pre(
+                F.col("__qv"), F.col("centroid"), F.col("__qn"), F.col("__cn")
+            ),
+        )
         .withColumn("__r", F.row_number().over(probe_w))
         .filter(F.col("__r") <= n_probe_cells)
-        .select("query_id", "__qv", "cell")
+        .select("query_id", "__qv", "__qn", "cell")
     )
     c = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(cell_col).alias("cell"),
         _as_double(vec_col).alias("__cv"),
-    )
+    ).withColumn("__cvn", l2_norm(F.col("__cv")))
     scored = (
         c.join(F.broadcast(probes), on="cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
-            "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("__cos")
+            "query_id",
+            "neighbor_id",
+            cosine_pre(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cvn")
+            ).alias("__cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id"))
@@ -442,11 +510,18 @@ def _batch_assign(v: DataFrame, cents: DataFrame) -> DataFrame:
     step of :func:`kmeans_assign` (in-loop) and the incremental probe
     (:func:`semdedup_incremental`, assigning a NEW batch to existing
     cells without re-clustering)."""
-    scored = v.crossJoin(F.broadcast(cents)).select(
+    # norms once per vector/centroid row, not per scored row (n×k)
+    vn = v.withColumn("__vn", l2_norm(F.col("__v")))
+    cn = cents.withColumn("__cn", l2_norm(F.col("centroid")))
+    scored = vn.crossJoin(F.broadcast(cn)).select(
         "__vid",
         "__v",
         "cell",
-        sim_q(cosine(F.col("__v"), F.col("centroid"))).alias("__cs"),
+        sim_q(
+            cosine_pre(
+                F.col("__v"), F.col("centroid"), F.col("__vn"), F.col("__cn")
+            )
+        ).alias("__cs"),
     )
     best = F.struct(F.col("__cs").alias("s"), (-F.col("cell")).alias("nc"))
     return (
@@ -710,17 +785,30 @@ def _kmeans_fit_two_level(
     coarse = fine.filter(F.col("cell") <= coarse_k).select(
         F.col("cell").alias("coarse"), F.col("centroid").alias("ccent")
     )
+    # vector norms once per row for the WHOLE fit (v is loop-invariant)
+    # instead of once per scored row in both argmax streams (cosine_pre)
+    vn = v.withColumn("__vn", l2_norm(F.col("__v")))
     assigned = None
     for it in range(n_iter):
         # 1. fine → coarse routing (codebook × coarse codebook product)
         fbest = F.struct(F.col("__cs").alias("s"), (-F.col("coarse")).alias("nc"))
         fmap = _pin_codebook(
-            fine.crossJoin(F.broadcast(coarse))
+            fine.withColumn("__fn", l2_norm(F.col("centroid")))
+            .crossJoin(
+                F.broadcast(coarse.withColumn("__ccn", l2_norm(F.col("ccent"))))
+            )
             .select(
                 "cell",
                 "centroid",
                 "coarse",
-                sim_q(cosine(F.col("centroid"), F.col("ccent"))).alias("__cs"),
+                sim_q(
+                    cosine_pre(
+                        F.col("centroid"),
+                        F.col("ccent"),
+                        F.col("__fn"),
+                        F.col("__ccn"),
+                    )
+                ).alias("__cs"),
             )
             .groupBy("cell")
             .agg(F.max(fbest).alias("__m"), F.first("centroid").alias("centroid"))
@@ -744,11 +832,20 @@ def _kmeans_fit_two_level(
         #    is one packed long per vector (map-side combine), never a
         #    sort of array rows — see _pack_argmax.
         s3 = (
-            v.crossJoin(F.broadcast(occ))
+            vn.crossJoin(
+                F.broadcast(occ.withColumn("__on", l2_norm(F.col("ccent"))))
+            )
             .select(
                 "__vid",
                 _pack_argmax(
-                    sim_q(cosine(F.col("__v"), F.col("ccent"))),
+                    sim_q(
+                        cosine_pre(
+                            F.col("__v"),
+                            F.col("ccent"),
+                            F.col("__vn"),
+                            F.col("__on"),
+                        )
+                    ),
                     F.col("coarse"),
                 ).alias("__p"),
             )
@@ -760,18 +857,27 @@ def _kmeans_fit_two_level(
         )
         # reattach the vector by id (n narrow rows — the payload moves
         # ONCE per pass, not once per scored candidate)
-        vc = v.join(s3, "__vid")
+        vc = vn.join(s3, "__vid")
         # 4. fine argmax WITHIN the routed coarse cell — equi-join on
         #    the coarse id; sharded (shuffle_hash) once the codebook
         #    outgrows a sane broadcast
-        fj = fmap.select("coarse", "cell", "centroid")
+        fj = fmap.select(
+            "coarse", "cell", "centroid", l2_norm(F.col("centroid")).alias("__fn")
+        )
         fj = F.broadcast(fj) if broadcast_fine else fj.hint("shuffle_hash")
         s4 = (
             vc.join(fj, "coarse")
             .select(
                 "__vid",
                 _pack_argmax(
-                    sim_q(cosine(F.col("__v"), F.col("centroid"))),
+                    sim_q(
+                        cosine_pre(
+                            F.col("__v"),
+                            F.col("centroid"),
+                            F.col("__vn"),
+                            F.col("__fn"),
+                        )
+                    ),
                     F.col("cell"),
                 ).alias("__p"),
             )
@@ -812,12 +918,18 @@ def _batch_assign_two_level(
     argmax WITHIN the routed coarse cell via the broadcast-or-sharded
     fine join.  Output: ``(__vid, __v, cell, __cs)``
     (+ ``coarse`` when ``keep_coarse`` — the work-accounting hook)."""
+    # batch norms once per row, not per scored row (cosine_pre)
+    vn = v.withColumn("__vn", l2_norm(F.col("__v")))
     s3 = (
-        v.crossJoin(F.broadcast(occ))
+        vn.crossJoin(F.broadcast(occ.withColumn("__on", l2_norm(F.col("ccent")))))
         .select(
             "__vid",
             _pack_argmax(
-                sim_q(cosine(F.col("__v"), F.col("ccent"))),
+                sim_q(
+                    cosine_pre(
+                        F.col("__v"), F.col("ccent"), F.col("__vn"), F.col("__on")
+                    )
+                ),
                 F.col("coarse"),
             ).alias("__p"),
         )
@@ -827,15 +939,24 @@ def _batch_assign_two_level(
             "__vid", _unpack_argmax_id(F.col("__p")).cast("int").alias("coarse")
         )
     )
-    vc = v.join(s3, "__vid")
-    fj = fmap.select("coarse", "cell", "centroid")
+    vc = vn.join(s3, "__vid")
+    fj = fmap.select(
+        "coarse", "cell", "centroid", l2_norm(F.col("centroid")).alias("__fn")
+    )
     fj = F.broadcast(fj) if broadcast_fine else fj.hint("shuffle_hash")
     s4 = (
         vc.join(fj, "coarse")
         .select(
             "__vid",
             _pack_argmax(
-                sim_q(cosine(F.col("__v"), F.col("centroid"))),
+                sim_q(
+                    cosine_pre(
+                        F.col("__v"),
+                        F.col("centroid"),
+                        F.col("__vn"),
+                        F.col("__fn"),
+                    )
+                ),
                 F.col("cell"),
             ).alias("__p"),
         )
@@ -911,17 +1032,28 @@ def semdedup_keep(
         # runs once, at plan-construction time)
         _warn_fixed_k_scale(vectors.select(id_col).count(), k)
         assigned = kmeans_assign(vectors, id_col, vec_col, k, n_iter, keep_vec=True)
+    # side norms once per assigned row, not per Σ cell² pair (cosine_pre)
     a = assigned.select(
-        F.col(id_col).alias("id_a"), "cluster_id", F.col("vec").alias("__va")
+        F.col(id_col).alias("id_a"),
+        "cluster_id",
+        F.col("vec").alias("__va"),
+        l2_norm(F.col("vec")).alias("__na"),
     )
     b = assigned.select(
-        F.col(id_col).alias("id_b"), "cluster_id", F.col("vec").alias("__vb")
+        F.col(id_col).alias("id_b"),
+        "cluster_id",
+        F.col("vec").alias("__vb"),
+        l2_norm(F.col("vec")).alias("__nb"),
     )
     pairs = (
         a.join(b, "cluster_id")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
-            sim_q(cosine(F.col("__va"), F.col("__vb")))
+            sim_q(
+                cosine_pre(
+                    F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+                )
+            )
             >= int(round(threshold * 10000))
         )
         .select("id_a", "id_b")
@@ -975,17 +1107,31 @@ def semdedup_corpus_index(
         F.col(id_col).alias("__vid"), _as_double(vec_col).alias("__v")
     )
     assigned, cents = _kmeans_fit(cv, k, n_iter)
+    # side norms once per assigned row, not per Σ cell² pair (cosine_pre)
     a = assigned.select(
-        F.col("__vid").alias("id_a"), "cell", F.col("__v").alias("__va")
+        F.col("__vid").alias("id_a"),
+        "cell",
+        F.col("__v").alias("__va"),
+        l2_norm(F.col("__v")).alias("__na"),
     )
     b = assigned.select(
-        F.col("__vid").alias("id_b"), "cell", F.col("__v").alias("__vb")
+        F.col("__vid").alias("id_b"),
+        "cell",
+        F.col("__v").alias("__vb"),
+        l2_norm(F.col("__v")).alias("__nb"),
     )
     thr = int(round(threshold * 10000))
     pairs = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(sim_q(cosine(F.col("__va"), F.col("__vb"))) >= thr)
+        .filter(
+            sim_q(
+                cosine_pre(
+                    F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+                )
+            )
+            >= thr
+        )
         .select("id_a", "id_b")
     )
     # a corpus vector is dropped iff a SMALLER-id same-cell neighbor is
@@ -1081,11 +1227,18 @@ def _probe_keep(
     survivors, threshold the quantized cosine, aggregate per batch
     vector (map-side collapse), and emit the x54 output row."""
     thr = int(round(threshold * 10000))
+    # side norms once per batch/survivor row, not per verify pair
+    bn = bassigned.withColumn("__bn", l2_norm(F.col("__v")))
+    sn = survivors.withColumn("__sn", l2_norm(F.col("__cv")))
     near = (
-        bassigned.join(survivors, "cell")
+        bn.join(sn, "cell")
         .select(
             "__vid",
-            sim_q(cosine(F.col("__v"), F.col("__cv"))).alias("__sim"),
+            sim_q(
+                cosine_pre(
+                    F.col("__v"), F.col("__cv"), F.col("__bn"), F.col("__sn")
+                )
+            ).alias("__sim"),
         )
         .filter(F.col("__sim") >= thr)
         .groupBy("__vid")
@@ -1249,17 +1402,31 @@ def semdedup_corpus_index_auto(
     assigned, fmap, occ = _kmeans_fit_two_level(
         cv, k, n_iter, coarse_k=coarse_k, broadcast_fine=broadcast_fine
     )
+    # side norms once per assigned row, not per Σ cell² pair (cosine_pre)
     a = assigned.select(
-        F.col("__vid").alias("id_a"), "cell", F.col("__v").alias("__va")
+        F.col("__vid").alias("id_a"),
+        "cell",
+        F.col("__v").alias("__va"),
+        l2_norm(F.col("__v")).alias("__na"),
     )
     b = assigned.select(
-        F.col("__vid").alias("id_b"), "cell", F.col("__v").alias("__vb")
+        F.col("__vid").alias("id_b"),
+        "cell",
+        F.col("__v").alias("__vb"),
+        l2_norm(F.col("__v")).alias("__nb"),
     )
     thr = int(round(threshold * 10000))
     pairs = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(sim_q(cosine(F.col("__va"), F.col("__vb"))) >= thr)
+        .filter(
+            sim_q(
+                cosine_pre(
+                    F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+                )
+            )
+            >= thr
+        )
         .select("id_a", "id_b")
     )
     dropped = pairs.select(F.col("id_b").alias("__did")).distinct()
@@ -1376,14 +1543,22 @@ def embedding_neardup_pairs(
 
     NOT the production path: this is the pytest ground-truth oracle
     for :func:`embedding_neardup_lsh`, run only on small slices."""
-    a = vectors.select(F.col(id_col).alias("id_a"), _as_double(vec_col).alias("__va"))
-    b = vectors.select(F.col(id_col).alias("id_b"), _as_double(vec_col).alias("__vb"))
+    a = vectors.select(
+        F.col(id_col).alias("id_a"), _as_double(vec_col).alias("__va")
+    ).withColumn("__na", l2_norm(F.col("__va")))
+    b = vectors.select(
+        F.col(id_col).alias("id_b"), _as_double(vec_col).alias("__vb")
+    ).withColumn("__nb", l2_norm(F.col("__vb")))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            sim_q(cosine(F.col("__va"), F.col("__vb"))).alias("sim"),
+            sim_q(
+                cosine_pre(
+                    F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+                )
+            ).alias("sim"),
         )
         # round, not int(): 0.043*10000 is 429.999… in binary — int()
         # would silently lower the cutoff by one quantum
@@ -1509,15 +1684,24 @@ def embedding_neardup_lsh(
     cand = embedding_lsh_candidates(
         vectors, id_col, vec_col, n_planes, dim, seed, n_tables, max_bucket
     )
-    va = vectors.select(F.col(id_col).alias("id_a"), _as_double(vec_col).alias("__va"))
-    vb = vectors.select(F.col(id_col).alias("id_b"), _as_double(vec_col).alias("__vb"))
+    # side norms once per vector row, not per candidate pair (cosine_pre)
+    va = vectors.select(
+        F.col(id_col).alias("id_a"), _as_double(vec_col).alias("__va")
+    ).withColumn("__na", l2_norm(F.col("__va")))
+    vb = vectors.select(
+        F.col(id_col).alias("id_b"), _as_double(vec_col).alias("__vb")
+    ).withColumn("__nb", l2_norm(F.col("__vb")))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
-            sim_q(cosine(F.col("__va"), F.col("__vb"))).alias("sim"),
+            sim_q(
+                cosine_pre(
+                    F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+                )
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= int(round(threshold * 10000)))
     )
