@@ -763,19 +763,20 @@ def _kmeans_fit_two_level(
     ).cast("long")
     seeds = v.select("__vid", "__v", h.alias("__h")).orderBy("__h", "__vid").limit(k)
     w = Window.orderBy("__h", "__vid")  # k rows post-limit: bounded window
-    # every per-iteration codebook below (fine / fmap / occ) is pinned
+    # the per-iteration FINE codebook and its routed fmap are pinned
     # (_pin_codebook): fmap is referenced twice per pass (occ + the
     # fine join) and fine derives from the WHOLE previous pass, so the
     # unpinned plan grows exponentially in n_iter — measured at sf0.1:
     # a 4.8 MB static plan with 1600 scans of the vector table, and
     # Catalyst analysis dominating the auto twins' wall clock (x45_auto
-    # 52.6 s → 11.8 s pinned).  A lazier variant (pin fine only, leave
-    # fmap/occ as derivations of the pinned leaf) was probed and is
-    # ~1-2.5 s SLOWER per auto query: the duplicated tiny aggregates
-    # re-execute at every reference, which costs more than the extra
-    # pin jobs.  The fine codebook keeps its sharded layout past the
-    # broadcast ceiling (single_partition only when it would broadcast
-    # anyway).
+    # 52.6 s → ~7 s pinned).  occ stays LAZY: it is one tiny aggregate
+    # over the pinned fmap leaf, and a pin here is a whole extra Spark
+    # job (~0.4 s of fixed local overhead) per iteration for nothing —
+    # probed both ways.  Pinning ONLY fine (fmap lazy too) was also
+    # probed and is ~1-2.5 s slower per auto query: fmap's duplicated
+    # references then re-execute at every use.  The fine codebook
+    # keeps its sharded layout past the broadcast ceiling
+    # (single_partition only when it would broadcast anyway).
     fine = _pin_codebook(
         seeds.select(
             F.row_number().over(w).alias("cell"), F.col("__v").alias("centroid")
@@ -819,13 +820,9 @@ def _kmeans_fit_two_level(
         )
         # 2. occupied-coarse codebook (µ-quantized mean of member fine
         #    centroids) — every coarse id here has ≥1 fine centroid
-        occ = _pin_codebook(
-            cell_centroids(
-                fmap.select(F.col("coarse").alias("cc"), "centroid"),
-                "cc",
-                "centroid",
-            ).select(F.col("cell").alias("coarse"), F.col("centroid").alias("ccent"))
-        )
+        occ = cell_centroids(
+            fmap.select(F.col("coarse").alias("cc"), "centroid"), "cc", "centroid"
+        ).select(F.col("cell").alias("coarse"), F.col("centroid").alias("ccent"))
         # 3. vector → coarse argmax (n × |occ| rows, tiny broadcast).
         #    The scored product carries the vector ONLY transiently
         #    inside the pipelined project→hash-agg stage: the agg state

@@ -321,6 +321,21 @@ SEMDEDUP_OUTPUT_SCHEMA = StructType(
 )
 
 
+def _py_l2_norm(xs: list[float]) -> float:
+    """Bit-exact replay of ``similarity.l2_norm`` over a literal
+    vector: a plain sequential left-fold (`s += x*x`) reproduces
+    Spark's ``F.aggregate`` fold bit-for-bit (numpy's SIMD
+    reassociation does NOT — the round-8 streaming-parity finding),
+    and ``math.sqrt`` is correctly rounded like Spark's SQRT."""
+    import math
+
+    s = 0.0
+    for x in xs:
+        fx = float(x)
+        s += fx * fx
+    return math.sqrt(s)
+
+
 def with_cell_assignment(
     df: DataFrame,
     vec_col: str,
@@ -347,20 +362,38 @@ def with_cell_assignment(
         _as_double,
         _pack_argmax,
         _unpack_argmax_id,
-        cosine,
+        cosine_pre,
+        l2_norm,
         sim_q,
     )
 
+    # the row's own norm folds ONCE per row (not once per centroid),
+    # and each literal centroid's norm is a Python-computed literal —
+    # the sequential `s += x*x` loop replays Spark's F.aggregate
+    # left-fold bit-for-bit (round-8 finding) and F.lit round-trips
+    # doubles exactly, so the quantized keys (and the stream≡batch
+    # bit-parity pytest pins) are unchanged.  Per-row fold work drops
+    # from 3 per centroid to 1 per centroid + 1 per row (cosine_pre).
     v = _as_double(vec_col)
+    tmp = df.withColumn("__vn", l2_norm(v))
     packed = [
         _pack_argmax(
-            sim_q(cosine(v, F.array(*[F.lit(float(x)) for x in cent]))),
+            sim_q(
+                cosine_pre(
+                    v,
+                    F.array(*[F.lit(float(x)) for x in cent]),
+                    F.col("__vn"),
+                    F.lit(_py_l2_norm(cent)),
+                )
+            ),
             F.lit(int(cell)),
         )
         for cell, cent in centroids
     ]
     best = packed[0] if len(packed) == 1 else F.greatest(*packed)
-    return df.withColumn(cell_col, _unpack_argmax_id(best).cast("int"))
+    return tmp.withColumn(cell_col, _unpack_argmax_id(best).cast("int")).drop(
+        "__vn"
+    )
 
 
 def with_two_level_cell_assignment(
@@ -392,7 +425,8 @@ def with_two_level_cell_assignment(
         _as_double,
         _pack_argmax,
         _unpack_argmax_id,
-        cosine,
+        cosine_pre,
+        l2_norm,
         sim_q,
     )
 
@@ -401,12 +435,18 @@ def with_two_level_cell_assignment(
     def lit_vec(xs: list[float]) -> F.Column:
         return F.array(*[F.lit(float(x)) for x in xs])
 
+    # one row-norm fold per row + literal centroid norms (see
+    # with_cell_assignment / _py_l2_norm — bit-identical keys)
+    def cos(cent: list[float]) -> F.Column:
+        return cosine_pre(
+            v, lit_vec(cent), F.col("__vn"), F.lit(_py_l2_norm(cent))
+        )
+
     cpacked = [
-        _pack_argmax(sim_q(cosine(v, lit_vec(cc))), F.lit(int(c)))
-        for c, cc in occ_rows
+        _pack_argmax(sim_q(cos(cc)), F.lit(int(c))) for c, cc in occ_rows
     ]
     cbest = cpacked[0] if len(cpacked) == 1 else F.greatest(*cpacked)
-    routed = df.withColumn(
+    routed = df.withColumn("__vn", l2_norm(v)).withColumn(
         "__coarse", _unpack_argmax_id(cbest).cast("int")
     )
     members: dict[int, list[tuple[int, list[float]]]] = defaultdict(list)
@@ -415,7 +455,7 @@ def with_two_level_cell_assignment(
     fine_expr = None
     for coarse in sorted(members):
         packed = [
-            _pack_argmax(sim_q(cosine(v, lit_vec(cent))), F.lit(cell))
+            _pack_argmax(sim_q(cos(cent)), F.lit(cell))
             for cell, cent in members[coarse]
         ]
         best = packed[0] if len(packed) == 1 else F.greatest(*packed)
@@ -426,7 +466,7 @@ def with_two_level_cell_assignment(
             if fine_expr is None
             else fine_expr.when(cond, cellv)
         )
-    return routed.withColumn(cell_col, fine_expr).drop("__coarse")
+    return routed.withColumn(cell_col, fine_expr).drop("__coarse", "__vn")
 
 
 def streaming_semdedup_probe(
