@@ -130,15 +130,15 @@ def x34_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale-constant catalog dimension).
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = (
-        dedup.doc_shingles(
-            docs.select(F.col("source").alias("doc_id"), "text"),
-            "doc_id",
-            "text",
-        )
-        .withColumnRenamed("doc_id", "source")
-        .distinct()
-    )
+    # no string-level distinct before hashing (r12): the hash-level
+    # distinct below subsumes it (same output set whether or not the
+    # strings were pre-deduped — collisions merge identically), so the
+    # widest stream shuffles ONCE instead of twice
+    sh = dedup.doc_shingles(
+        docs.select(F.col("source").alias("doc_id"), "text"),
+        "doc_id",
+        "text",
+    ).withColumnRenamed("doc_id", "source")
     hv = sh.select(
         "source", _h48("shingle").alias("h")
     ).distinct()

@@ -633,14 +633,20 @@ def x20_boilerplate_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     navigation chrome); emit each document's boilerplate fraction so a
     downstream filter can drop template-heavy pages.
 
-    Plan: tokenize-once distinct shingles (``doc_shingles``), one
-    partial-agg shuffle on ``shingle`` for document frequency, then the
-    df table joins BACK to the shingle stream on ``shingle`` — a
-    shuffle join, never a broadcast (the df side is vocabulary-sized;
-    the x9 lesson), and it reuses the groupBy's exchange on the df
-    side.  The 1-row corpus count broadcasts.  Final rollup shuffles
-    on ``doc_id``.  Three keyed shuffles total, each partial-aggregated
-    — the shape survives any corpus size.
+    Plan (r12 optimization): tokenize-once distinct shingles
+    (``doc_shingles``), one partial-agg shuffle on ``shingle`` for
+    document frequency, then the df table is FILTERED to the
+    boilerplate set before it ever meets the shingle stream.  Unlike
+    the full df table (vocabulary-sized — the x9 never-broadcast
+    lesson), the ≥1%-of-docs set is provably corpus-size-bounded:
+    Σ df ≤ n_docs·s̄ (s̄ = mean shingles/doc), so at most 100·s̄
+    shingles can clear df ≥ n_docs/100 — a constant as the corpus
+    grows.  It therefore BROADCASTS into a left join on the stream
+    (the decontamination-scan shape), replacing the old
+    vocabulary-wide shuffle join back: two keyed shuffles total (df
+    agg + per-doc rollup) instead of three, and the widest stream is
+    never re-shuffled on ``shingle``.  Output identical: the old
+    inner join against the FULL df table kept every stream row too.
 
     Cross-engine: the boilerplate test is exact integers
     (``df × 100 ≥ n_docs``); the fraction is ONE unrounded double
@@ -649,16 +655,17 @@ def x20_boilerplate_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = dedup.doc_shingles(docs, "doc_id", "text")
     df_ = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     nd = docs.agg(F.count(F.lit(1)).alias("__n_docs"))
-    is_boiler = F.when(
-        F.col("__df") * 100 >= F.col("__n_docs"), F.lit(1)
-    ).otherwise(F.lit(0))
+    boiler = (
+        df_.join(F.broadcast(nd))
+        .filter(F.col("__df") * 100 >= F.col("__n_docs"))
+        .select("shingle", F.lit(1).alias("__b"))
+    )
     return (
-        ds.join(df_, "shingle")
-        .join(F.broadcast(nd))
+        ds.join(F.broadcast(boiler), "shingle", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(is_boiler).alias("n_boiler"),
+            F.sum(F.coalesce("__b", F.lit(0))).alias("n_boiler"),
         )
         .select(
             "doc_id",
