@@ -192,6 +192,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, mode in HEADLINE.items():
         spec = REGISTRY[name]
+        # label the jobs so the UI/event log attributes work per query
+        # (guide §1.5); no effect on the timed work
+        spark.sparkContext.setJobDescription(f"bench:{name}")
         # best-of-2 (the bench_scale lesson, round 4): a single sample
         # is exposed to JVM GC pauses and ambient load — one GCLocker
         # stall recorded x23 at 10.5x its true cost, and the committed

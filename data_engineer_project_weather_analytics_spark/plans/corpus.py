@@ -143,10 +143,18 @@ def x34_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", _h48("shingle").alias("h")
     ).distinct()
     rn = Window.partitionBy("source").orderBy("h")
+    # the sketch is |sources|·k rows — a catalog-bounded constant — but
+    # its SUBTREE is the full shingle-stream pass, and it is consumed
+    # three times below (both pair sides + the source list): pin it
+    # (eager localCheckpoint, the r12 _pin_codebook rationale) so the
+    # expensive pass plans and executes exactly once instead of 4×
+    # statically / ReusedExchange-dependent at runtime
     sk = (
         hv.select("source", "h", F.row_number().over(rn).alias("__r"))
         .filter(F.col("__r") <= _KMV_K)
         .select("source", "h")
+        .coalesce(1)
+        .localCheckpoint(eager=True)
     )
     # pair list from ONE keys=[] aggregate + in-row expansion (the x29
     # shape): never a cross join, and the broadcast subtree is provably
