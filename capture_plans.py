@@ -25,7 +25,11 @@ from data_engineer_project_weather_analytics_spark.plans.registry import (  # no
 )
 from data_engineer_project_weather_analytics_spark.session import get_spark  # noqa: E402
 
-OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plans", "r12")
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_DIR", "r13"),
+)
 
 
 def main() -> None:

@@ -623,7 +623,10 @@ def duplicate_clusters(
                 ).alias("cluster_id"),
             )
         )
-        updated = updated.localCheckpoint(eager=True)
+        # lazy: the convergence count right below is the materializing
+        # action anyway — eager=True paid one extra whole Spark job per
+        # round for the same blocks (r13, guide §1 fixed-job overhead)
+        updated = updated.localCheckpoint(eager=False)
         changed = (
             updated.alias("u")
             .join(labels.alias("l"), "id")

@@ -146,15 +146,17 @@ def x34_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the sketch is |sources|·k rows — a catalog-bounded constant — but
     # its SUBTREE is the full shingle-stream pass, and it is consumed
     # three times below (both pair sides + the source list): pin it
-    # (eager localCheckpoint, the r12 _pin_codebook rationale) so the
+    # (LAZY localCheckpoint, the r13 _pin_codebook rationale) so the
     # expensive pass plans and executes exactly once instead of 4×
-    # statically / ReusedExchange-dependent at runtime
+    # statically / ReusedExchange-dependent at runtime — lazily, so
+    # the pass rides the consuming action (no separate pin job, and
+    # the work stays inside any harness's timed region)
     sk = (
         hv.select("source", "h", F.row_number().over(rn).alias("__r"))
         .filter(F.col("__r") <= _KMV_K)
         .select("source", "h")
         .coalesce(1)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # pair list from ONE keys=[] aggregate + in-row expansion (the x29
     # shape): never a cross join, and the broadcast subtree is provably
@@ -169,19 +171,43 @@ def x34_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 named_struct('src_a', x, 'src_b', y))))
         """
     )
-    pairs = F.broadcast(
-        srcs_row.select(F.explode(pair_expr).alias("p")).select(
-            "p.src_a", "p.src_b"
-        )
+    pairs = srcs_row.select(F.explode(pair_expr).alias("p")).select(
+        "p.src_a", "p.src_b"
     )
-    side_a = sk.join(
-        pairs, sk["source"] == pairs["src_a"]
-    ).select("src_a", "src_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
-    side_b = sk.join(
-        pairs, sk["source"] == pairs["src_b"]
-    ).select("src_a", "src_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    # pair MEMBERSHIP table: each pair exploded to one row per side,
+    # keyed by the member source — so ONE equi-join of the sketch
+    # against this broadcast replaces the former side_a/side_b pair of
+    # joins (guide §2.4: two scans of the pinned sketch — which raced
+    # the lazily-pinned single partition within one union stage — were
+    # one scan wearing two hats; the joined row multiset is identical:
+    # every (pair, sketch-row) membership appears exactly once with
+    # the same in_a/in_b flags, so the downstream merge aggregation
+    # sees byte-identical input)
+    mem = F.broadcast(
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("src_a").alias("source"),
+                        F.col("src_a"),
+                        F.col("src_b"),
+                        F.lit(1).alias("in_a"),
+                        F.lit(0).alias("in_b"),
+                    ),
+                    F.struct(
+                        F.col("src_b").alias("source"),
+                        F.col("src_a"),
+                        F.col("src_b"),
+                        F.lit(0).alias("in_a"),
+                        F.lit(1).alias("in_b"),
+                    ),
+                )
+            ).alias("m")
+        ).select("m.source", "m.src_a", "m.src_b", "m.in_a", "m.in_b")
+    )
     merged = (
-        side_a.unionAll(side_b)
+        sk.join(mem, "source")
+        .select("src_a", "src_b", "h", "in_a", "in_b")
         .groupBy("src_a", "src_b", "h")
         .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
     )

@@ -82,6 +82,30 @@ def test_aggregates_have_mapside_partials(spark):
     assert "partial_sum" in plan, "no map-side partial aggregation before the exchange"
 
 
+def test_tpch_q1_scan_is_column_and_predicate_pruned(spark):
+    """tpch_q1's lineitem scan must stay minimal (VERDICT r12 task 6,
+    examined and closed in r13: the plan was already optimal — this
+    gate makes the property permanent): ReadSchema carries exactly the
+    seven columns the aggregation needs, and the shipdate cutoff
+    reaches PushedFilters (guide §6 — a filter that misses the scan
+    re-reads the whole fact table at 100 TB)."""
+    plan = _formatted_plan(spark, "tpch_q1_pricing_summary")
+    schema_lines = [
+        l for l in plan.splitlines() if l.strip().startswith("ReadSchema:")
+    ]
+    assert len(schema_lines) == 1, schema_lines
+    schema = schema_lines[0].split("struct<", 1)[1]
+    cols = [c.split(":")[0] for c in schema.rstrip(">").split(",")]
+    assert cols == [
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    ], cols
+    pushed = [
+        l for l in plan.splitlines() if l.strip().startswith("PushedFilters:")
+    ]
+    assert pushed and "LessThanOrEqual(l_shipdate" in pushed[0], pushed
+
+
 def test_window_queries_single_shuffle(spark):
     # one Exchange for the per-key window — no hidden repartitions
     plan = _formatted_plan(spark, "w2_moving_avg")
