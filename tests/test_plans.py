@@ -1049,4 +1049,10 @@ def test_x56_composition_adds_no_shuffle_exchanges(spark):
     # 39 composed — pure tree-dedup noise) and the noise masked it;
     # with the fit pinned (x45: 40 → 10 exchanges) the accounting is
     # exact and the single real added shuffle is visible.
-    assert composed <= stages + 1, (composed, stages)
+    # EXACT equality (r13, the r12 ADVICE): examined for removal — the
+    # quality stream derives from an unpartitioned documents scan and
+    # the sem side is corpus-sized (no broadcast at scale), so the SMJ
+    # must co-partition quality; ReusedExchange cannot apply (the two
+    # sides are different subtrees).  Irreducible, so pin it exactly:
+    # any NEW composition-owned shuffle now trips this gate.
+    assert composed == stages + 1, (composed, stages)
