@@ -375,8 +375,12 @@ JOURNAL_PATH = os.environ.get(
 #: re-measure.  Purely additive edits (new section-list entries, new
 #: kinds, comments) keep the epoch: existing entries were measured by
 #: identical code paths.  Initial value = the md5 prefix of the
-#: round-9 harness that banked the first journal.
-JOURNAL_EPOCH = "15ae2f1022c1"
+#: round-9 harness that banked the first journal; "r13-t0-above-fn"
+#: = run() now times plan construction + execution (the r12 ADVICE
+#: fix — see the comment in run(); every prior entry timed the action
+#: only, which under AQE-materialized lazy checkpoints excluded the
+#: pinned fit work, so the whole journal was re-measured).
+JOURNAL_EPOCH = "r13-t0-above-fn"
 
 
 def _harness_rev() -> str:
@@ -850,8 +854,20 @@ def main() -> None:
             # same): queries that persist() internally would otherwise
             # time their second sample against a warm InMemoryRelation
             spark.catalog.clearCache()
-            df = fn(spark, sf_dir)
+            # t0 BEFORE construction (r13, the r12 ADVICE): under AQE,
+            # an eager OR lazy localCheckpoint in the plan executes its
+            # upstream query stages at plan-construction time
+            # (AdaptiveSparkPlanExec.execute() materializes stages to
+            # finalize the plan), so timing only the action silently
+            # excluded the pinned kmeans fits / sketch passes — the
+            # re-banked x34 10x point read ratio 1.0 on a 10x corpus
+            # before this fix.  bench.py has always timed construction;
+            # this aligns the two harnesses.  The stored-index twins'
+            # build-once side effects stay amortized by best-of-2: the
+            # /tmp marker exists by sample 2, whose construction is the
+            # pure read path, and min() takes it.
             t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
             df.select(
                 F.bit_xor(F.xxhash64(*df.columns)).alias("checksum")
             ).collect()

@@ -168,7 +168,7 @@ def test_bench_scale_accounted_targets_are_timed():
 #: an already-journaled work_rows kind, replica construction,
 #: ACCOUNTING_SLACK)?  If yes → bump JOURNAL_EPOCH too (full
 #: re-measure); if purely additive → keep the epoch and the bank.
-_BENCH_SCALE_MD5 = "a1c6a061d36ef0c8d36862e1104183b8"  # r12: +x61b/+x61c (additive — journal kept)
+_BENCH_SCALE_MD5 = "8f683412e50d333863c5d7c68e8a8865"  # r13: t0 above fn() — semantics change, epoch bumped, journal re-measured
 
 
 def test_journal_epoch_discipline():
