@@ -142,9 +142,10 @@ QUERIES: tuple[str, ...] = (
     "x49_span_dedup_rewrite",
     "x50_pq_topk",
     # the stored-index read path split out of x50: the index BUILD is
-    # an eager side effect at plan-construction time (before run()'s
-    # t0), so the timed region is the pure query — scan of the stored
-    # m-int codes vs x50's full in-query re-train+scan
+    # an eager side effect behind a /tmp marker, pre-warmed before the
+    # section's timed loop (prewarm_stored_indexes), so the timed
+    # region is the pure query — scan of the stored m-int codes vs
+    # x50's full in-query re-train+scan
     "x50b_pq_topk_stored",
     "x51_ivfpq_topk",
     "x51b_ivfpq_topk_stored",
@@ -1121,6 +1122,29 @@ def main() -> None:
             rows_cache[key] = work_rows(name, kind, sf_dir)
         return rows_cache[key]
 
+    #: stored-index twins whose plan CONSTRUCTION builds a /tmp index
+    #: behind a marker on first touch.  With t0 above fn() (r13) that
+    #: build would land inside the FIRST timed sample — amortized by
+    #: best-of-2 normally, but a >=SINGLE_SAMPLE_CUTOFF_SEC first
+    #: sample is recorded alone, which would bill the one-time build
+    #: to the recurring read path.  Constructing each stored twin once
+    #: per corpus BEFORE its section's timed loop keeps the build
+    #: untimed by DESIGN (the build-once/probe-forever contract these
+    #: entries exist to measure), exactly as the replica build and the
+    #: warm-listing counts are untimed.
+    stored_twins = (
+        "x50b_pq_topk_stored",
+        "x51b_ivfpq_topk_stored",
+        "x53b_incremental_neardup_stored",
+        "x54b_incremental_semdedup_stored",
+    )
+
+    def prewarm_stored_indexes(section_queries, sf_dirs) -> None:
+        for name in section_queries:
+            if name in stored_twins:
+                for d in sf_dirs:
+                    REGISTRY[name].fn(spark, d)
+
     journal = load_journal()
 
     def seed_rows_cache(name: str, entry: dict, sf_dir: str, rows_key: str):
@@ -1137,6 +1161,7 @@ def main() -> None:
         "scale10": section_sentinel(spark, "scale10")
     }
     out: dict[str, dict[str, float]] = {}
+    prewarm_stored_indexes(QUERIES, (BASE_DIR, SCALE_DIR))
     for name in QUERIES:
         if ("scale10", name) in journal:
             out[name] = journal[("scale10", name)]
@@ -1170,6 +1195,7 @@ def main() -> None:
     spark.read.parquet(f"{dir100}/events.parquet").count()  # warm listing
     load_factors["scale100"] = section_sentinel(spark, "scale100")
     out100: dict[str, dict[str, float]] = {}
+    prewarm_stored_indexes(SCALE100_QUERIES, (BASE_DIR, dir100))
     for name in SCALE100_QUERIES:
         if ("scale100", name) in journal:
             out100[name] = journal[("scale100", name)]
@@ -1201,6 +1227,7 @@ def main() -> None:
         build_replica(BASE_DIR, dir1000, 1000, tables=SCALE1000_TABLES)
         spark.read.parquet(f"{dir1000}/events.parquet").count()
         load_factors["scale1000"] = section_sentinel(spark, "scale1000")
+        prewarm_stored_indexes(SCALE1000_QUERIES, (BASE_DIR, dir1000))
         for name in SCALE1000_QUERIES:
             if ("scale1000", name) in journal:
                 out1000[name] = journal[("scale1000", name)]
